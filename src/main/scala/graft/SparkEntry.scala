@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregates, Relational, SetOps, TemporalJoins, Windows}
+import graft.functions.{Classics, Scalar}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Sources
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-module query maps. Every SQL-expressible operator has a
+  * matching DuckDB oracle in [[oracleSql]]; unit-only operators (approx
+  * aggregates, format round-trips, streaming semantics) are registered in
+  * [[queries]] alone and verified in ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Dsl._
+
+  /** Flagship (TPC-H Q3 shape): scan+pushdown, broadcast dim join, shuffled
+    * fact join, partial+final agg, top-k sort — one query per P1 subsystem.
+    * Driver smoke-checks rows>0 on sf0.001.
+    */
+  val flagship: (SparkSession, String) => DataFrame = (s, d) => {
+    val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(decSum(discPrice).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val flagshipSql: String =
+    s"""SELECT l_orderkey, o_orderdate, cast(sum($discPriceSql) as double) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-07-01'
+       |  AND l_shipdate > TIMESTAMP '1998-07-01'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++
+    Aggregates.queries ++
+    Windows.queries ++
+    SetOps.queries ++
+    Scalar.queries ++
+    Classics.queries ++
+    TemporalJoins.queries ++
+    Streams.queries ++
+    Sources.queries ++
+    Dedup.queries ++
+    Similarity.queries ++
+    TextAnalysis.queries ++
+    Map("flagship" -> flagship)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++
+    Aggregates.oracle ++
+    Windows.oracle ++
+    SetOps.oracle ++
+    Scalar.oracle ++
+    Classics.oracle ++
+    TemporalJoins.oracle ++
+    Streams.oracle ++
+    Sources.oracle ++
+    Dedup.oracle ++
+    Similarity.oracle ++
+    TextAnalysis.oracle ++
+    Map("flagship" -> flagshipSql)
 }

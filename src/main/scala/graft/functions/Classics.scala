@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.9 MapReduce classics — the examples-jar conformance suite re-expressed
+  * (SURVEY.md). WordCount/Grep/etc. are the de-facto capability proofs of a
+  * public Hadoop release (/root/reference/README.md:4).
+  *
+  * Scale notes: wordcount is explode → partial+final hash agg — the combiner
+  * is automatic; grep pushes the rlike filter into the scan. The token
+  * explode multiplies rows ~200×, but partial aggregation collapses them
+  * before the single shuffle, which is what keeps this viable at 100 TB.
+  */
+object Classics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+
+  /** WordCount (~60 LoC of MR): tokenize, count per token. */
+  val mrWordcount: Q = (s, d) =>
+    tokens(s, d).groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+
+  val mrWordcountSql: String =
+    """SELECT w, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents)
+      |WHERE w <> ''
+      |GROUP BY w
+      |ORDER BY cnt DESC, w""".stripMargin
+
+  /** Per-source word counts (MultiFileWordCount idiom: input tag in the key). */
+  val mrMultifilewc: Q = (s, d) =>
+    tokens(s, d).groupBy("source", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("source"), col("cnt").desc, col("w"))
+
+  val mrMultifilewcSql: String =
+    """SELECT source, w, count(*) AS cnt
+      |FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents)
+      |WHERE w <> ''
+      |GROUP BY source, w
+      |ORDER BY source, cnt DESC, w""".stripMargin
+
+  /** Grep example: extract matches of a pattern, count, sort desc. */
+  val mrGrep: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(col("text"), lit("(scan\\w*|merge\\w*)"), lit(1))).as("m"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("m"))
+
+  val mrGrepSql: String =
+    """SELECT m, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_extract_all(text, '(scan\w*|merge\w*)', 1)) AS m FROM documents)
+      |GROUP BY m
+      |ORDER BY cnt DESC, m""".stripMargin
+
+  /** RandomWriter/RandomTextWriter: seeded distributed synthetic data.
+    * rand(seed) is deterministic per (seed, partition) — pin partitioning
+    * with repartition(1)… no: keep distributed; rows-only check asserts shape.
+    */
+  val mrRandomwriter: Q = (s, _) =>
+    s.range(0, 1000, 1, 8)
+      .select(col("id"), rand(42).as("u"), randn(42).as("g"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("u").between(0, 1), 1).otherwise(0)).as("in_range"))
+
+  /** Counters: side-channel metrics via Dataset.observe (MR Counters analog). */
+  val mrCounters: Q = (s, d) => {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation("metrics")
+    val df = Tables.lineitem(s, d)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+               sum(col("l_quantity")).as("qty_seen"))
+    df.write.format("noop").mode("overwrite").save()
+    val row = obs.get
+    Seq((row("rows_seen").asInstanceOf[Long], row("qty_seen").asInstanceOf[Double]))
+      .toDF("rows_seen", "qty_seen")
+  }
+
+  /** ChainMapper/ChainReducer: a fused narrow-op pipeline — whole-stage
+    * codegen collapses it to one generated function (EXPLAIN unit test). */
+  val mrChain: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_quantity") > 5)
+      .withColumn("v1", col("l_extendedprice") * 2)
+      .withColumn("v2", col("v1") + 1)
+      .where(col("v2") > 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"), col("v2"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  val mrChainSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice * 2 + 1 AS v2
+      |FROM lineitem
+      |WHERE l_quantity > 5 AND l_extendedprice * 2 + 1 > 100
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** Hadoop Streaming analog: user code as Scala UDF + typed Dataset.map —
+    * same-process, codegen-adjacent, no per-record pipe boundary. */
+  val mrStreamingUdf: Q = (s, d) => {
+    import s.implicits._
+    val tokCount = udf((t: String) => t.split("\\s+").count(_.nonEmpty))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokCount(col("text")).as("n_toks"))
+    base.as[(Long, String, Int)]
+      .map { case (id, text, n) => (id, n, text.length) }
+      .toDF("doc_id", "n_toks", "n_chars2")
+      .orderBy("doc_id")
+  }
+
+  val mrStreamingUdfSql: String =
+    """SELECT doc_id,
+      |  cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) as int) AS n_toks,
+      |  cast(length(text) as int) AS n_chars2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "mr_wordcount" -> mrWordcount,
+    "mr_multifilewc" -> mrMultifilewc,
+    "mr_grep" -> mrGrep,
+    "mr_randomwriter" -> mrRandomwriter,
+    "mr_counters" -> mrCounters,
+    "mr_chain" -> mrChain,
+    "mr_streaming_udf" -> mrStreamingUdf,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mr_wordcount" -> mrWordcountSql,
+    "mr_multifilewc" -> mrMultifilewcSql,
+    "mr_grep" -> mrGrepSql,
+    "mr_chain" -> mrChainSql,
+    "mr_streaming_udf" -> mrStreamingUdfSql,
+  )
+}

@@ -1,0 +1,230 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.8 scalar function surface (SURVEY.md) — one themed query per family.
+  *
+  * Reference provenance: a Hadoop mapper's "scalar functions" are arbitrary
+  * Java over Writables (/root/reference/README.md:4 → public MR programming
+  * model); here each family is Spark built-ins, so every expression lives in
+  * whole-stage codegen (no UDF boundary, no per-record interpreter).
+  */
+object Scalar {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** String family: lower/upper/trim/substring/concat/length/replace/lpad/split. */
+  val fnString: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        lower(col("c_name")).as("lo"),
+        upper(col("c_mktsegment")).as("up"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cat"),
+        length(col("c_name")).as("len"),
+        regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("repl"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        split(col("c_name"), "#").as("parts"))
+      .orderBy("c_custkey")
+
+  val fnStringSql: String =
+    """SELECT c_custkey,
+      |  lower(c_name) AS lo,
+      |  upper(c_mktsegment) AS up,
+      |  trim(concat('  ', c_mktsegment, ' ')) AS trimmed,
+      |  substring(c_name, 1, 8) AS sub,
+      |  concat(c_name, '#', c_mktsegment) AS cat,
+      |  length(c_name) AS len,
+      |  replace(c_name, 'Customer', 'Cust') AS repl,
+      |  lpad(cast(c_custkey as varchar), 8, '0') AS padded,
+      |  string_split(c_name, '#') AS parts
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Regex family: extract / replace-all / rlike. */
+  val fnRegex: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_type").rlike("^ECO").as("is_eco"))
+      .orderBy("p_partkey")
+
+  val fnRegexSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  regexp_matches(p_type, '^ECO') AS is_eco
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time family (UTC both sides). */
+  val fnDate: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_orderdate").cast("date").as("as_date"))
+      .orderBy("o_orderkey")
+
+  val fnDateSql: String =
+    """SELECT o_orderkey,
+      |  cast(year(o_orderdate) as int) AS y,
+      |  cast(month(o_orderdate) as int) AS m,
+      |  cast(dayofmonth(o_orderdate) as int) AS dom,
+      |  cast(date_trunc('month', o_orderdate) as timestamp) AS month_start,
+      |  datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+      |  cast(o_orderdate + INTERVAL 3 MONTH as date) AS plus3m,
+      |  cast(epoch(o_orderdate) as bigint) AS epoch_s,
+      |  cast(o_orderdate as date) AS as_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math family. ln/exp are libm-computed in both engines; operands are
+    * identical doubles and results are rounded to 6dp to absorb any last-ulp
+    * library difference. */
+  val fnMath: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        abs(col("p_retailprice") - 1000).as("abs_delta"),
+        ceil(col("p_retailprice") / lit(7)).cast("long").as("ceil7"),
+        floor(col("p_retailprice") / lit(7)).cast("long").as("floor7"),
+        round(log(col("p_retailprice")), 6).as("ln6"),
+        round(exp(col("p_size").cast("double") / 10), 6).as("exp6"),
+        pow(lit(2), col("p_size")).as("pow2"),
+        pmod(col("p_partkey"), lit(7)).as("mod7"),
+        signum(col("p_retailprice") - 1000).cast("int").as("sgn"),
+        greatest(col("p_size"), lit(25)).as("gr"),
+        least(col("p_size"), lit(25)).as("le"))
+      .orderBy("p_partkey")
+
+  val fnMathSql: String =
+    """SELECT p_partkey,
+      |  abs(p_retailprice - 1000) AS abs_delta,
+      |  cast(ceil(p_retailprice / 7) as bigint) AS ceil7,
+      |  cast(floor(p_retailprice / 7) as bigint) AS floor7,
+      |  round(ln(p_retailprice), 6) AS ln6,
+      |  round(exp(cast(p_size as double) / 10), 6) AS exp6,
+      |  pow(2, p_size) AS pow2,
+      |  ((p_partkey % 7) + 7) % 7 AS mod7,
+      |  cast(sign(p_retailprice - 1000) as int) AS sgn,
+      |  greatest(p_size, 25) AS gr,
+      |  least(p_size, 25) AS le
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Conditional family: CASE / coalesce / nullif / nvl-style defaults. */
+  val fnConditional: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("rich").as("band"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE")).as("seg_or_none"),
+        when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(lit(0.0)).as("pos_bal"))
+      .orderBy("c_custkey")
+
+  val fnConditionalSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'debt'
+      |       WHEN c_acctbal < 5000 THEN 'mid'
+      |       ELSE 'rich' END AS band,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg_or_none,
+      |  CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END AS pos_bal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Array family incl. higher-order functions over tokenized text. */
+  val fnArray: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_contains(col("toks"), "data").as("has_data"),
+        slice(sort_array(col("toks")), 1, 5).as("first5_sorted"),
+        transform(col("toks"), t => upper(t)).as("upper_toks"),
+        filter(col("toks"), t => length(t) > 5).as("long_toks"))
+      .orderBy("doc_id")
+
+  val fnArraySql: String =
+    """SELECT doc_id,
+      |  cast(len(toks) as int) AS n_toks,
+      |  list_contains(toks, 'data') AS has_data,
+      |  list_slice(list_sort(toks), 1, 5) AS first5_sorted,
+      |  list_transform(toks, t -> upper(t)) AS upper_toks,
+      |  list_filter(toks, t -> length(t) > 5) AS long_toks
+      |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Map family over parsed JSON event properties. */
+  val fnMap: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+              from_json(col("props"), lit("map<string,int>")).as("m"))
+      .select(col("event_id"),
+        map_keys(col("m")).as("ks"),
+        map_values(col("m")).as("vs"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy("event_id")
+
+  val fnMapSql: String =
+    """SELECT event_id,
+      |  json_keys(props) AS ks,
+      |  [cast(json_extract(props, '$.k') as int)] AS vs,
+      |  cast(json_extract(props, '$.k') as int) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** JSON family: path extraction both as string and typed struct. */
+  val fnJson: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_int"))
+      .orderBy("event_id")
+
+  val fnJsonSql: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  cast(json_extract(props, '$.k') as int) AS k_int
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Content-hash family (dedup substrate; HDFS checksum analog). xxhash64 /
+    * crc32 have no DuckDB twin → covered by a unit test instead. */
+  val fnHash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        sha2(col("text"), 256).as("sha"),
+        md5(col("text")).as("md5h"))
+      .orderBy("doc_id")
+
+  val fnHashSql: String =
+    """SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> fnString,
+    "fn_regex" -> fnRegex,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_conditional" -> fnConditional,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson,
+    "fn_hash" -> fnHash,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" -> fnStringSql,
+    "fn_regex" -> fnRegexSql,
+    "fn_date" -> fnDateSql,
+    "fn_math" -> fnMathSql,
+    "fn_conditional" -> fnConditionalSql,
+    "fn_array" -> fnArraySql,
+    "fn_map" -> fnMapSql,
+    "fn_json" -> fnJsonSql,
+    "fn_hash" -> fnHashSql,
+  )
+}

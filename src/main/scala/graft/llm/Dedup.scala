@@ -1,0 +1,197 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.11 document deduplication suite (SURVEY.md): exact hash dedup,
+  * exact shingle-Jaccard near-dup (the declared semantics), MinHash-LSH
+  * (the 100 TB-scale candidate-pruning path, which must reproduce the exact
+  * pairs after its verify step), SimHash signatures, and min-hash content
+  * fingerprints.
+  *
+  * Scale notes: exact dedup is one hash-partitioned aggregation. The exact
+  * Jaccard join is O(pairs-sharing-a-shingle) — fine when shingle frequency
+  * is bounded, quadratic in the worst case; MinHash-LSH bounds the candidate
+  * set to pairs sharing a band signature (probability ≈ 1-(1-j^r)^b), which
+  * is the standard web-scale design, and its final exact-verify step makes
+  * the output identical to the exact operator.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id + deduplicated whitespace tokens of lowercased text. */
+  def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+
+  /** Distinct word 5-gram shingles per document (docs shorter than 5 tokens
+    * have none). */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("toks")) - 4),
+                    i => concat_ws(" ", slice(col("toks"), i, lit(5)))))).as("sh"))
+
+  val shinglesSqlCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+      |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+      |  WHERE len(t) >= 5)""".stripMargin
+
+  /** Exact content dedup: one representative (min doc_id) per sha256. */
+  val exactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val exactDedupSql: String =
+    """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY h
+      |ORDER BY keep_id""".stripMargin
+
+  /** Exact near-duplicate pairs: word-5-gram Jaccard >= 0.8 (doc_id < doc_id2).
+    * Declared exact semantics — integer set arithmetic end to end. */
+  val neardupPairs: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jac", col("inter").cast("double") /
+                         (col("n1") + col("n2") - col("inter")))
+      .where(col("jac") >= 0.8)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+              round(col("jac"), 6).as("jac6"))
+      .orderBy("d1", "d2")
+  }
+
+  val neardupPairsSql: String =
+    s"""WITH $shinglesSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+       |  FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2,
+       |  round(cast(inter as double) / (s1.n_sh + s2.n_sh - inter), 6) AS jac6
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- MinHash-LSH scale path --------------------------------------------
+
+  val NumHashes = 16
+  val BandSize = 4 // 4 bands of 4 → P(candidate | j=0.8) ≈ 1-(1-0.8^4)^4 ≈ 0.93/band-group
+
+  /** Per-doc MinHash signature: min over shingles of xxhash64(seed_k, shingle)
+    * for k seeds. Deterministic (xxhash64 is a fixed public algorithm). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val minCols = (0 until NumHashes).map { k =>
+      min(xxhash64(lit(k), col("sh"))).as(s"mh$k")
+    }
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH candidate pairs → exact Jaccard verify → identical output shape to
+    * [[neardupPairs]] (pairs + jaccard), reached without the all-pairs join.
+    * Registered rows-only; a ScalaTest asserts it equals the exact operator.
+    */
+  val neardupMinhashLsh: Q = (s, d) => {
+    val sig = minhashSignatures(s, d)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh$k"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+                 xxhash64(cols: _*).as("band_hash"))
+    }.reduce(_ unionByName _)
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // exact verify on the (small) candidate set
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .where(col("sh1") === col("sh2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jac", col("inter").cast("double") /
+                         (col("n1") + col("n2") - col("inter")))
+      .where(col("jac") >= 0.8)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac6"))
+      .orderBy("d1", "d2")
+  }
+
+  /** 64-bit SimHash signatures + near pairs at Hamming distance <= 8.
+    * Rows-only (xxhash64 has no DuckDB twin); properties unit-tested. */
+  val simhash: Q = (s, d) => {
+    val tok = tokens(s, d).select(col("doc_id"), explode(col("toks")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+    sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+              expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .where(col("hamming") <= 8)
+      .orderBy("d1", "d2")
+  }
+
+  /** Min-hash content fingerprint per doc (winnowing-style: min of shingle
+    * digests) — md5-based so DuckDB can reproduce it. */
+  val fingerprint: Q = (s, d) =>
+    shingles(s, d)
+      .groupBy("doc_id")
+      .agg(min(md5(col("sh"))).as("fp"), count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), substring(col("fp"), 1, 16).as("fp16"), col("n_sh"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""WITH $shinglesSqlCte
+       |SELECT doc_id, substring(min(md5(sh)), 1, 16) AS fp16, count(*) AS n_sh
+       |FROM shingles
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "llm_exact_dedup" -> exactDedup,
+    "llm_neardup_pairs" -> neardupPairs,
+    "llm_neardup_minhash" -> neardupMinhashLsh,
+    "llm_simhash" -> simhash,
+    "llm_fingerprint" -> fingerprint,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_exact_dedup" -> exactDedupSql,
+    "llm_neardup_pairs" -> neardupPairsSql,
+    "llm_fingerprint" -> fingerprintSql,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.11 similarity search over embedding vectors (SURVEY.md; distributed
+  * top-k similarity search per the public literature in PAPERS.md:5-6).
+  *
+  * Exact brute-force cosine is the declared (oracle-checkable) semantics;
+  * [[graft.llm.AnnLsh]] is the 100 TB-scale physical path (random-hyperplane
+  * LSH bucketing), unit-tested for recall against this baseline.
+  *
+  * Determinism: the dot product is a sequential left fold in double over
+  * float inputs — the same arithmetic expressed to DuckDB via
+  * list_reduce/list_transform — so scores are bit-identical across engines
+  * and no rounding is load-bearing.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential-fold dot product of two float vectors, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twin of [[dot]]: identical fold order, identical widening. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)"
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** k-NN: for each query vector (label=0), the top-5 cosine neighbors.
+    * Scale path: broadcast the (small) query set, stream candidates —
+    * a BroadcastNestedLoopJoin that parallelizes over candidate splits. */
+  val simsearchTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score6"))
+      .orderBy("q_id", "rk")
+  }
+
+  val simsearchTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE label = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, c_id, ${cosineSql("qv", "cv")} AS score
+       |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, c_id, round(score, 6) AS score6
+       |FROM ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** Similarity join: all pairs with cosine >= 0.35 on a deterministic
+    * subset (vec_id % 5 = 0). Embedding-cosine near-dup detection shape. */
+  val simjoinThreshold: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("av"), col("bv")).as("score"))
+      .where(col("score") >= 0.35)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val simjoinThresholdSql: String =
+    s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS score
+       |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, round(score, 6) AS score6
+       |FROM pairs WHERE score >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "llm_simsearch_topk" -> simsearchTopk,
+    "llm_simjoin_threshold" -> simjoinThreshold,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_simsearch_topk" -> simsearchTopkSql,
+    "llm_simjoin_threshold" -> simjoinThresholdSql,
+  )
+}

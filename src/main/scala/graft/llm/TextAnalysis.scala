@@ -1,0 +1,287 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.11 text analysis for a training-data pipeline (SURVEY.md; sentiment
+  * pattern per the public EDBT'16 large-scale-sentiment shape, PAPERS.md:7):
+  * corpus stats, language/quality filtering, heuristic language-ID scoring,
+  * quality scoring, TF-IDF, n-grams, lexicon sentiment, and the multimodal
+  * doc+embedding join.
+  *
+  * Scale notes: everything is explode → partial-agg → single shuffle.
+  * Lexicons/profiles are literal inline tables → broadcast joins. TF-IDF is
+  * two aggregations plus a broadcast of the (vocabulary-sized) document
+  * frequency table — at 100 TB the vocabulary is the small side by
+  * construction.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
+
+  private val toksSqlCte: String =
+    """toks AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
+      |  FROM documents)""".stripMargin
+
+  /** Corpus analytics per language. */
+  val textStats: Q = (s, d) =>
+    toks(s, d)
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("docs"),
+           count(lit(1)).as("total_toks"),
+           countDistinct(col("w")).as("vocab"),
+           countDistinct(col("source")).as("sources"))
+      .join(Tables.documents(s, d).groupBy("lang")
+              .agg(sum(col("n_chars")).as("sum_chars"),
+                   min(col("n_chars")).as("min_chars"),
+                   max(col("n_chars")).as("max_chars")),
+            Seq("lang"))
+      .orderBy("lang")
+
+  val textStatsSql: String =
+    s"""WITH $toksSqlCte,
+       |t AS (
+       |  SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS total_toks,
+       |         count(DISTINCT w) AS vocab, count(DISTINCT source) AS sources
+       |  FROM toks GROUP BY lang),
+       |c AS (
+       |  SELECT lang, sum(n_chars) AS sum_chars, min(n_chars) AS min_chars,
+       |         max(n_chars) AS max_chars
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, docs, total_toks, vocab, sources, sum_chars, min_chars, max_chars
+       |FROM t JOIN c USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  /** Language/quality filter: english docs in a size band with enough tokens. */
+  val langFilter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_toks", size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
+      .where(col("lang") === "en" && col("n_chars").between(100, 400) &&
+             col("n_toks") >= 20)
+      .select("doc_id", "lang", "n_chars", "n_toks")
+      .orderBy("doc_id")
+
+  val langFilterSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  cast(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) as int) AS n_toks
+      |FROM documents
+      |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+      |  AND len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) >= 20
+      |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language-ID: score each doc against per-language keyword
+    * profiles (n-gram-frequency heuristic), predict the argmax. Integer
+    * scoring end-to-end → oracle-exact. */
+  val langProfiles: Seq[(String, String, Int)] = Seq(
+    ("en", "the", 3), ("en", "data", 2), ("en", "value", 1),
+    ("de", "window", 3), ("de", "group", 2), ("de", "order", 1),
+    ("es", "table", 3), ("es", "line", 2), ("es", "part", 1),
+    ("fr", "query", 3), ("fr", "merge", 2), ("fr", "sort", 1),
+    ("zh", "spark", 3), ("zh", "stream", 2), ("zh", "batch", 1))
+
+  val langId: Q = (s, d) => {
+    import s.implicits._
+    val profiles = langProfiles.toDF("plang", "word", "wt")
+    val scored = toks(s, d)
+      .join(broadcast(profiles), col("w") === col("word"))
+      .groupBy("doc_id", "plang")
+      .agg(sum(col("wt")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("plang"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val values = langProfiles
+      .map { case (l, w, wt) => s"('$l', '$w', $wt)" }.mkString(", ")
+    s"""WITH $toksSqlCte,
+       |profiles(plang, word, wt) AS (VALUES $values),
+       |scored AS (
+       |  SELECT doc_id, plang, cast(sum(wt) as bigint) AS score
+       |  FROM toks JOIN profiles ON w = word
+       |  GROUP BY doc_id, plang),
+       |ranked AS (
+       |  SELECT doc_id, plang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rk
+       |  FROM scored)
+       |SELECT doc_id, plang AS pred_lang, score
+       |FROM ranked WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio, and a
+    * composite score — ratios of exact integers, deterministic doubles. */
+  val qualityScore: Q = (s, d) => {
+    val stop = Seq("the", "a", "value")
+    val t = toks(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           sum(length(col("w"))).as("sum_len"),
+           sum(when(col("w").isin(stop: _*), 1).otherwise(0)).as("n_stop"))
+    Tables.documents(s, d).select("doc_id", "n_chars")
+      .join(t, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        (col("sum_len").cast("double") / col("n_toks")).as("mean_tok_len"),
+        (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+        (col("n_chars").cast("double") / col("n_toks")).as("chars_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH $toksSqlCte,
+       |t AS (
+       |  SELECT doc_id, count(*) AS n_toks,
+       |    sum(length(w)) AS sum_len,
+       |    sum(CASE WHEN w IN ('the', 'a', 'value') THEN 1 ELSE 0 END) AS n_stop
+       |  FROM toks GROUP BY doc_id)
+       |SELECT d.doc_id, n_toks,
+       |  cast(sum_len as double) / n_toks AS mean_tok_len,
+       |  cast(n_stop as double) / n_toks AS stop_ratio,
+       |  cast(n_chars as double) / n_toks AS chars_per_tok
+       |FROM documents d JOIN t ON d.doc_id = t.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** TF-IDF: top-5 terms per doc by tf * (ln(N/df) + 1), ranked on the
+    * 6dp-rounded weight (absorbs any libm last-ulp delta in ln). */
+  val tfidf: Q = (s, d) => {
+    val tf = toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(n))
+      .withColumn("weight6",
+        round(col("tf") * (log(col("n_docs").cast("double") / col("df")) + 1), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight6").desc, col("w"))
+    weighted.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("doc_id"), col("rk"), col("w").as("term"), col("tf"),
+              col("df"), col("weight6"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfSql: String =
+    s"""WITH $toksSqlCte,
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |weighted AS (
+       |  SELECT doc_id, w, tf, df,
+       |    round(tf * (ln(cast(n_docs as double) / df) + 1), 6) AS weight6
+       |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, w, tf, df, weight6,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY weight6 DESC, w) AS rk
+       |  FROM weighted)
+       |SELECT doc_id, rk, w AS term, tf, df, weight6
+       |FROM ranked WHERE rk <= 5
+       |ORDER BY doc_id, rk""".stripMargin
+
+  /** Bigram extraction + counts (top 100 with total-order tiebreak). */
+  val ngrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(100)
+
+  val ngramsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bi AS (
+      |  SELECT t[i] || ' ' || t[i+1] AS bigram
+      |  FROM t, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      |  WHERE len(t) >= 2)
+      |SELECT bigram, count(*) AS cnt
+      |FROM bi GROUP BY bigram
+      |ORDER BY cnt DESC, bigram
+      |LIMIT 100""".stripMargin
+
+  /** Lexicon-based sentiment scoring (broadcast lexicon join). */
+  val sentimentLexicon: Seq[(String, Int)] =
+    Seq(("fast", 2), ("small", 1), ("slow", -2), ("big", -1), ("dup", -1))
+
+  val sentiment: Q = (s, d) => {
+    import s.implicits._
+    val lex = sentimentLexicon.toDF("word", "polarity")
+    toks(s, d)
+      .join(broadcast(lex), col("w") === col("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("polarity"), lit(0))).as("sentiment"),
+           sum(when(col("polarity").isNotNull, 1).otherwise(0)).as("n_matched"),
+           count(lit(1)).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
+  val sentimentSql: String = {
+    val values = sentimentLexicon
+      .map { case (w, p) => s"('$w', $p)" }.mkString(", ")
+    s"""WITH $toksSqlCte,
+       |lex(word, polarity) AS (VALUES $values)
+       |SELECT doc_id,
+       |  cast(sum(coalesce(polarity, 0)) as bigint) AS sentiment,
+       |  cast(sum(CASE WHEN polarity IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_matched,
+       |  count(*) AS n_toks
+       |FROM toks LEFT JOIN lex ON w = word
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Multimodal record: text metadata + embedding stats in one row. */
+  val multimodalStruct: Q = (s, d) =>
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"),
+        size(col("embedding")).as("dim"),
+        sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("l2_norm"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("n_toks"))
+      .orderBy("doc_id")
+
+  val multimodalStructSql: String =
+    s"""SELECT doc_id, lang, label,
+       |  cast(len(embedding) as int) AS dim,
+       |  sqrt(${Similarity.dotSql("embedding", "embedding")}) AS l2_norm,
+       |  cast(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) as int) AS n_toks
+       |FROM documents JOIN embeddings ON doc_id = vec_id
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "llm_text_stats" -> textStats,
+    "llm_lang_filter" -> langFilter,
+    "llm_lang_id" -> langId,
+    "llm_quality_score" -> qualityScore,
+    "llm_tfidf" -> tfidf,
+    "llm_ngrams" -> ngrams,
+    "llm_sentiment_lexicon" -> sentiment,
+    "llm_multimodal_struct" -> multimodalStruct,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_text_stats" -> textStatsSql,
+    "llm_lang_filter" -> langFilterSql,
+    "llm_lang_id" -> langIdSql,
+    "llm_quality_score" -> qualityScoreSql,
+    "llm_tfidf" -> tfidfSql,
+    "llm_ngrams" -> ngramsSql,
+    "llm_sentiment_lexicon" -> sentimentSql,
+    "llm_multimodal_struct" -> multimodalStructSql,
+  )
+}

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Dsl, Tables}
+
+/** §2.4 aggregations (SURVEY.md).
+  *
+  * Reference provenance: the reduce + combiner substrate of a public Hadoop
+  * release (/root/reference/README.md:4) — partial aggregation is manual
+  * (combiner class) there; Catalyst plans partial+final HashAggregateExec
+  * automatically, which is asserted by an EXPLAIN unit test.
+  *
+  * Determinism: all floating aggregates go through exact decimal or
+  * integer-valued-double sums (see graft.Dsl) so results are bit-stable
+  * across partitionings and engines.
+  */
+object Aggregates {
+  import Dsl._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Operators whose Spark plan is declared in SQL share the exact query text
+    * with the DuckDB oracle (both engines speak the same ANSI subset here). */
+  private def sharedSql(sql: String): Q = (s, d) => {
+    Tables.registerViews(s, d); s.sql(sql)
+  }
+
+  /** TPC-H Q1 shape: partial+final hash aggregation with combiner semantics. */
+  val aggHashGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(discPrice).as("sum_disc_price"),
+        decSum(charge).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggHashGroupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(l_quantity) AS sum_qty,
+       |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+       |  cast(sum($discPriceSql) as double) AS sum_disc_price,
+       |  cast(sum($chargeSql) as double) AS sum_charge,
+       |  sum(l_quantity) / count(*) AS avg_qty,
+       |  ${moneySumSql("l_extendedprice")} / count(*) AS avg_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact distinct customers per order priority (Expand + 2-phase agg). */
+  val aggCountDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("uniq_custs"),
+           count(lit(1)).as("orders"))
+      .orderBy("o_orderpriority")
+
+  val aggCountDistinctSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_custs, count(*) AS orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** HLL approximate distinct — error bound asserted in ScalaTest (no SQL
+    * oracle: HLL implementations differ across engines by design). */
+  val aggApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Sort-agg fallback path: collect_list goes through ObjectHashAggregate
+    * with sort-based fallback; rows-only check + EXPLAIN unit test. */
+  val aggSortFallback: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(size(sort_array(collect_list(col("l_orderkey")))).as("n_keys"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Hierarchical subtotals over region → nation with grouping flags.
+    * Declared in SQL shared verbatim with the oracle (grouping() column
+    * provenance is awkward to express through the DataFrame lint). */
+  val aggRollupSql: String =
+    s"""SELECT grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+       |  coalesce(r_name, 'ALL') AS r_name2, coalesce(n_name, 'ALL') AS n_name2,
+       |  count(*) AS custs, ${moneySumSql("c_acctbal")} AS sum_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY g_r, g_n, r_name2, n_name2""".stripMargin
+
+  val aggRollup: Q = sharedSql(aggRollupSql)
+
+  /** All grouping combinations over (segment, priority). */
+  val aggCubeSql: String =
+    s"""SELECT grouping(c_mktsegment) AS g_s, grouping(o_orderpriority) AS g_p,
+       |  coalesce(c_mktsegment, 'ALL') AS seg, coalesce(o_orderpriority, 'ALL') AS prio,
+       |  count(*) AS n, ${moneySumSql("o_totalprice")} AS sum_price
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+       |ORDER BY g_s, g_p, seg, prio""".stripMargin
+
+  val aggCube: Q = sharedSql(aggCubeSql)
+
+  /** Explicit GROUPING SETS, one query text for both engines. */
+  val aggGroupingSetsSql: String =
+    """SELECT grouping(o_orderstatus) AS g_st, grouping(o_orderpriority) AS g_pr,
+      |  coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pr,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_st, g_pr, st, pr""".stripMargin
+
+  val aggGroupingSets: Q = sharedSql(aggGroupingSetsSql)
+
+  /** Per-group collected values, sorted for determinism (reducer Iterable). */
+  val aggCollect: Q = (s, d) =>
+    Tables.customer(s, d).where(col("c_acctbal") > 9500)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+           count(lit(1)).as("n"))
+      .orderBy("c_custkey")
+
+  val aggCollectSql: String =
+    """SELECT c_custkey, list_sort(list(o_orderkey)) AS orderkeys, count(*) AS n
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |WHERE c_acctbal > 9500
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Exact interpolated percentiles per group (integer-valued input, so the
+    * linear interpolation lands on exact .0/.25/.5/.75 doubles). */
+  val aggPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+           expr("percentile(l_quantity, 0.5)").as("p50"),
+           expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy("l_returnflag")
+
+  val aggPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Value-distribution histogram (aggregatewordhist idiom). */
+  val aggHistogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(floor(col("value") / 5).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val aggHistogramSql: String =
+    """SELECT cast(floor(value / 5) as bigint) AS bucket, count(*) AS n
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Statistical moments via exact integer/decimal sums → closed-form double.
+    * Avoids engine-native stddev/corr whose partial-merge order is
+    * nondeterministic in floating point; here every intermediate is exact, so
+    * the final doubles are bit-identical across engines and runs.
+    */
+  val aggStddevCorr: Q = (s, d) => {
+    val q = col("l_quantity").cast("long")
+    val p = dec2(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum(q).as("sq"), sum(q * q).as("sqq"),
+           sum(p).as("sp"), sum(p * p).as("spp"),
+           sum(p * q).as("spq"))
+      .select(col("l_returnflag"), col("n"),
+        sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+          .as("stddev_qty"),
+        ((col("spq").cast("double") - col("sp").cast("double") * col("sq").cast("double") / col("n")) /
+         (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
+          sqrt(col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggStddevCorrSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(cast(l_quantity as bigint)) AS sq,
+      |    sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)) AS sqq,
+      |    sum(cast(l_extendedprice as decimal(12,2))) AS sp,
+      |    sum(cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) AS spp,
+      |    sum(cast(l_extendedprice as decimal(12,2)) * cast(l_quantity as bigint)) AS spq
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+      |  (cast(spq as double) - cast(sp as double) * cast(sq as double) / n) /
+      |   (sqrt(sqq - sq * sq / n) *
+      |    sqrt(cast(spp as double) - cast(sp as double) * cast(sp as double) / n)) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "agg_hash_group" -> aggHashGroup,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_sort_fallback" -> aggSortFallback,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_collect" -> aggCollect,
+    "agg_percentile" -> aggPercentile,
+    "agg_histogram" -> aggHistogram,
+    "agg_stddev_corr" -> aggStddevCorr,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_group" -> aggHashGroupSql,
+    "agg_count_distinct" -> aggCountDistinctSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "agg_collect" -> aggCollectSql,
+    "agg_percentile" -> aggPercentileSql,
+    "agg_histogram" -> aggHistogramSql,
+    "agg_stddev_corr" -> aggStddevCorrSql,
+  )
+}

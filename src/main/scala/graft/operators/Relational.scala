@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Dsl, Tables}
+
+/** §2.2 projection/filter/predicates + §2.3 joins (SURVEY.md).
+  *
+  * Reference provenance: map-only filter/transform idioms and the
+  * reduce-side / map-side join idioms of a public Hadoop release
+  * (/root/reference/README.md:4). Re-expressed declaratively: Catalyst pushes
+  * the filters into the parquet scan, prunes columns, and picks
+  * broadcast-hash vs sort-merge join from sizes — the things a MapReduce
+  * author hand-coded via DistributedCache / CompositeInputFormat.
+  *
+  * Scale notes (100 TB): every query here is pure narrow scan + (for joins)
+  * a single key-partitioned exchange; small dimensions are broadcast
+  * explicitly, big-big joins are left to sort-merge + AQE skew handling.
+  */
+object Relational {
+  import Dsl._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- §2.2 projection / filter ------------------------------------------
+
+  /** Columnar scan with projection + predicate pushdown reaching parquet.
+    * NOTE: lineitem's unique key in these fixtures is the full
+    * (l_orderkey, l_linenumber, l_partkey, l_suppkey) — (okey, lineno) alone
+    * has duplicates, so every row-level lineitem query orders by all four. */
+  val scanParquet: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1996-07-01").cast("timestamp") &&
+             col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+              "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  val scanParquetSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** Map-only derived-column projection (disc price / charge, exact decimal). */
+  val projectSelect: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"),
+              discPrice.cast("double").as("disc_price"),
+              charge.cast("double").as("charge"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  val projectSelectSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  cast($discPriceSql as double) AS disc_price,
+       |  cast($chargeSql as double) AS charge
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** Compound predicate (TPC-H Q6 shape) → one exact revenue scalar. */
+  val filterPredicate: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24)
+      .agg(decSum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n"))
+
+  val filterPredicateSql: String =
+    """SELECT
+      |  cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(12,2))) as double) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Regex grep over the document corpus (Hadoop Grep example, map side). */
+  val filterRegexGrep: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(col("text").rlike("hash\\s+join"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val filterRegexGrepSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE regexp_matches(text, 'hash\s+join')
+      |ORDER BY doc_id""".stripMargin
+
+  /** NULL semantics: IS NULL / null-safe equality on a derived nullable col. */
+  val filterNullSemantics: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+              nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      .select(col("c_custkey"), col("seg"),
+              col("seg").isNull.as("seg_is_null"),
+              (col("seg") <=> "MACHINERY").as("is_machinery"))
+      .orderBy("c_custkey")
+
+  val filterNullSemanticsSql: String =
+    """SELECT c_custkey, seg, seg IS NULL AS seg_is_null,
+      |       seg IS NOT DISTINCT FROM 'MACHINERY' AS is_machinery
+      |FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- §2.3 joins ---------------------------------------------------------
+
+  /** Equi inner join (reduce-side join idiom) — row level. */
+  val joinInnerHash: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+
+  val joinInnerHashSql: String =
+    """SELECT o_orderkey, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Map-side hash join (DistributedCache idiom): broadcast the dimension. */
+  val joinBroadcast: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).where(col("p_size") < 15)),
+            col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+              "p_brand", "p_size")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  val joinBroadcastSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, p_brand, p_size
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size < 15
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** Co-sorted merge join (CompositeInputFormat idiom) — force SMJ via hint. */
+  val joinSortMerge: Q = (s, d) =>
+    Tables.lineitem(s, d).hint("merge")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  val joinSortMergeSql: String =
+    s"""SELECT o_orderpriority, count(*) AS line_cnt, ${moneySumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left outer join: order count per customer including zero. */
+  val joinLeftOuter: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+
+  val joinLeftOuterSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS order_cnt
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join with non-matching rows on both sides. */
+  val joinFullOuter: Q = (s, d) => {
+    val hiCust = Tables.customer(s, d).where(col("c_acctbal") > 9000)
+      .select("c_custkey", "c_acctbal")
+    val hiOrd = Tables.orders(s, d).where(col("o_totalprice") > 280000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    hiCust.join(hiOrd, col("c_custkey") === col("o_custkey"), "full")
+      .select(coalesce(col("c_custkey"), lit(-1)).as("ck"),
+              coalesce(col("o_orderkey"), lit(-1)).as("ok"),
+              col("c_acctbal"), col("o_totalprice"))
+      .orderBy("ck", "ok")
+  }
+
+  val joinFullOuterSql: String =
+    """SELECT coalesce(c_custkey, -1) AS ck, coalesce(o_orderkey, -1) AS ok,
+      |       c_acctbal, o_totalprice
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+      |FULL JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 280000) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY ck, ok""".stripMargin
+
+  /** Semi join: customers having at least one big order (EXISTS). */
+  val joinLeftSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 250000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinLeftSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join: customers with no big order (NOT EXISTS, non-empty result). */
+  val joinLeftAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 250000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinLeftAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Bounded cartesian product. */
+  val joinCross: Q = (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  val joinCrossSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Theta/range join: price-band classification of parts.
+    * At scale: the band table is tiny → BroadcastNestedLoopJoin, which is the
+    * right plan; a big-big band join would instead bucket on floor(price/step)
+    * and equi-join buckets + residual predicate (see joinInterval).
+    */
+  val joinThetaRange: Q = (s, d) => {
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 700.0), ("mid", 700.0, 1400.0),
+                    ("high", 1400.0, 100000.0))
+      .toDF("band", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .select("p_partkey", "band", "p_retailprice")
+      .orderBy("p_partkey", "band")
+  }
+
+  val joinThetaRangeSql: String =
+    """SELECT p_partkey, band, p_retailprice
+      |FROM part JOIN (VALUES ('low', 0.0, 700.0), ('mid', 700.0, 1400.0),
+      |                       ('high', 1400.0, 100000.0)) AS b(band, lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |ORDER BY p_partkey, band""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "project_select" -> projectSelect,
+    "filter_predicate" -> filterPredicate,
+    "filter_regex_grep" -> filterRegexGrep,
+    "filter_null_semantics" -> filterNullSemantics,
+    "join_inner_hash" -> joinInnerHash,
+    "join_broadcast" -> joinBroadcast,
+    "join_sort_merge" -> joinSortMerge,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_left_semi" -> joinLeftSemi,
+    "join_left_anti" -> joinLeftAnti,
+    "join_cross" -> joinCross,
+    "join_theta_range" -> joinThetaRange,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" -> scanParquetSql,
+    "project_select" -> projectSelectSql,
+    "filter_predicate" -> filterPredicateSql,
+    "filter_regex_grep" -> filterRegexGrepSql,
+    "filter_null_semantics" -> filterNullSemanticsSql,
+    "join_inner_hash" -> joinInnerHashSql,
+    "join_broadcast" -> joinBroadcastSql,
+    "join_sort_merge" -> joinSortMergeSql,
+    "join_left_outer" -> joinLeftOuterSql,
+    "join_full_outer" -> joinFullOuterSql,
+    "join_left_semi" -> joinLeftSemiSql,
+    "join_left_anti" -> joinLeftAntiSql,
+    "join_cross" -> joinCrossSql,
+    "join_theta_range" -> joinThetaRangeSql,
+  )
+}

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Dsl, Tables}
+
+/** §2.5 window functions + §2.6 sorts/limits/top-k (SURVEY.md).
+  *
+  * Reference provenance: the secondary-sort idiom (composite key + grouping
+  * comparator) and TeraSort's TotalOrderPartitioner of a public Hadoop
+  * release (/root/reference/README.md:4). Spark's window exchange partitions
+  * by the PARTITION BY key and sorts within — exactly the secondary-sort
+  * shuffle — and `orderBy` plans a RangePartitioning exchange whose reservoir
+  * sampling IS TeraSort's partitioner, so both scale the same way the
+  * hand-built originals did.
+  *
+  * Scale notes: `sort_topk` must plan TakeOrderedAndProject (per-partition
+  * heap + driver merge of k rows, no global sort) — asserted by an EXPLAIN
+  * unit test. Running/window aggregates over money use exact decimals so
+  * their left-to-right accumulation is bit-stable.
+  */
+object Windows {
+  import Dsl._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- §2.5 windows -------------------------------------------------------
+
+  /** row_number (unique tiebreak) + rank/dense_rank (deterministic on ties). */
+  val windowRanking: Q = (s, d) => {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byPriceTies = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              row_number().over(byPrice).as("rn"),
+              rank().over(byPriceTies).as("rk"),
+              dense_rank().over(byPriceTies).as("drk"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowRankingSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drk
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ntile bucketing within each market segment. */
+  val windowNtile: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+              ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val windowNtileSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+      |FROM customer
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** lag/lead time-series deltas per user on the event stream table. */
+  val windowLagLead: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+              lag(col("value"), 1).over(w).as("prev_value"),
+              lead(col("event_type"), 1).over(w).as("next_type"),
+              (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val windowLagLeadSql: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(event_type, 1) OVER w AS next_type,
+      |  value - lag(value, 1) OVER w AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Running ROWS-frame aggregates (exact decimal accumulation). */
+  val windowRunningRows: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"),
+              count(lit(1)).over(w).as("running_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowRunningRowsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  cast(sum(cast(o_totalprice as decimal(12,2))) OVER w as double) AS running_spend,
+      |  count(*) OVER w AS running_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** RANGE-frame aggregate over a numeric ordering (value-neighborhood sum).
+    * Frame membership depends only on the ORDER BY value, so ties are safe. */
+  val windowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rangeBetween(-5, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"), col("l_returnflag"), col("l_quantity"),
+              sum(col("l_quantity")).over(w).as("nbhd_qty"),
+              count(lit(1)).over(w).as("nbhd_n"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_quantity,
+      |  sum(l_quantity) OVER w AS nbhd_qty,
+      |  count(*) OVER w AS nbhd_n
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+      |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** first/last value over the full partition frame. */
+  val windowFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+              first(col("event_type")).over(w).as("first_type"),
+              last(col("event_type")).over(w).as("last_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val windowFirstLastSql: String =
+    """SELECT user_id, event_id,
+      |  first_value(event_type) OVER w AS first_type,
+      |  last_value(event_type) OVER w AS last_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Per-group top-k (secondary-sort + reducer-head idiom). */
+  val topkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---- §2.6 sorts / limits / top-k ---------------------------------------
+
+  /** Total-order global sort (TeraSort lineage: range partition + local sort). */
+  val sortGlobal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+               col("l_partkey"), col("l_suppkey"))
+
+  val sortGlobalSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** Global top-k without a full sort (TakeOrderedAndProject). */
+  val sortTopk: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val sortTopkSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Secondary sort: cluster by user, order by time within user. The
+    * scale-honest form is repartition+sortWithinPartitions; the observable,
+    * oracle-checkable form is the equivalent total order. */
+  val sortSecondary: Q = (s, d) =>
+    Tables.events(s, d)
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .select("user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "ts", "event_id")
+
+  val sortSecondarySql: String =
+    """SELECT user_id, ts, event_id, event_type
+      |FROM events
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** LIMIT/OFFSET pagination over a total order. */
+  val limitOffset: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+      .offset(100)
+      .limit(50)
+
+  val limitOffsetSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_custkey
+      |LIMIT 50 OFFSET 100""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "window_ranking" -> windowRanking,
+    "window_ntile" -> windowNtile,
+    "window_lag_lead" -> windowLagLead,
+    "window_running_rows" -> windowRunningRows,
+    "window_range_frame" -> windowRangeFrame,
+    "window_first_last" -> windowFirstLast,
+    "topk_per_group" -> topkPerGroup,
+    "sort_global" -> sortGlobal,
+    "sort_topk" -> sortTopk,
+    "sort_secondary" -> sortSecondary,
+    "limit_offset" -> limitOffset,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "window_ranking" -> windowRankingSql,
+    "window_ntile" -> windowNtileSql,
+    "window_lag_lead" -> windowLagLeadSql,
+    "window_running_rows" -> windowRunningRowsSql,
+    "window_range_frame" -> windowRangeFrameSql,
+    "window_first_last" -> windowFirstLastSql,
+    "topk_per_group" -> topkPerGroupSql,
+    "sort_global" -> sortGlobalSql,
+    "sort_topk" -> sortTopkSql,
+    "sort_secondary" -> sortSecondarySql,
+    "limit_offset" -> limitOffsetSql,
+  )
+}

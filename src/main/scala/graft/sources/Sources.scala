@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.1 scans / sources / sinks (SURVEY.md).
+  *
+  * Reference provenance: the InputFormat/OutputFormat + compression-codec
+  * surface of a public Hadoop release (/root/reference/README.md:4) —
+  * TextInputFormat, KeyValueTextInputFormat, JSON-per-line convention,
+  * SequenceFile, FileOutputFormat/MultipleOutputs, codec configs, and
+  * CombineFileInputFormat split control.
+  *
+  * Each operator is a WRITE → READ-BACK round-trip through the real Spark
+  * source (text/csv/json/sequencefile/parquet±partitioning±codec), reduced
+  * to a deterministic DataFrame so the driver's rows-only check is stable.
+  * The `file:` paths here become `hdfs://` paths unchanged on a cluster —
+  * Spark I/O goes through the same Hadoop FileSystem API as the reference.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(s"graft_$prefix")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** Line-oriented text (TextInputFormat: one record per line). */
+  val scanText: Q = (s, d) => {
+    val out = tmp("text")
+    Tables.documents(s, d).select(col("text")).write.mode(SaveMode.Overwrite).text(out)
+    s.read.text(out)
+      .select(length(col("value")).as("line_len"))
+      .groupBy("line_len").agg(count(lit(1)).as("n"))
+      .orderBy("line_len")
+  }
+
+  /** Delimited records with header (KeyValueTextInputFormat / TSV idiom). */
+  val scanCsv: Q = (s, d) => {
+    val out = tmp("csv")
+    Tables.customer(s, d).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(out)
+    s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** JSON-per-line records. */
+  val scanJson: Q = (s, d) => {
+    val out = tmp("json")
+    Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).json(out)
+    s.read.json(out)
+      .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+              col("o_totalprice").cast("double"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Hadoop SequenceFile: the reference's native binary K/V container —
+    * written and read through the actual SequenceFile input/output formats. */
+  val scanSequencefile: Q = (s, d) => {
+    import s.implicits._
+    val out = tmp("seq") + "/data"
+    Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].rdd
+      .saveAsSequenceFile(out)
+    s.sparkContext.sequenceFile[Long, String](out)
+      .toDF("n_nationkey", "n_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** Parquet sink round-trip (FileOutputFormat commit protocol). */
+  val sinkParquet: Q = (s, d) => {
+    val out = tmp("parq")
+    Tables.lineitem(s, d).where(col("l_quantity") > 45)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    s.read.parquet(out)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Partitioned output dirs (MultipleOutputs idiom): partitionBy on write,
+    * partition pruning on read-back. */
+  val sinkPartitioned: Q = (s, d) => {
+    val out = tmp("part")
+    Tables.orders(s, d).write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderpriority").parquet(out)
+    s.read.parquet(out)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Compression codecs on write (gzip + zstd round-trips agree). */
+  val compressCodecs: Q = (s, d) => {
+    val outGz = tmp("gz"); val outZstd = tmp("zstd")
+    val src = Tables.supplier(s, d)
+    src.write.mode(SaveMode.Overwrite).option("compression", "gzip").parquet(outGz)
+    src.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(outZstd)
+    val a = s.read.parquet(outGz).agg(count(lit(1)).as("n"),
+      sum(col("s_suppkey")).as("key_sum")).withColumn("codec", lit("gzip"))
+    val b = s.read.parquet(outZstd).agg(count(lit(1)).as("n"),
+      sum(col("s_suppkey")).as("key_sum")).withColumn("codec", lit("zstd"))
+    a.unionByName(b).orderBy("codec")
+  }
+
+  /** Split sizing control (CombineFileInputFormat idiom): small
+    * maxPartitionBytes splits the scan into many tasks; the result is
+    * invariant to the split count — which is the point. */
+  val splitControl: Q = (s, d) => {
+    val prev = s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    s.conf.set("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+    try {
+      val n = Tables.lineitem(s, d).rdd.getNumPartitions
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("rows"), sum(col("l_orderkey")).as("key_sum"))
+        .withColumn("split_tasks_gt_1", lit(n > 1))
+    } finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_text" -> scanText,
+    "scan_csv" -> scanCsv,
+    "scan_json" -> scanJson,
+    "scan_sequencefile" -> scanSequencefile,
+    "sink_parquet" -> sinkParquet,
+    "sink_partitioned" -> sinkPartitioned,
+    "compress_codecs" -> compressCodecs,
+    "split_control" -> splitControl,
+  )
+
+  /** Round-trips are format-level behaviors with no DuckDB twin → rows-only
+    * driver check + ScalaTest assertions. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.10 Structured Streaming shapes (SURVEY.md).
+  *
+  * The reference (a public Hadoop release, /root/reference/README.md:4) has
+  * no streaming engine — streaming-ish Hadoop work is incremental batch over
+  * directories. Here each operator is written as a TRANSFORM over a DataFrame
+  * that is unbounded-safe (works under readStream + watermark, verified with
+  * MemoryStream in ScalaTest) and registered in batch mode on `events` so the
+  * DuckDB oracle can hash-check the semantics.
+  *
+  * Scale notes: event-time windows + watermarks bound state linearly in
+  * (#keys × #open windows); session windows merge in the state store; dedup
+  * state is bounded by the watermark horizon. All aggregations here are
+  * partial-aggregated before the shuffle.
+  */
+object Streams {
+  type Q = (SparkSession, String) => DataFrame
+
+  // -- shared transforms: one body for batch (oracle) and stream (tests) ----
+
+  /** Fixed 1h tumbling windows per event type. withWatermark is a no-op in
+    * batch mode, so the same function serves both engines of verification. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+              col("event_type"), col("cnt"))
+
+  /** Overlapping 1h windows sliding every 15 min. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+              col("event_type"), col("cnt"))
+
+  /** 30-minute-gap sessionization per user. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+              col("session_window.end").as("s_end"), col("cnt"))
+
+  // -- batch registrations (oracle-checked) ---------------------------------
+
+  val streamTumbling: Q = (s, d) =>
+    tumblingCounts(Tables.events(s, d)).orderBy("w_start", "event_type")
+
+  val streamTumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+      |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+      |       event_type, count(*) AS cnt
+      |FROM events
+      |GROUP BY w_start, w_end, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  val streamSliding: Q = (s, d) =>
+    slidingCounts(Tables.events(s, d)).orderBy("w_start", "event_type")
+
+  /** Every event belongs to exactly 4 sliding windows whose starts are the
+    * 15-min buckets at and before it (window 1h ⊃ all 4 by construction). */
+  val streamSlidingSql: String =
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,
+      |       time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' + INTERVAL '1 hour' AS w_end,
+      |       event_type, count(*) AS cnt
+      |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+      |GROUP BY w_start, w_end, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  val streamSession: Q = (s, d) =>
+    sessionStats(Tables.events(s, d)).orderBy("user_id", "s_start")
+
+  /** Gaps-and-islands twin of session_window: a new session starts when the
+    * gap to the previous event is >= 30 min (Spark session end is exclusive:
+    * last_ts + gap). */
+  val streamSessionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS s_start,
+      |       max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS cnt
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
+  /** Deterministic batch twin of streaming dropDuplicates: first event id per
+    * (user, type). The streaming form (watermark + dropDuplicates) is unit
+    * tested with MemoryStream. */
+  val streamDedup: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("event_id")).as("first_event"))
+      .orderBy("user_id", "event_type")
+
+  val streamDedupSql: String =
+    """SELECT user_id, event_type, min(event_id) AS first_event
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Watermark shape in batch: hourly counts over the last day relative to
+    * the stream's max event time. The actual late-row-drop behavior (rows
+    * older than watermark excluded from open windows) is unit tested with
+    * MemoryStream; this batch twin is oracle-checked. */
+  val streamWatermarkLate: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val horizon = ev.agg((max(col("ts")) - expr("INTERVAL 1 DAY")).as("h"))
+    tumblingCounts(ev.crossJoin(horizon).where(col("ts") >= col("h")))
+      .orderBy("w_start", "event_type")
+  }
+
+  val streamWatermarkLateSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+      |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+      |       event_type, count(*) AS cnt
+      |FROM events
+      |WHERE ts >= (SELECT max(ts) - INTERVAL '1 day' FROM events)
+      |GROUP BY w_start, w_end, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  /** Arbitrary-keyed-state shape in batch: per-user lifetime stats a
+    * flatMapGroupsWithState pipeline would maintain (count, first/last event
+    * time, total value). The stateful streaming execution is unit tested. */
+  val streamStateful: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("first_ts"),
+           max(col("ts")).as("last_ts"),
+           sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .orderBy("user_id")
+
+  val streamStatefulSql: String =
+    """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+      |       cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Sink-mode shape: complete-mode aggregate (memory/append/update modes are
+    * exercised in the MemoryStream unit tests). */
+  val streamSink: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  val streamSinkSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_dedup" -> streamDedup,
+    "stream_watermark_late" -> streamWatermarkLate,
+    "stream_stateful" -> streamStateful,
+    "stream_sink" -> streamSink,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" -> streamTumblingSql,
+    "stream_sliding" -> streamSlidingSql,
+    "stream_session" -> streamSessionSql,
+    "stream_dedup" -> streamDedupSql,
+    "stream_watermark_late" -> streamWatermarkLateSql,
+    "stream_stateful" -> streamStatefulSql,
+    "stream_sink" -> streamSinkSql,
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Aggregates, Relational, Windows}
+import graft.functions.Classics
+
+/** SURVEY.md §4.2 — physical-plan invariants. These are the 100 TB-scale
+  * guarantees: broadcast where a dim is small, partial+final aggregation,
+  * top-k without a global sort, pushdown reaching the parquet scan, and
+  * whole-stage fusion of narrow chains. A regression here is a performance
+  * bug even while results stay correct.
+  */
+class ExplainInvariantsSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE only materializes WholeStageCodegen in the final plan — execute
+    * first, then read the (now final) executed plan. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(plan(Relational.joinBroadcast(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("agg_hash_group plans partial+final HashAggregate") {
+    val p = plan(Aggregates.aggHashGroup(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("sort_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(Windows.sortTopk(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("filtered parquet scan pushes predicates into the reader") {
+    val p = plan(Relational.scanParquet(spark, sfDir))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+  }
+
+  test("scan reads only projected columns (column pruning)") {
+    val p = plan(Relational.scanParquet(spark, sfDir))
+    // ReadSchema must not include money columns the query never touches
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"))
+  }
+
+  test("mr_chain fuses narrow ops into whole-stage codegen") {
+    // `*(n)` is the whole-stage-codegen stage marker in the final AQE plan;
+    // filter and project must share stage *(1) — fused, no materialization.
+    val p = finalPlan(Classics.mrChain(spark, sfDir))
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
+  }
+
+  test("flagship broadcasts the customer dimension") {
+    assert(plan(SparkEntry.flagship(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+}

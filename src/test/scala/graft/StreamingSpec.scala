@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.Streams
+
+/** SURVEY.md §2.10 — the streaming semantics that batch oracles can't check:
+  * watermark late-data drops, incremental window emission, stateful
+  * processing, dedup state, and sink output modes, all via MemoryStream.
+  */
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, event_id: Long)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window aggregation runs incrementally over a stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:05:00"), "click", 1, 1),
+        Ev(ts("2024-01-01 10:55:00"), "click", 1, 2),
+        Ev(ts("2024-01-01 11:05:00"), "view", 2, 3))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_t")
+        .select("w_start", "event_type", "cnt").collect()
+      assert(rows.exists(r => r.getTimestamp(0) == ts("2024-01-01 10:00:00")
+        && r.getString(1) == "click" && r.getLong(2) == 2))
+      assert(rows.exists(r => r.getTimestamp(0) == ts("2024-01-01 11:00:00")
+        && r.getString(1) == "view" && r.getLong(2) == 1))
+    } finally q.stop()
+  }
+
+  test("watermark drops data later than the horizon (append mode)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:05:00"), "click", 1, 1))
+      q.processAllAvailable()
+      // advance event time far past the 10:00 window + 10 min watermark
+      mem.addData(Ev(ts("2024-01-01 12:00:00"), "click", 1, 2))
+      q.processAllAvailable()
+      // this event is *behind* the watermark now — must be dropped
+      mem.addData(Ev(ts("2024-01-01 10:07:00"), "click", 1, 3))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 14:00:00"), "click", 1, 4))
+      q.processAllAvailable()
+      val closed10 = spark.table("late_t")
+        .where(col("w_start") === ts("2024-01-01 10:00:00")).collect()
+      assert(closed10.length == 1 && closed10(0).getAs[Long]("cnt") == 1,
+        s"late row must not re-open the 10:00 window: ${closed10.mkString}")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionStats(mem.toDF())
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 7, 1),
+        Ev(ts("2024-01-01 10:20:00"), "click", 7, 2), // same session (gap 20m)
+        Ev(ts("2024-01-01 11:30:00"), "click", 7, 3)) // new session (gap 70m)
+      q.processAllAvailable()
+      val rows = spark.table("sess_t").where(col("user_id") === 7)
+        .orderBy("s_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("cnt") == 2)
+      assert(rows(0).getAs[Timestamp]("s_end") == ts("2024-01-01 10:50:00"))
+      assert(rows(1).getAs[Long]("cnt") == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates suppresses replayed event ids") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1, 100),
+        Ev(ts("2024-01-01 10:01:00"), "click", 1, 100), // duplicate id
+        Ev(ts("2024-01-01 10:02:00"), "view", 1, 101))
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState maintains per-user running counts") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counted = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "n")
+    val q = counted.writeStream.format("memory").queryName("state_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1, 1),
+                  Ev(ts("2024-01-01 10:01:00"), "view", 1, 2))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 10:02:00"), "click", 1, 3))
+      q.processAllAvailable()
+      val latest = spark.table("state_t").groupBy("user_id")
+        .agg(max("n").as("n")).where(col("user_id") === 1).head
+      assert(latest.getAs[Long]("n") == 3)
+    } finally q.stop()
+  }
+
+  test("append vs complete sink modes deliver expected shapes") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF().groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("modes_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1, 1))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 10:01:00"), "click", 2, 2))
+      q.processAllAvailable()
+      val cnt = spark.table("modes_t")
+        .where(col("event_type") === "click").head.getAs[Long]("cnt")
+      assert(cnt == 2) // complete mode re-emits the full updated result
+    } finally q.stop()
+  }
+}

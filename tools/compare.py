@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local dev-loop twin of the driver's t2 correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet directory (graft.Verify output), runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same
+parquet tables, sorts columns by name (as the driver does), and compares
+row-by-row values exactly. Queries with no oracle entry get a rows-only check.
+
+NOT part of the shipped library — dev tooling only (the library is pure Scala).
+"""
+import sys, os, json, glob
+import duckdb
+
+def canon(v):
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        files = glob.glob(f"{path}/*.parquet")
+        if not files:
+            results[name] = "EMPTY-OUTPUT"
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet('{path}/*.parquet')")
+        gcols = sorted(got.columns)
+        grows = con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall() if False else \
+                got.project(", ".join(f'"{c}"' for c in gcols)).fetchall()
+        if name not in oracle:
+            results[name] = f"ROWS-ONLY rows={len(grows)}" + ("" if len(grows) > 0 else " ***ZERO***")
+            continue
+        try:
+            want = con.sql(oracle[name])
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR {e}"
+            continue
+        wcols = sorted(want.columns)
+        wrows = want.project(", ".join(f'"{c}"' for c in wcols)).fetchall()
+        if gcols != wcols:
+            results[name] = f"SCHEMA-MISMATCH spark={gcols} duckdb={wcols}"
+            continue
+        if len(grows) != len(wrows):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(grows)} duckdb={len(wrows)}"
+            continue
+        bad = None
+        for i, (g, w) in enumerate(zip(grows, wrows)):
+            cg = tuple(canon(x) for x in g)
+            cw = tuple(canon(x) for x in w)
+            if cg != cw:
+                bad = (i, g, w)
+                break
+        if bad:
+            i, g, w = bad
+            results[name] = f"VALUE-MISMATCH row={i}\n    spark ={g}\n    duckdb={w}"
+        else:
+            results[name] = f"OK rows={len(grows)}"
+    npass = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("ROWS-ONLY rows") and "ZERO" not in v)
+    for k, v in sorted(results.items()):
+        mark = "✓" if (v.startswith("OK") or (v.startswith("ROWS-ONLY") and "ZERO" not in v)) else "✗"
+        print(f"{mark} {k}: {v}")
+    print(f"\n{npass}/{len(results)} pass")
+    sys.exit(0 if npass == len(results) else 1)
+
+if __name__ == "__main__":
+    main()

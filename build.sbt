@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 codegen-heavy queries in one JVM overflow the default 240m JIT code
+  // cache; once full, HotSpot stops compiling and expression-heavy stages run
+  // interpreted (observed 20-50x slowdowns in the second half of a bench run).
+  "-XX:ReservedCodeCacheSize=1g",
 )

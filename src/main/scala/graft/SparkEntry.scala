@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregates, Relational, SetOps, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar}
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{AnnLsh, Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
 import graft.sources.Sources
 import graft.streaming.Streams
 
@@ -65,6 +66,8 @@ object SparkEntry {
     Dedup.queries ++
     Similarity.queries ++
     TextAnalysis.queries ++
+    AnnLsh.queries ++
+    Multimodal.queries ++
     Map("flagship" -> flagship)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

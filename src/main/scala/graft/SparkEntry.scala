@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregates, Relational, SetOps, TemporalJoins, Windows}
+import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar}
 import graft.llm.{AnnLsh, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
@@ -68,6 +68,7 @@ object SparkEntry {
     TextAnalysis.queries ++
     AnnLsh.queries ++
     Multimodal.queries ++
+    ScaleTechniques.queries ++
     Map("flagship" -> flagship)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
     Dedup.oracle ++
     Similarity.oracle ++
     TextAnalysis.oracle ++
+    ScaleTechniques.oracle ++
     Map("flagship" -> flagshipSql)
 }

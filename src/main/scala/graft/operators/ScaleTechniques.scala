@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Dsl, Tables}
+
+/** Explicit scale techniques (SURVEY.md §7.5): manual key-salting for skewed
+  * shuffle joins, and bucket-pruned co-located joins.
+  *
+  * AQE's OptimizeSkewedJoin handles most skew at runtime; the salting recipe
+  * here is the plan-level fallback for the cases AQE can't split (e.g. a
+  * skewed aggregation key, or a build side that must stay together). The
+  * salt is a deterministic hash — NOT rand() — so results are reproducible
+  * and the operator stays oracle-checkable: the salted join provably equals
+  * the plain join, and the DuckDB oracle is the plain join.
+  *
+  * Recipe: probe side gets salt = hash(row-distinguishing cols) % N; build
+  * side is replicated N ways (explode over 0..N-1); the join key becomes
+  * (key, salt), splitting each hot key's rows across N reducers.
+  */
+object ScaleTechniques {
+  import Dsl._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val SaltFactor = 8
+
+  /** lineitem ⨝ orders with an 8-way salted key, aggregated per priority —
+    * identical result to the unsalted join (that's the oracle). */
+  val skewSaltedJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt",
+        pmod(xxhash64(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+             lit(SaltFactor)))
+    val ord = Tables.orders(s, d)
+      .withColumn("salt", explode(sequence(lit(0L), lit(SaltFactor - 1L))))
+    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+           decSum(discPrice).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val skewSaltedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS line_cnt,
+       |  cast(sum($discPriceSql) as double) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "skew_salted_join" -> skewSaltedJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "skew_salted_join" -> skewSaltedJoinSql,
+  )
+}

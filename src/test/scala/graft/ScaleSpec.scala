@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleTechniques
+
+/** Scale-technique proofs (SURVEY.md §7.5): salted joins preserve results;
+  * bucketed tables co-locate joins with zero shuffle. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join result equals the plain join (salting is semantics-free)") {
+    val salted = ScaleTechniques.skewSaltedJoin(spark, sfDir).collect().toSeq
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+           Dsl.decSum(Dsl.discPrice).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salting splits a hot key across SaltFactor shuffle groups") {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("salt",
+        pmod(xxhash64(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+             lit(ScaleTechniques.SaltFactor)))
+    val hottest = li.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc).head.getLong(0)
+    val saltsUsed = li.where(col("l_orderkey") === hottest)
+      .select("salt").distinct().count()
+    assert(saltsUsed > 1, "hot key must spread over multiple salt groups")
+  }
+
+  test("bucketed co-located join plans no shuffle exchange") {
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    ord.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    cust.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("customer_bkt").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+  }
+}

@@ -206,7 +206,74 @@ object Aggregates {
       |    sqrt(cast(spp as double) - cast(sp as double) * cast(sp as double) / n)) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot: order counts per market segment × priority, one column per
+    * priority. Spark's groupBy().pivot() with an explicit value list keeps
+    * the schema static (required at scale — value discovery is a scan);
+    * oracle expresses the same thing as conditional aggregation. */
+  val aggPivot: Q = (s, d) => {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment"),
+        col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+        col("3-MEDIUM").as("medium"), col("4-NOT SPECIFIED").as("unspec"),
+        col("5-LOW").as("low"))
+      .orderBy("c_mktsegment")
+  }
+
+  val aggPivotSql: String =
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+      |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+      |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+      |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspec,
+      |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Deterministic hash-based sampling — the reproducible alternative to
+    * rand()-based TABLESAMPLE for pipeline reruns: membership depends only
+    * on the key, so the sample is stable across runs, engines, and cluster
+    * sizes (exactly what a training-data pipeline needs). */
+  val sampleHash: Q = (s, d) =>
+    Tables.orders(s, d)
+      .where(pmod(xxhash64(col("o_orderkey")), lit(10)) === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  // xxhash64 has no DuckDB twin → the oracle derives the same sample from
+  // the Spark-computed membership rule re-expressed... it cannot; instead
+  // sample on a modulus of the key itself (equally deterministic):
+  val sampleMod: Q = (s, d) =>
+    Tables.orders(s, d)
+      .where(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val sampleModSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE ((o_orderkey % 10) + 10) % 10 = 3
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Approximate quantiles (KLL-style sketch under percentile_approx) —
+    * error bound vs exact asserted in ScalaTest (sketches differ by engine,
+    * so no SQL oracle). */
+  val aggApproxQuantile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "agg_pivot" -> aggPivot,
+    "sample_hash" -> sampleHash,
+    "sample_mod" -> sampleMod,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_hash_group" -> aggHashGroup,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -221,6 +288,8 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_pivot" -> aggPivotSql,
+    "sample_mod" -> sampleModSql,
     "agg_hash_group" -> aggHashGroupSql,
     "agg_count_distinct" -> aggCountDistinctSql,
     "agg_rollup" -> aggRollupSql,

@@ -64,6 +64,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles within rank tolerance of exact percentiles") {
+    val approx = Aggregates.aggApproxQuantile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50 approx=$a50 exact=$e50")
+      assert(math.abs(a95 - e95) / e95 < 0.05, s"$k p95 approx=$a95 exact=$e95")
+    }
+  }
+
+  test("hash sampling is stable across runs and roughly 10%") {
+    val a = Aggregates.sampleHash(spark, sfDir).collect()
+    val b = Aggregates.sampleHash(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    val total = Tables.orders(spark, sfDir).count().toDouble
+    assert(math.abs(a.length / total - 0.1) < 0.05)
+  }
+
   test("xxhash64 and crc32 are deterministic content hashes") {
     import spark.implicits._
     val df = Seq("alpha", "beta", "alpha").toDF("s")

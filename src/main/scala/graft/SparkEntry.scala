@@ -6,7 +6,7 @@ import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, Tempora
 import graft.functions.{Classics, Scalar}
 import graft.llm.{AnnLsh, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
-import graft.sources.Sources
+import graft.sources.{FsOps, Sources}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -63,6 +63,7 @@ object SparkEntry {
     TemporalJoins.queries ++
     Streams.queries ++
     Sources.queries ++
+    FsOps.queries ++
     Dedup.queries ++
     Similarity.queries ++
     TextAnalysis.queries ++

@@ -265,7 +265,51 @@ object TextAnalysis {
        |FROM documents JOIN embeddings ON doc_id = vec_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish subword count
+    * (greedy 1-4 char word chunks via regex — the cheap proxy for a learned
+    * subword vocab when budgeting sequence lengths). Pure integer output. */
+  val tokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("ws_toks"),
+        size(regexp_extract_all(lower(col("text")), lit("([a-z]{1,4})"), lit(1))).as("bpeish_toks"),
+        length(col("text")).as("n_chars2"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  cast(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) as int) AS ws_toks,
+      |  cast(len(regexp_extract_all(lower(text), '([a-z]{1,4})', 1)) as int) AS bpeish_toks,
+      |  cast(length(text) as int) AS n_chars2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Polynomial rolling hash over the token stream (content fingerprint that
+    * is order-sensitive, unlike the min-shingle fingerprint): a left fold of
+    * acc*31 + tokenCode mod 2^31-1, with tokenCode from ascii/length so both
+    * engines compute identical integers. */
+  val rollingHash: Q = (s, d) => {
+    val toksArr = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val code = (t: org.apache.spark.sql.Column) =>
+      (ascii(t) * lit(131L) + length(t).cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(toksArr, lit(0L),
+          (acc, t) => pmod(acc * 31L + code(t), lit(2147483647L))).as("rhash"))
+      .orderBy("doc_id")
+  }
+
+  val rollingHashSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(cast(0 as bigint),
+      |      list_transform(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+      |                     t -> cast(ascii(t) * 131 + length(t) as bigint))),
+      |    (acc, c) -> ((acc * 31 + c) % 2147483647 + 2147483647) % 2147483647) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_token_count" -> tokenCount,
+    "llm_rolling_hash" -> rollingHash,
     "llm_text_stats" -> textStats,
     "llm_lang_filter" -> langFilter,
     "llm_lang_id" -> langId,
@@ -277,6 +321,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_token_count" -> tokenCountSql,
+    "llm_rolling_hash" -> rollingHashSql,
     "llm_text_stats" -> textStatsSql,
     "llm_lang_filter" -> langFilterSql,
     "llm_lang_id" -> langIdSql,

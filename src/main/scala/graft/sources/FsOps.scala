@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-lifecycle parity with the reference's `hadoop fs` surface
+  * (/root/reference/README.md:4 — a public Hadoop release): ls/du and
+  * DistCp-style copies, implemented against the SAME
+  * `org.apache.hadoop.fs.FileSystem` API the reference ships. Spark embeds
+  * that stack (`spark.sparkContext.hadoopConfiguration`), so these calls run
+  * unchanged against `hdfs://` or `s3a://` on a cluster — the north star's
+  * "directly compatible" claim made concrete in code.
+  */
+object FsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fs(s: SparkSession, uri: String): FileSystem =
+    new Path(uri).getFileSystem(hadoopConf(s))
+
+  private def hadoopConf(s: SparkSession): Configuration =
+    s.sparkContext.hadoopConfiguration
+
+  /** `hadoop fs -ls -R` + `-du`: fixture files with sizes, as a DataFrame.
+    * Sizes are stable for the read-only fixtures → deterministic output. */
+  val fsLs: Q = (s, d) => {
+    import s.implicits._
+    val f = fs(s, d)
+    val listing = f.listStatus(new Path(d)).toSeq.map { st =>
+      (st.getPath.getName, st.getLen, st.isDirectory)
+    }.sortBy(_._1)
+    listing.toDF("name", "bytes", "is_dir").orderBy("name")
+  }
+
+  /** DistCp shape: copy a fixture file through the FileSystem API, read the
+    * copy back with Spark, prove content equality by count + key checksum. */
+  val fsDistcp: Q = (s, d) => {
+    val conf = hadoopConf(s)
+    val src = new Path(s"$d/nation.parquet")
+    val dstDir = java.nio.file.Files.createTempDirectory("graft_distcp")
+    val dst = new Path(dstDir.toString, "nation.parquet")
+    FileUtil.copy(src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+      /* deleteSource = */ false, /* overwrite = */ true, conf)
+    val orig = s.read.parquet(src.toString)
+      .agg(count(lit(1)).as("rows"), sum(col("n_nationkey")).as("key_sum"))
+      .withColumn("which", lit("src"))
+    val copied = s.read.parquet(dst.toString)
+      .agg(count(lit(1)).as("rows"), sum(col("n_nationkey")).as("key_sum"))
+      .withColumn("which", lit("dst"))
+    orig.unionByName(copied).orderBy("which")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fs_ls" -> fsLs,
+    "fs_distcp" -> fsDistcp,
+  )
+}

@@ -73,6 +73,17 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** ORC round-trip — the other columnar staple of the Hadoop ecosystem,
+    * built into Spark with the same pushdown/pruning machinery as parquet. */
+  val scanOrc: Q = (s, d) => {
+    val out = tmp("orc")
+    Tables.supplier(s, d).write.mode(SaveMode.Overwrite).orc(out)
+    s.read.orc(out)
+      .where(col("s_acctbal") > 0)
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** Parquet sink round-trip (FileOutputFormat commit protocol). */
   val sinkParquet: Q = (s, d) => {
     val out = tmp("parq")
@@ -95,17 +106,16 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
-  /** Compression codecs on write (gzip + zstd round-trips agree). */
+  /** Compression codecs on write (gzip/snappy/zstd/lz4 round-trips agree —
+    * the io.compress codec surface of a Hadoop release). */
   val compressCodecs: Q = (s, d) => {
-    val outGz = tmp("gz"); val outZstd = tmp("zstd")
     val src = Tables.supplier(s, d)
-    src.write.mode(SaveMode.Overwrite).option("compression", "gzip").parquet(outGz)
-    src.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(outZstd)
-    val a = s.read.parquet(outGz).agg(count(lit(1)).as("n"),
-      sum(col("s_suppkey")).as("key_sum")).withColumn("codec", lit("gzip"))
-    val b = s.read.parquet(outZstd).agg(count(lit(1)).as("n"),
-      sum(col("s_suppkey")).as("key_sum")).withColumn("codec", lit("zstd"))
-    a.unionByName(b).orderBy("codec")
+    Seq("gzip", "snappy", "zstd", "lz4").map { codec =>
+      val out = tmp(codec)
+      src.write.mode(SaveMode.Overwrite).option("compression", codec).parquet(out)
+      s.read.parquet(out).agg(count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("key_sum")).withColumn("codec", lit(codec))
+    }.reduce(_ unionByName _).orderBy("codec")
   }
 
   /** Split sizing control (CombineFileInputFormat idiom): small
@@ -127,6 +137,7 @@ object Sources {
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
     "scan_sequencefile" -> scanSequencefile,
+    "scan_orc" -> scanOrc,
     "sink_parquet" -> sinkParquet,
     "sink_partitioned" -> sinkPartitioned,
     "compress_codecs" -> compressCodecs,

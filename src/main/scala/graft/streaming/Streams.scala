@@ -18,8 +18,37 @@ import graft.Tables
   * state is bounded by the watermark horizon. All aggregations here are
   * partial-aggregated before the shuffle.
   */
+/** Typed event row for the stateful operators (matches the events fixture). */
+case class GraftEvent(ts: java.sql.Timestamp, event_type: String,
+                      user_id: Long, event_id: Long)
+
+/** Accumulating per-user session state carried by [[Streams.runningUserStats]]. */
+case class UserState(n_events: Long, last_type: String)
+
 object Streams {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Arbitrary keyed state (the §2.10 `stream_stateful` stream-side shape):
+    * per-user running event counts + last event type, maintained with
+    * flatMapGroupsWithState so it runs identically under readStream with
+    * update mode. Batch twin (oracle-checked) is [[streamStateful]]. */
+  def runningUserStats(events: org.apache.spark.sql.Dataset[GraftEvent])
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, (Long, Long, String)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[UserState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prev = state.getOption.getOrElse(UserState(0L, ""))
+          val next = UserState(prev.n_events + sorted.size,
+            sorted.lastOption.map(_.event_type).getOrElse(prev.last_type))
+          state.update(next)
+          Iterator((user, next.n_events, next.last_type))
+      }
+      .toDF("user_id", "n_events", "last_type")
+  }
 
   // -- shared transforms: one body for batch (oracle) and stream (tests) ----
 

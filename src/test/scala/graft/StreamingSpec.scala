@@ -101,29 +101,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState maintains per-user running counts") {
+  test("flatMapGroupsWithState maintains per-user running state (library op)") {
     implicit val sq = spark.sqlContext
-    val mem = MemoryStream[Ev]
-    val counted = mem.toDS()
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, (Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        case (user, evs, state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + evs.size
-          state.update(n)
-          Iterator((user, n))
-      }.toDF("user_id", "n")
-    val q = counted.writeStream.format("memory").queryName("state_t")
+    val mem = MemoryStream[graft.streaming.GraftEvent]
+    val q = graft.streaming.Streams.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("state_t")
       .outputMode(OutputMode.Update()).start()
     try {
-      mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1, 1),
-                  Ev(ts("2024-01-01 10:01:00"), "view", 1, 2))
+      mem.addData(
+        graft.streaming.GraftEvent(ts("2024-01-01 10:00:00"), "click", 1, 1),
+        graft.streaming.GraftEvent(ts("2024-01-01 10:01:00"), "view", 1, 2))
       q.processAllAvailable()
-      mem.addData(Ev(ts("2024-01-01 10:02:00"), "click", 1, 3))
+      mem.addData(graft.streaming.GraftEvent(ts("2024-01-01 10:02:00"), "purchase", 1, 3))
       q.processAllAvailable()
-      val latest = spark.table("state_t").groupBy("user_id")
-        .agg(max("n").as("n")).where(col("user_id") === 1).head
-      assert(latest.getAs[Long]("n") == 3)
+      val latest = spark.table("state_t")
+        .orderBy(col("n_events").desc).where(col("user_id") === 1).head
+      assert(latest.getAs[Long]("n_events") == 3)
+      assert(latest.getAs[String]("last_type") == "purchase")
     } finally q.stop()
   }
 

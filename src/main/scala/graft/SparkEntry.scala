@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, TemporalJoins, Windows}
-import graft.functions.{Classics, Scalar}
+import graft.functions.{Classics, Scalar, TypedUdaf}
 import graft.llm.{AnnLsh, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{FsOps, Sources}
@@ -60,6 +60,7 @@ object SparkEntry {
     SetOps.queries ++
     Scalar.queries ++
     Classics.queries ++
+    TypedUdaf.queries ++
     TemporalJoins.queries ++
     Streams.queries ++
     Sources.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
     SetOps.oracle ++
     Scalar.oracle ++
     Classics.oracle ++
+    TypedUdaf.oracle ++
     TemporalJoins.oracle ++
     Streams.oracle ++
     Sources.oracle ++

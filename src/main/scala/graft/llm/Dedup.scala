@@ -66,10 +66,12 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, sh: DataFrame,
                             withSizes: Boolean): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // the shingle equality is part of the JOIN KEY (d2, sh), never a
+    // post-join filter — otherwise the intermediate is |pairs|*|A|*|B| and
+    // plan-dependent, not |matches| (observed 20x swings under AQE).
     val base = cands
-      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .where(col("sh1") === col("sh2"))
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")

@@ -178,9 +178,10 @@ object Dedup {
     verifyJaccard(candidates, shingles(s, d), withSizes = false)
   }
 
-  /** 64-bit SimHash signatures + near pairs at Hamming distance <= 8.
-    * Rows-only (xxhash64 has no DuckDB twin); properties unit-tested. */
-  val simhash: Q = (s, d) => {
+  val SimhashMaxHamming = 8
+
+  /** 64-bit SimHash signatures per document. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = tokens(s, d).select(col("doc_id"), explode(col("toks")).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitCols = (0 until 64).map { i =>
@@ -190,11 +191,52 @@ object Dedup {
     val sig = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near pairs at Hamming distance <= 8, via pigeonhole banding:
+    * split the 64-bit signature into MaxHamming+1 = 9 bands — a pair within
+    * distance 8 MUST agree exactly on at least one band, so candidates come
+    * from 9 equi-joins on (band_id, band_bits) instead of the all-pairs
+    * cross join, and each candidate is verified with the true bit_count.
+    * Output identical to the quadratic formulation (unit-tested); rows-only
+    * for the driver (xxhash64 has no DuckDB twin). */
+  val simhash: Q = (s, d) => {
+    // cache: the 64-accumulator signature aggregation feeds both join sides
+    // and all bands — computing it once matters more than anything downstream
+    val sigs = simhashSignatures(s, d).cache()
+    val nBands = SimhashMaxHamming + 1 // 9 bands of ceil(64/9)=8 bits
+    val bandBits = (64 + nBands - 1) / nBands
+    val bandStructs = (0 until nBands).map { b =>
+      val lo = b * bandBits
+      val width = math.min(bandBits, 64 - lo)
+      val mask = if (width == 64) -1L else ((1L << width) - 1) << lo
+      struct(lit(b).as("band"),
+             col("simhash").bitwiseAND(lit(mask)).as("band_bits"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+              col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    banded.as("x")
+      .join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+            col("x.band_bits") === col("y.band_bits") &&
+            col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+              expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= SimhashMaxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** Quadratic reference formulation for the banding equivalence test. */
+  def simhashAllPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSignatures(s, d)
     sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
               expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .where(col("hamming") <= 8)
+      .where(col("hamming") <= SimhashMaxHamming)
       .orderBy("d1", "d2")
   }
 

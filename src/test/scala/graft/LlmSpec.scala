@@ -25,6 +25,14 @@ class LlmSpec extends SparkSpec {
     assert(lsh == exact, s"LSH=$lsh exact=$exact")
   }
 
+  test("banded simhash pairs equal the quadratic all-pairs formulation") {
+    val banded = Dedup.simhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = Dedup.simhashAllPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+  }
+
   test("simhash: duplicate documents get identical signatures (hamming 0)") {
     val dups = Dedup.exactDedup(spark, sfDir).where(col("n_copies") > 1)
     if (dups.count() > 0) {

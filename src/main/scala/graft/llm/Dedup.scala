@@ -99,7 +99,9 @@ object Dedup {
     * at a fraction of the join volume.
     */
   val neardupPairs: Q = (s, d) => {
-    val sh = shingles(s, d)
+    // shingling (regex split + 5-gram transform + distinct) is the expensive
+    // narrow stage and feeds five plan branches — materialize it once
+    val sh = shingles(s, d).cache()
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
@@ -149,8 +151,7 @@ object Dedup {
 
   /** Per-doc MinHash signature: min over shingles of xxhash64(seed_k, shingle)
     * for k seeds. Deterministic (xxhash64 is a fixed public algorithm). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+  def minhashSignatures(sh: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map { k =>
       min(xxhash64(lit(k), col("sh"))).as(s"mh$k")
     }
@@ -162,7 +163,8 @@ object Dedup {
     * Registered rows-only; a ScalaTest asserts it equals the exact operator.
     */
   val neardupMinhashLsh: Q = (s, d) => {
-    val sig = minhashSignatures(s, d)
+    val sh = shingles(s, d).cache() // feeds signatures AND the verify step
+    val sig = minhashSignatures(sh)
     val bands = (0 until NumHashes / BandSize).map { b =>
       val cols = (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh$k"))
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -175,7 +177,7 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(candidates, shingles(s, d), withSizes = false)
+    verifyJaccard(candidates, sh, withSizes = false)
   }
 
   val SimhashMaxHamming = 8

@@ -91,13 +91,65 @@ object TemporalJoins {
        |ORDER BY week""".stripMargin
   }
 
+  /** Big-big interval join, the bucketed scale path: both sides map to
+    * 6-hour epoch buckets (an interval explodes into every bucket it
+    * overlaps), the join runs as an EQUI-join on (user, bucket), and the
+    * true range predicate applies as a residual. No broadcast, no nested
+    * loop — two shuffles on a composite key, which is the only shape that
+    * survives when neither side fits in memory. The oracle is the plain
+    * range join, so the rewrite is proven semantics-preserving. */
+  val joinIntervalBucketed: Q = (s, d) => {
+    val bucketSecs = 21600L // 6h
+    val baseEpoch = 1704067200L // 2024-01-01 00:00:00 UTC
+    val ev = Tables.events(s, d)
+    // synthetic per-user weekly maintenance windows: [base + 7d*k + (u%24)h, +6h)
+    val intervals = ev.select(col("user_id")).distinct()
+      .crossJoin(spark_range(s, 5).select(col("id").as("k")))
+      .select(col("user_id"), col("k"),
+        (lit(baseEpoch) + col("k") * 604800L + pmod(col("user_id"), lit(24)) * 3600L)
+          .as("s_epoch"))
+      .select(col("user_id"), col("k"), col("s_epoch"),
+              (col("s_epoch") + bucketSecs).as("e_epoch"))
+    val ivBuckets = intervals
+      .select(col("user_id"), col("k"), col("s_epoch"), col("e_epoch"),
+        explode(sequence(floor(col("s_epoch") / bucketSecs).cast("long"),
+                         floor((col("e_epoch") - 1) / bucketSecs).cast("long")))
+          .as("bucket"))
+    val evB = ev.select(col("user_id").as("e_user"), col("ts"),
+        unix_timestamp(col("ts")).as("ts_epoch"))
+      .withColumn("bucket", floor(col("ts_epoch") / bucketSecs).cast("long"))
+    evB.join(ivBuckets,
+             col("e_user") === col("user_id") && evB("bucket") === ivBuckets("bucket"))
+      .where(col("ts") >= timestamp_seconds(col("s_epoch")) &&
+             col("ts") < timestamp_seconds(col("e_epoch")))
+      .groupBy("user_id", "k")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id", "k")
+  }
+
+  private def spark_range(s: SparkSession, n: Int) = s.range(n).toDF()
+
+  val joinIntervalBucketedSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |iv AS (
+      |  SELECT user_id, k,
+      |    TIMESTAMP '1970-01-01' + to_seconds(1704067200 + k * 604800 + (user_id % 24) * 3600) AS s,
+      |    TIMESTAMP '1970-01-01' + to_seconds(1704067200 + k * 604800 + (user_id % 24) * 3600 + 21600) AS e
+      |  FROM u, unnest(generate_series(0, 4)) AS g(k))
+      |SELECT iv.user_id, k, count(*) AS cnt
+      |FROM events ev JOIN iv ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts < iv.e
+      |GROUP BY iv.user_id, k
+      |ORDER BY iv.user_id, k""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_asof" -> joinAsof,
     "join_interval" -> joinInterval,
+    "join_interval_bucketed" -> joinIntervalBucketed,
   )
 
   val oracle: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
     "join_interval" -> joinIntervalSql,
+    "join_interval_bucketed" -> joinIntervalBucketedSql,
   )
 }

@@ -31,6 +31,26 @@ class ScaleSpec extends SparkSpec {
     assert(saltsUsed > 1, "hot key must spread over multiple salt groups")
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val fact = spark.read.parquet(out)
+    // the filter is on a non-join column so the pruning value is only known
+    // at runtime — a literal y-filter gets constant-folded into a STATIC
+    // partition filter instead (the optimizer is allowed to be smarter)
+    val dim = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+    val joined = fact.join(dim, col("o_year") === col("y"))
+      .groupBy("o_year").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+  }
+
   test("bucketed co-located join plans no shuffle exchange") {
     val ord = Tables.orders(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)

@@ -17,13 +17,19 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink forces full materialization of every output column — count()
     // would let Catalyst prune the query down to a row count and flatter us.
+    // Best-of-2 per query: one-shot numbers on a shared VM mix engine time
+    // with environmental noise (observed 40x spikes on random queries across
+    // otherwise-identical runs); the minimum of two runs is the engine.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -269,7 +269,24 @@ object Aggregates {
            percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
       .orderBy("l_returnflag")
 
+  /** Bitwise aggregates (flag-mask consolidation shape). */
+  val aggBitwise: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(expr("bit_and(o_custkey)").as("k_and"),
+           expr("bit_or(o_custkey)").as("k_or"),
+           expr("bit_xor(o_custkey)").as("k_xor"))
+      .orderBy("o_orderpriority")
+
+  val aggBitwiseSql: String =
+    """SELECT o_orderpriority,
+      |  bit_and(o_custkey) AS k_and,
+      |  bit_or(o_custkey) AS k_or,
+      |  bit_xor(o_custkey) AS k_xor
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_bitwise" -> aggBitwise,
     "agg_pivot" -> aggPivot,
     "sample_hash" -> sampleHash,
     "sample_mod" -> sampleMod,
@@ -288,6 +305,7 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_bitwise" -> aggBitwiseSql,
     "agg_pivot" -> aggPivotSql,
     "sample_mod" -> sampleModSql,
     "agg_hash_group" -> aggHashGroupSql,

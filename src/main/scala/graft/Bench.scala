@@ -1,6 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line for the driver.
+  *
+  * Round-1 lesson: timing all 105 queries made the JSON line ~4 KB and the
+  * driver's output-tail buffer truncated it mid-line → BENCH_r01.json had
+  * "parsed": null and the round lost its benchmark grade entirely. The
+  * contract says "headline queries", so we time one scale-relevant
+  * representative per SURVEY.md §2 family (~23 queries) and keep the line
+  * well under 1 KB. Set SPARK_GRAFT_BENCH_ALL=1 for the full-suite dev run.
+  */
 object Bench {
+  /** One representative per §2 family, biased toward the operators whose
+    * 100 TB plan shape matters most (shuffle joins, global sort, dedup,
+    * similarity search, sessionization). */
+  val headline: Seq[String] = Seq(
+    "flagship",          // scan→join→agg→topk composite (TPC-H Q3 shape)
+    "scan_parquet",      // pushdown + pruning
+    "project_select",    // map-only derived columns
+    "filter_predicate",  // compound pushdown filter
+    "agg_hash_group",    // partial+final hash agg (Q1 shape)
+    "agg_count_distinct",// expand + two-phase agg
+    "agg_cube",          // grouping-set expansion
+    "join_inner_hash",   // shuffled equi join
+    "join_broadcast",    // map-side dim join
+    "join_asof",         // union+window as-of rewrite
+    "window_ranking",    // partitioned ranking window
+    "topk_per_group",    // window + filter
+    "sort_global",       // range-partitioned total order (TeraSort lineage)
+    "sort_topk",         // TakeOrderedAndProject
+    "distinct_rows",     // whole-row dedup
+    "set_union_distinct",// union + distinct shuffle
+    "mr_wordcount",      // explode-heavy classic
+    "llm_exact_dedup",   // hash-group dedup
+    "llm_neardup_pairs", // PPJoin prefix-filtered Jaccard self-join
+    "llm_simsearch_topk",// brute-force cosine top-k (codegen DotProduct)
+    "llm_tfidf",         // two-agg + broadcast weighting
+    "stream_session",    // session_window aggregation (batch mode)
+    "skew_salted_join")  // salted skew-join technique
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,26 +53,38 @@ object Bench {
     try SparkEntry.flagship(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_.nonEmpty)
+    val names =
+      if (all) SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+    val attempts = if (all) 2 else 3
     // noop sink forces full materialization of every output column — count()
     // would let Catalyst prune the query down to a row count and flatter us.
-    // Best-of-2 per query: one-shot numbers on a shared VM mix engine time
+    // Best-of-N per query: one-shot numbers on a shared VM mix engine time
     // with environmental noise (observed 40x spikes on random queries across
-    // otherwise-identical runs); the minimum of two runs is the engine.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // otherwise-identical runs); the minimum of N runs is the engine.
+    val results: Seq[(String, Option[Double])] = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to attempts).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None // a thrown query contributes NO time — it must not look fast
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      name -> (if (times.isEmpty) None else Some(times.min))
+    }
+    // Failed queries are reported as -1 (sentinel) and excluded from the
+    // total, so a broken operator cannot make the benchmark look faster.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("-1")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nFailed = results.count(_._2.isEmpty)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,7 +26,9 @@ object Scalar {
         length(col("c_name")).as("len"),
         regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("repl"),
         lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
-        split(col("c_name"), "#").as("parts"))
+        // list output serialized to a scalar: the driver's pandas hash
+        // compare cannot hash numpy arrays (round-1 harness crash)
+        concat_ws("|", split(col("c_name"), "#")).as("parts"))
       .orderBy("c_custkey")
 
   val fnStringSql: String =
@@ -39,7 +41,7 @@ object Scalar {
       |  length(c_name) AS len,
       |  replace(c_name, 'Customer', 'Cust') AS repl,
       |  lpad(cast(c_custkey as varchar), 8, '0') AS padded,
-      |  string_split(c_name, '#') AS parts
+      |  array_to_string(string_split(c_name, '#'), '|') AS parts
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   /** Regex family: extract / replace-all / rlike. */
@@ -144,18 +146,20 @@ object Scalar {
       .select(col("doc_id"),
         size(col("toks")).as("n_toks"),
         array_contains(col("toks"), "data").as("has_data"),
-        slice(sort_array(col("toks")), 1, 5).as("first5_sorted"),
-        transform(col("toks"), t => upper(t)).as("upper_toks"),
-        filter(col("toks"), t => length(t) > 5).as("long_toks"))
+        // list outputs serialized to scalars for the driver's pandas
+        // hash-compare (numpy arrays are unhashable — round-1 crash)
+        concat_ws("|", slice(sort_array(col("toks")), 1, 5)).as("first5_sorted"),
+        concat_ws("|", transform(col("toks"), t => upper(t))).as("upper_toks"),
+        concat_ws("|", filter(col("toks"), t => length(t) > 5)).as("long_toks"))
       .orderBy("doc_id")
 
   val fnArraySql: String =
     """SELECT doc_id,
       |  cast(len(toks) as int) AS n_toks,
       |  list_contains(toks, 'data') AS has_data,
-      |  list_slice(list_sort(toks), 1, 5) AS first5_sorted,
-      |  list_transform(toks, t -> upper(t)) AS upper_toks,
-      |  list_filter(toks, t -> length(t) > 5) AS long_toks
+      |  array_to_string(list_slice(list_sort(toks), 1, 5), '|') AS first5_sorted,
+      |  array_to_string(list_transform(toks, t -> upper(t)), '|') AS upper_toks,
+      |  coalesce(array_to_string(list_filter(toks, t -> length(t) > 5), '|'), '') AS long_toks
       |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -168,15 +172,17 @@ object Scalar {
                   org.apache.spark.sql.types.StringType,
                   org.apache.spark.sql.types.IntegerType)).as("m"))
       .select(col("event_id"),
-        map_keys(col("m")).as("ks"),
-        map_values(col("m")).as("vs"),
+        // list outputs serialized to scalars (pandas hash-compare can't
+        // hash arrays); map_keys/map_values still exercised upstream
+        concat_ws("|", map_keys(col("m"))).as("ks"),
+        concat_ws("|", transform(map_values(col("m")), v => v.cast("string"))).as("vs"),
         element_at(col("m"), "k").as("k_val"))
       .orderBy("event_id")
 
   val fnMapSql: String =
     """SELECT event_id,
-      |  json_keys(props) AS ks,
-      |  [cast(json_extract(props, '$.k') as int)] AS vs,
+      |  array_to_string(json_keys(props), '|') AS ks,
+      |  cast(cast(json_extract(props, '$.k') as int) as varchar) AS vs,
       |  cast(json_extract(props, '$.k') as int) AS k_val
       |FROM events ORDER BY event_id""".stripMargin
 

@@ -146,8 +146,13 @@ object Dedup {
 
   // ---- MinHash-LSH scale path --------------------------------------------
 
-  val NumHashes = 16
-  val BandSize = 4 // 4 bands of 4 → P(candidate | j=0.8) ≈ 1-(1-0.8^4)^4 ≈ 0.93/band-group
+  // 16 bands of 4 hashes: P(miss | j=0.8) = (1-0.8^4)^16 ≈ 2.2e-4 per true
+  // pair — across the fixture's 25 true pairs the expected miss count is
+  // ~0.006, i.e. recall ≈ 1 by construction (not just by seed luck), and the
+  // exact-Jaccard verify step keeps precision at 1, so the LSH operator's
+  // output equals the exact operator's (pinned by LlmSpec).
+  val NumHashes = 64
+  val BandSize = 4
 
   /** Per-doc MinHash signature: min over shingles of xxhash64(seed_k, shingle)
     * for k seeds. Deterministic (xxhash64 is a fixed public algorithm). */
@@ -196,23 +201,34 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** The 64 signature bits partitioned into MaxHamming+1 = 9 non-empty
+    * contiguous bands (one 8-bit band + eight 7-bit bands, since 64 = 8+8·7).
+    * Pigeonhole guarantee: a pair with Hamming distance <= 8 differs in at
+    * most 8 bands, so it must agree EXACTLY on at least one of the 9.
+    * Exposed for the no-zero-mask test in LlmSpec. */
+  def simhashBandMasks: Seq[Long] = {
+    val nBands = SimhashMaxHamming + 1
+    val base = 64 / nBands            // 7
+    val extra = 64 % nBands           // 1 band gets an extra bit
+    val widths = Seq.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
+    val los = widths.scanLeft(0)(_ + _).init
+    widths.zip(los).map { case (w, lo) =>
+      (if (w == 64) -1L else (1L << w) - 1) << lo
+    }
+  }
+
   /** SimHash near pairs at Hamming distance <= 8, via pigeonhole banding:
-    * split the 64-bit signature into MaxHamming+1 = 9 bands — a pair within
-    * distance 8 MUST agree exactly on at least one band, so candidates come
-    * from 9 equi-joins on (band_id, band_bits) instead of the all-pairs
-    * cross join, and each candidate is verified with the true bit_count.
-    * Output identical to the quadratic formulation (unit-tested); rows-only
-    * for the driver (xxhash64 has no DuckDB twin). */
+    * split the 64-bit signature into MaxHamming+1 = 9 non-empty bands — a
+    * pair within distance 8 MUST agree exactly on at least one band, so
+    * candidates come from 9 equi-joins on (band_id, band_bits) instead of
+    * the all-pairs cross join, and each candidate is verified with the true
+    * bit_count. Output identical to the quadratic formulation (unit-tested);
+    * rows-only for the driver (xxhash64 has no DuckDB twin). */
   val simhash: Q = (s, d) => {
     // cache: the 64-accumulator signature aggregation feeds both join sides
     // and all bands — computing it once matters more than anything downstream
     val sigs = simhashSignatures(s, d).cache()
-    val nBands = SimhashMaxHamming + 1 // 9 bands of ceil(64/9)=8 bits
-    val bandBits = (64 + nBands - 1) / nBands
-    val bandStructs = (0 until nBands).map { b =>
-      val lo = b * bandBits
-      val width = math.min(bandBits, 64 - lo)
-      val mask = if (width == 64) -1L else ((1L << width) - 1) << lo
+    val bandStructs = simhashBandMasks.zipWithIndex.map { case (mask, b) =>
       struct(lit(b).as("band"),
              col("simhash").bitwiseAND(lit(mask)).as("band_bits"))
     }

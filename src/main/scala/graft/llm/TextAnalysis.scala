@@ -52,8 +52,8 @@ object TextAnalysis {
        |         count(DISTINCT w) AS vocab, count(DISTINCT source) AS sources
        |  FROM toks GROUP BY lang),
        |c AS (
-       |  SELECT lang, sum(n_chars) AS sum_chars, min(n_chars) AS min_chars,
-       |         max(n_chars) AS max_chars
+       |  SELECT lang, cast(sum(n_chars) as bigint) AS sum_chars,
+       |         min(n_chars) AS min_chars, max(n_chars) AS max_chars
        |  FROM documents GROUP BY lang)
        |SELECT lang, docs, total_toks, vocab, sources, sum_chars, min_chars, max_chars
        |FROM t JOIN c USING (lang)

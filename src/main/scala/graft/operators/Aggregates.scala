@@ -126,12 +126,18 @@ object Aggregates {
     Tables.customer(s, d).where(col("c_acctbal") > 9500)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .groupBy("c_custkey")
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+      // collected list serialized to a scalar: the driver's pandas
+      // hash-compare cannot hash numpy arrays (round-1 harness crash)
+      .agg(concat_ws("|", transform(sort_array(collect_list(col("o_orderkey"))),
+             k => k.cast("string"))).as("orderkeys"),
            count(lit(1)).as("n"))
       .orderBy("c_custkey")
 
   val aggCollectSql: String =
-    """SELECT c_custkey, list_sort(list(o_orderkey)) AS orderkeys, count(*) AS n
+    """SELECT c_custkey,
+      |  array_to_string(list_transform(list_sort(list(o_orderkey)),
+      |                                 x -> cast(x as varchar)), '|') AS orderkeys,
+      |  count(*) AS n
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |WHERE c_acctbal > 9500
       |GROUP BY c_custkey

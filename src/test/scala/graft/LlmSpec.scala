@@ -20,8 +20,8 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // LSH candidates ⊆ all pairs; after exact verify they must coincide with
     // the exact operator unless a true pair was missed by banding. With
-    // jaccard ≥ 0.8 and 4 bands of 4, miss probability per pair < 1e-2 —
-    // the planted fixture pairs must all survive.
+    // jaccard ≥ 0.8 and 16 bands of 4, miss probability per pair ≈ 2.2e-4 —
+    // recall ≈ 1 by construction, not by seed luck.
     assert(lsh == exact, s"LSH=$lsh exact=$exact")
   }
 
@@ -31,6 +31,19 @@ class LlmSpec extends SparkSpec {
     val naive = Dedup.simhashAllPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == naive)
+  }
+
+  test("simhash band masks: 9 non-empty disjoint bands covering all 64 bits") {
+    val masks = Dedup.simhashBandMasks
+    assert(masks.length == Dedup.SimhashMaxHamming + 1)
+    // no degenerate band: a zero mask would turn its equi-join into the
+    // all-pairs cross join the banding exists to avoid (round-1 advice)
+    masks.foreach(m => assert(m != 0L, s"zero mask in $masks"))
+    // pairwise disjoint and jointly exhaustive over the 64 signature bits —
+    // exhaustive is what makes the pigeonhole guarantee (hamming <= 8 ⇒
+    // some band agrees exactly) actually hold
+    masks.combinations(2).foreach { case Seq(a, b) => assert((a & b) == 0L) }
+    assert(masks.reduce(_ | _) == -1L)
   }
 
   test("simhash: duplicate documents get identical signatures (hamming 0)") {

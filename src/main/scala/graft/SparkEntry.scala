@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
-import graft.llm.{AnnLsh, Dedup, Similarity, TextAnalysis}
+import graft.llm.{AnnIvf, AnnLsh, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{FsOps, Sources}
 import graft.streaming.Streams
@@ -69,6 +69,7 @@ object SparkEntry {
     Similarity.queries ++
     TextAnalysis.queries ++
     AnnLsh.queries ++
+    AnnIvf.queries ++
     Multimodal.queries ++
     ScaleTechniques.queries ++
     Map("flagship" -> flagship)
@@ -86,6 +87,7 @@ object SparkEntry {
     TemporalJoins.oracle ++
     Streams.oracle ++
     Sources.oracle ++
+    FsOps.oracle ++
     Dedup.oracle ++
     Similarity.oracle ++
     TextAnalysis.oracle ++

@@ -132,7 +132,15 @@ object Classics {
     "mr_streaming_udf" -> mrStreamingUdf,
   )
 
+  // mr_counters' Observation travels a side channel, but the metric VALUES
+  // are plain aggregates of lineitem — oracle-checkable (l_quantity is
+  // integer-valued, so the double sum is order-independent and exact).
+  val mrCountersSql: String =
+    """SELECT count(*) AS rows_seen, cast(sum(l_quantity) as double) AS qty_seen
+      |FROM lineitem""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "mr_counters" -> mrCountersSql,
     "mr_wordcount" -> mrWordcountSql,
     "mr_multifilewc" -> mrMultifilewcSql,
     "mr_grep" -> mrGrepSql,

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate nearest neighbor via an IVF (inverted-file) coarse quantizer —
+  * the second scale path for §2.11 similarity search, complementing the
+  * random-hyperplane LSH in [[AnnLsh]].
+  *
+  * Build: a deterministic centroid set (every `CentroidStride`-th vec_id —
+  * seedless, so the index is reproducible without storing state); every
+  * vector is assigned to its nearest centroid by cosine → a "cell" id.
+  * Query: probe the `NumProbe` nearest cells and rank their members by exact
+  * cosine.
+  *
+  * 100 TB shape: the centroid table is tiny and broadcast; assignment is a
+  * map-side broadcast join (no shuffle of the big side beyond the one
+  * repartition-by-cell that also serves the probe join). Candidate volume
+  * drops from |Q|·|C| to |Q|·NumProbe·E[cell size] ≈ |Q|·|C|·NumProbe/K,
+  * and cells are the unit of physical data placement (a real deployment
+  * would partition the vector corpus by cell id on disk, making a probe a
+  * partition-pruned scan). Recall vs the exact baseline is pinned in
+  * ScalaTest; registered rows-only (approximate output has no SQL oracle).
+  */
+object AnnIvf {
+  val CentroidStride = 32
+  val NumProbe = 2
+
+  import graft.plans.VectorFunctions.dot
+
+  /** (vec_id, embedding, nrm) with precomputed L2 norm. */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  /** The deterministic coarse-quantizer codebook (small; always broadcast). */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    normed(s, d).where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"),
+              col("nrm").as("centn"))
+
+  /** Rank all centroids per vector by cosine; keep the top `take`. */
+  private def nearestCells(vecs: DataFrame, cents: DataFrame, take: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+              (dot(col("embedding"), col("centv")) / (col("nrm") * col("centn")))
+                .as("cscore"))
+      .withColumn("crk", row_number().over(w))
+      .where(col("crk") <= take)
+  }
+
+  /** Inverted file: every vector labeled with its cell (nearest centroid). */
+  def cellAssignments(s: SparkSession, d: String): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
+    nearestCells(normed(s, d), centroids(s, d), 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("cent_id").as("cell"))
+  }
+
+  /** IVF approximate top-k for the label=0 query set (same output shape as
+    * the exact operator and [[AnnLsh.annTopk]]). */
+  def ivfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
+    val cells = cellAssignments(s, d).cache() // index feeds probe + candidates
+    val probes = Tables.embeddings(s, d).where(col("label") === 0)
+      .select(col("vec_id"))
+      .join(cells, "vec_id") // reuse the index's vectors+norms for queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("nrm").as("qn"))
+    val probed = nearestCells(
+      probes.select(col("q_id").as("vec_id"), col("qv").as("embedding"),
+                    col("qn").as("nrm")),
+      centroids(s, d), NumProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("nrm").as("qn"), col("cent_id").as("cell"))
+    val cands = cells.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+                             col("nrm").as("cn"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    probed.join(cands, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+              (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+      .distinct() // a candidate reachable via both probed cells counts once
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score6"))
+      .orderBy("q_id", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_simsearch_ivf" -> ((s, d) => ivfTopk(s, d)),
+  )
+}

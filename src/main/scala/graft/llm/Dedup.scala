@@ -282,9 +282,30 @@ object Dedup {
     "llm_fingerprint" -> fingerprint,
   )
 
+  /** MinHash-LSH declares the same SEMANTICS as the exact operator (pairs at
+    * Jaccard >= 0.8) — banding is only the physical candidate-generation
+    * strategy, and every candidate is exact-verified. So the oracle is the
+    * exact-Jaccard SQL projected to the LSH operator's (d1, d2, jac6) shape;
+    * a banding recall miss would fail this hash-compare. */
+  val neardupMinhashSql: String =
+    s"""WITH $shinglesSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+       |  FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(cast(inter as double) / (s1.n_sh + s2.n_sh - inter), 6) AS jac6
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
     "llm_neardup_pairs" -> neardupPairsSql,
+    "llm_neardup_minhash" -> neardupMinhashSql,
     "llm_fingerprint" -> fingerprintSql,
   )
 }

@@ -108,13 +108,55 @@ object Similarity {
        |FROM pairs WHERE score >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Embedding-cosine near-duplicate dedup (SemDeDup-style leader rule,
+    * min-id variant): drop a vector when ANY smaller-id vector lies within
+    * cosine tau of it; survivors are the leaders. tau is corpus-calibrated
+    * (the synthetic fixture has no true embedding duplicates — 0.4 marks its
+    * "suspiciously similar" tail; a production corpus would use ~0.95+).
+    * Shape: one pair join + left anti join — at 100 TB the pair join is
+    * replaced by LSH/IVF candidate buckets ([[AnnLsh]]/[[AnnIvf]]) feeding
+    * the SAME anti-join, so the dedup resolution step is scale-invariant. */
+  val NeardupEmbeddingTau = 0.4
+
+  val neardupEmbedding: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+                     col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+                     col("nrm").as("bn"))
+    // every vector similar to a smaller-id one is a drop; survivors lead
+    val drops = a.join(b, col("a_id") < col("b_id"))
+      .where(dot(col("av"), col("bv")) / (col("an") * col("bn"))
+               >= NeardupEmbeddingTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    Tables.embeddings(s, d)
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+              coalesce(col("dropped"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  val neardupEmbeddingSql: String =
+    s"""WITH drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NeardupEmbeddingTau)
+       |SELECT e.vec_id, e.label, (d.vec_id IS NOT NULL) AS is_dup
+       |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simjoin_threshold" -> simjoinThreshold,
+    "llm_neardup_embedding" -> neardupEmbedding,
   )
 
   val oracle: Map[String, String] = Map(
     "llm_simsearch_topk" -> simsearchTopkSql,
     "llm_simjoin_threshold" -> simjoinThresholdSql,
+    "llm_neardup_embedding" -> neardupEmbeddingSql,
   )
 }

@@ -310,7 +310,15 @@ object Aggregates {
     "agg_stddev_corr" -> aggStddevCorr,
   )
 
+  // agg_sort_fallback's VALUES are oracle-checkable even though the sort-agg
+  // PHYSICAL path it exists to exercise is asserted in ExplainInvariantsSpec:
+  // size(sort_array(collect_list(k))) is just the group count.
+  val aggSortFallbackSql: String =
+    """SELECT l_returnflag, cast(count(*) as int) AS n_keys, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "agg_sort_fallback" -> aggSortFallbackSql,
     "agg_bitwise" -> aggBitwiseSql,
     "agg_pivot" -> aggPivotSql,
     "sample_mod" -> sampleModSql,

@@ -55,4 +55,14 @@ object FsOps {
     "fs_ls" -> fsLs,
     "fs_distcp" -> fsDistcp,
   )
+
+  /** fs_ls reports physical file sizes (no DuckDB twin) → rows-only. The
+    * distcp proof is content equality of src and copy, and both sides reduce
+    * to the same nation aggregate — which the oracle recomputes directly. */
+  val oracle: Map[String, String] = Map(
+    "fs_distcp" ->
+      """SELECT count(*) AS "rows", cast(sum(n_nationkey) as bigint) AS key_sum, which
+        |FROM nation CROSS JOIN (SELECT unnest(['dst','src']) AS which)
+        |GROUP BY which ORDER BY which""".stripMargin,
+  )
 }

@@ -144,7 +144,42 @@ object Sources {
     "split_control" -> splitControl,
   )
 
-  /** Round-trips are format-level behaviors with no DuckDB twin → rows-only
-    * driver check + ScalaTest assertions. */
-  val oracle: Map[String, String] = Map.empty
+  /** The round-trip FORMAT behavior has no DuckDB twin, but every round-trip
+    * here reduces to a deterministic relation over the fixture tables — so
+    * the oracle recomputes that relation straight from the parquet fixtures.
+    * A format bug (mangled value, dropped row, codec corruption) changes the
+    * read-back relation and fails the hash-compare. */
+  val oracle: Map[String, String] = Map(
+    "scan_text" ->
+      """SELECT cast(length(text) as int) AS line_len, count(*) AS n
+        |FROM documents GROUP BY line_len ORDER BY line_len""".stripMargin,
+    "scan_csv" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scan_json" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scan_sequencefile" ->
+      """SELECT cast(n_nationkey as bigint) AS n_nationkey, n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "scan_orc" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+    "sink_parquet" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem WHERE l_quantity > 45
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "compress_codecs" ->
+      """SELECT count(*) AS n, cast(sum(s_suppkey) as bigint) AS key_sum, codec
+        |FROM supplier CROSS JOIN (SELECT unnest(['gzip','lz4','snappy','zstd']) AS codec)
+        |GROUP BY codec ORDER BY codec""".stripMargin,
+    "split_control" ->
+      """SELECT count(*) AS "rows", cast(sum(l_orderkey) as bigint) AS key_sum,
+        |       true AS split_tasks_gt_1
+        |FROM lineitem""".stripMargin,
+  )
 }

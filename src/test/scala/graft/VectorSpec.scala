@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{AnnLsh, Similarity}
+import graft.llm.{AnnIvf, AnnLsh, Similarity}
 import graft.multimodal.Multimodal
 import graft.plans.VectorFunctions
 
@@ -37,6 +37,54 @@ class VectorSpec extends SparkSpec {
       .agg(sum(col("count") * col("count"))).head.getLong(0)
     assert(bucketPairs < total * total / 4,
       s"bucketed pair volume $bucketPairs vs all-pairs ${total * total}")
+  }
+
+  test("IVF ANN: well-formed, fewer candidates than brute force, real recall") {
+    val exact = Similarity.simsearchTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnIvf.ivfTopk(spark, sfDir).collect()
+    // well-formed: no self-pairs, <=5 per query, scores descending per query
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      rows.foreach(r => assert(r.getLong(2) != q))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9))
+    }
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+      .intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.05, s"recall=$recall")
+    // candidate volume: NumProbe cells per query, not the whole corpus
+    val cells = AnnIvf.cellAssignments(spark, sfDir)
+    val total = cells.count()
+    val maxCell = cells.groupBy("cell").count()
+      .agg(max("count")).head.getLong(0)
+    assert(AnnIvf.NumProbe * maxCell < total,
+      s"probing ${AnnIvf.NumProbe}x$maxCell of $total is not sublinear")
+  }
+
+  test("embedding near-dup: is_dup iff a smaller-id vector within tau exists") {
+    val flagged = Similarity.neardupEmbedding(spark, sfDir)
+      .where(col("is_dup")).collect().map(_.getLong(0)).toSet
+    // brute-force expectation via the independent HOF cosine formulation
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (v, ev) <- e
+      (u, eu) <- e
+      if u < v && cos(eu, ev) >= Similarity.NeardupEmbeddingTau
+    } yield v).toSet
+    assert(flagged == expected)
   }
 
   test("multimodal decode stub is deterministic and preserves cardinality") {

@@ -72,12 +72,49 @@ object Multimodal {
       }
   }
 
-  /** Registered rows-only query: decode features joined back to metadata. */
+  /** One sampled frame: which frame of which record, and its stub features. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_bytes: Int,
+                         frame_checksum: Long)
+
+  val FrameBytes = 64   // fixed-size "frame" chunk of the payload
+  val FrameStride = 4   // keep every 4th frame (video frame-sampling idiom)
+
+  /** Frame sampling: the one→many decode shape (a video record explodes into
+    * its sampled frames). Chunking + striding happen inside the same
+    * partition-batched stage as decode, so the payload is read once and only
+    * small per-frame features leave the stage — at 100 TB the frame fan-out
+    * (can be 1000x rows) must never materialize raw frame bytes into a
+    * shuffle. Frame features are FNV digests of the frame's bytes (stub). */
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("doc_id"))
+      .mapPartitions { batch =>
+        batch.flatMap { r =>
+          val nFrames = (r.media.length + FrameBytes - 1) / FrameBytes
+          (0 until nFrames by FrameStride).iterator.map { f =>
+            val lo = f * FrameBytes
+            val hi = math.min(lo + FrameBytes, r.media.length)
+            var h = 1469598103934665603L
+            var i = lo
+            while (i < hi) { h ^= r.media(i) & 0xffL; h *= 1099511628211L; i += 1 }
+            FrameSample(r.doc_id, f, hi - lo, h)
+          }
+        }
+      }
+  }
+
+  /** Registered rows-only queries: decode features joined back to metadata,
+    * and the frame-sampling fan-out. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> ((s, d) => {
       decodeFeatures(mediaTable(s, d)).toDF()
         .select("doc_id", "n_bytes", "format", "out_width", "out_height", "checksum")
         .orderBy("doc_id")
+    }),
+    "mm_frame_sample" -> ((s, d) => {
+      sampleFrames(mediaTable(s, d)).toDF()
+        .orderBy("doc_id", "frame_idx")
     }),
   )
 }

@@ -51,6 +51,44 @@ class ScaleSpec extends SparkSpec {
       s"expected dynamic partition pruning in:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle partition at runtime (skew-join re-plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      // thresholds scaled down so the synthetic hot key qualifies as skewed
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 50k rows on ONE key vs 100 rows spread over 100 keys. NOTE: no
+      // group-by on the join key afterwards — a downstream operator that
+      // requires hashpartitioning(k) makes OptimizeSkewedJoin decline (the
+      // split would break that requirement), which is itself a scale lesson.
+      val hot = spark.range(50000).select(lit(0L).as("k"), $"id".as("payload"))
+        .union(spark.range(100).select(($"id" % 100 + 1).as("k"), $"id".as("payload")))
+      val dim = spark.range(101).select($"id".as("k"), ($"id" * 7).as("v"))
+      // collect() drives joined's OWN QueryExecution, so the final adaptive
+      // plan (with the skew annotation) is visible on it afterwards
+      val joined = hot.join(dim, "k").select($"k", ($"payload" + $"v").as("pv"))
+      assert(joined.collect().length == 50100)
+      val plan = joined.queryExecution.executedPlan.toString
+      // AQE's OptimizeSkewedJoin marks the join skew=true and the shuffle
+      // read side shows the split — the runtime re-plan the 100 TB design
+      // relies on for unsalted skew
+      assert(plan.contains("skew=true") || plan.toLowerCase.contains("skewed"),
+        s"expected AQE skew-join handling in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed co-located join plans no shuffle exchange") {
     val ord = Tables.orders(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)

@@ -87,6 +87,24 @@ class VectorSpec extends SparkSpec {
     assert(flagged == expected)
   }
 
+  test("frame sampling keeps every FrameStride-th frame of each payload") {
+    val rows = Multimodal.queries("mm_frame_sample")(spark, sfDir).collect()
+    // expected fan-out computed independently from the UTF-8 payload sizes
+    val expected = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map { r =>
+        val n = r.getString(1).getBytes("UTF-8").length
+        val nFrames = (n + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes
+        r.getLong(0) -> (0 until nFrames by Multimodal.FrameStride).size
+      }.toMap
+    val got = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(got == expected)
+    // sampled indices respect the stride; full frames carry FrameBytes bytes
+    rows.foreach { r =>
+      assert(r.getInt(1) % Multimodal.FrameStride == 0)
+      assert(r.getInt(2) > 0 && r.getInt(2) <= Multimodal.FrameBytes)
+    }
+  }
+
   test("multimodal decode stub is deterministic and preserves cardinality") {
     val a = Multimodal.queries("mm_decode_stub")(spark, sfDir).collect()
     val b = Multimodal.queries("mm_decode_stub")(spark, sfDir).collect()

@@ -56,4 +56,14 @@ class ExplainInvariantsSpec extends SparkSpec {
   test("flagship broadcasts the customer dimension") {
     assert(plan(SparkEntry.flagship(spark, sfDir)).contains("BroadcastHashJoin"))
   }
+
+  test("IVF ANN broadcasts the centroid codebook and equi-joins on cell id") {
+    val p = plan(graft.llm.AnnIvf.ivfTopk(spark, sfDir))
+    // codebook joins are broadcast (tiny build side, no shuffle of vectors)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the probe is a real equi-join on the cell key, NOT an all-pairs cross
+    // join of the corpus — that's the whole point of the inverted file
+    assert(p.contains("cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

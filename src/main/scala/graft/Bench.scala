@@ -24,6 +24,7 @@ object Bench {
     "agg_cube",          // grouping-set expansion
     "join_inner_hash",   // shuffled equi join
     "join_broadcast",    // map-side dim join
+    "join_multiway",     // 6-table Q5 shape: broadcast chain + fact joins
     "join_asof",         // union+window as-of rewrite
     "window_ranking",    // partitioned ranking window
     "topk_per_group",    // window + filter

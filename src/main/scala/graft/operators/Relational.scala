@@ -244,7 +244,41 @@ object Relational {
       |  ON p_retailprice >= lo AND p_retailprice < hi
       |ORDER BY p_partkey, band""".stripMargin
 
+  /** Six-table multiway join (TPC-H Q5 shape: local supplier volume) — the
+    * end-to-end join-planning proof. region/nation broadcast, the colocation
+    * predicate (customer's nation = supplier's nation) rides the fact join,
+    * and revenue uses exact decimal sums. At 100 TB this is the shape where
+    * Catalyst's join reorder + broadcast chain replaces the hand-sequenced
+    * multi-stage MapReduce pipeline a Hadoop author would write. */
+  val joinMultiway: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(decSum(discPrice).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val joinMultiwaySql: String =
+    s"""SELECT n_name, cast(sum($discPriceSql) as double) AS revenue,
+       |  count(*) AS n_lines
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_multiway" -> joinMultiway,
     "scan_parquet" -> scanParquet,
     "project_select" -> projectSelect,
     "filter_predicate" -> filterPredicate,
@@ -262,6 +296,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_multiway" -> joinMultiwaySql,
     "scan_parquet" -> scanParquetSql,
     "project_select" -> projectSelectSql,
     "filter_predicate" -> filterPredicateSql,

@@ -48,11 +48,44 @@ object ScaleTechniques {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Bucket-pruned co-located join: both sides written bucketed+sorted on
+    * the join key (external tables in a temp dir), then merge-joined with
+    * ZERO shuffle exchange — Spark's equivalent of the reference's
+    * CompositeInputFormat map-side merge join, and the physical layout a
+    * 100 TB deployment uses to amortize the shuffle of its hottest join
+    * across every downstream query. Result equals the plain join (that's
+    * the oracle); the no-Exchange plan invariant is asserted in ScaleSpec. */
+  val joinBucketedColocated: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    Tables.orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/orders").saveAsTable("graft_orders_bkt")
+    Tables.customer(s, d).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/customer").saveAsTable("graft_customer_bkt")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinBucketedColocatedSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  ${moneySumSql("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "skew_salted_join" -> skewSaltedJoin,
+    "join_bucketed_colocated" -> joinBucketedColocated,
   )
 
   val oracle: Map[String, String] = Map(
     "skew_salted_join" -> skewSaltedJoinSql,
+    "join_bucketed_colocated" -> joinBucketedColocatedSql,
   )
 }

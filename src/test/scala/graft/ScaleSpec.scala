@@ -89,6 +89,17 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("registered bucketed-join operator shuffles neither join side") {
+    val df = ScaleTechniques.joinBucketedColocated(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the final agg may exchange on c_mktsegment; the JOIN KEY must not —
+    // bucket layout supplies the partitioning both sides need
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+           !p.contains("hashpartitioning(c_custkey"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("bucketed co-located join plans no shuffle exchange") {
     val ord = Tables.orders(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)

@@ -192,7 +192,62 @@ object Streams {
     """SELECT event_type, count(*) AS cnt FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Stream-static join: the unbounded event stream enriched by a broadcast
+    * static dimension (customer). Structured Streaming supports this shape
+    * natively in append mode with no state; at 100 TB the dim broadcast is
+    * refreshed per micro-batch. Batch registration (oracle-checked) here;
+    * streaming execution unit-tested with MemoryStream on the stream side. */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+
+  val streamJoinStatic: Q = (s, d) =>
+    enrichWithCustomer(Tables.events(s, d), Tables.customer(s, d))
+      .orderBy("c_mktsegment", "event_type")
+
+  val streamJoinStaticSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS cnt
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
+  /** Stream-stream interval join: per user, each view followed by a purchase
+    * within 30 minutes (funnel/attribution shape). Under readStream BOTH
+    * sides carry watermarks and the time-bound condition bounds the join
+    * state (Spark evicts buffered rows past watermark+interval); the batch
+    * registration is the same equi+range join, oracle-checked. */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+                         col("event_id").as("v_id"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                             col("event_id").as("p_id"))
+    v.join(p, col("v_user") === col("p_user") &&
+              col("p_ts") >= col("v_ts") &&
+              col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"),
+              col("v_ts"), col("p_ts"))
+  }
+
+  val streamJoinStream: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    viewToPurchase(ev.where(col("event_type") === "view"),
+                   ev.where(col("event_type") === "purchase"))
+      .orderBy("user_id", "v_id", "p_id")
+  }
+
+  val streamJoinStreamSql: String =
+    """SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id,
+      |       v.ts AS v_ts, p.ts AS p_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL '30 minutes'
+      |ORDER BY v.user_id, v_id, p_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_join_static" -> streamJoinStatic,
+    "stream_join_stream" -> streamJoinStream,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -203,6 +258,8 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_join_static" -> streamJoinStaticSql,
+    "stream_join_stream" -> streamJoinStreamSql,
     "stream_tumbling" -> streamTumblingSql,
     "stream_sliding" -> streamSlidingSql,
     "stream_session" -> streamSessionSql,

@@ -137,4 +137,52 @@ class StreamingSpec extends SparkSpec {
       assert(cnt == 2) // complete mode re-emits the full updated result
     } finally q.stop()
   }
+
+  test("stream-static join enriches an unbounded stream with a broadcast dim") {
+    implicit val sq = spark.sqlContext
+    val statics = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val q = Streams.enrichWithCustomer(mem.toDF(), statics)
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1, 1),
+        Ev(ts("2024-01-01 10:01:00"), "click", 1, 2),
+        Ev(ts("2024-01-01 10:02:00"), "view", 2, 3))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_t").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("BUILDING", "click", 2L), ("MACHINERY", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join buffers both sides and bounds state") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // watermarks on BOTH sides + the 30-min bound let Spark evict buffered
+    // rows — the state-boundedness contract of a stream-stream join
+    val joined = Streams.viewToPurchase(
+      views.toDF().withWatermark("ts", "1 hour"),
+      purchases.toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("funnel_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(Ev(ts("2024-01-01 10:00:00"), "view", 1, 1))
+      purchases.addData(
+        Ev(ts("2024-01-01 10:10:00"), "purchase", 1, 2), // within 30 min → joins
+        Ev(ts("2024-01-01 11:10:00"), "purchase", 1, 3)) // outside → must not
+      q.processAllAvailable()
+      // advance both watermarks so the matched pair is emitted in append mode
+      views.addData(Ev(ts("2024-01-01 14:00:00"), "view", 9, 8))
+      purchases.addData(Ev(ts("2024-01-01 14:00:00"), "purchase", 9, 9))
+      q.processAllAvailable()
+      val pairs = spark.table("funnel_t")
+        .where(col("user_id") === 1)
+        .collect().map(r => (r.getAs[Long]("v_id"), r.getAs[Long]("p_id"))).toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
 }

@@ -37,6 +37,7 @@ object Bench {
     "llm_neardup_pairs", // PPJoin prefix-filtered Jaccard self-join
     "llm_simsearch_topk",// brute-force cosine top-k (codegen DotProduct)
     "llm_tfidf",         // two-agg + broadcast weighting
+    "llm_pipeline_e2e",  // dedup→quality-gate→stats composite
     "stream_session",    // session_window aggregation (batch mode)
     "skew_salted_join")  // salted skew-join technique
 

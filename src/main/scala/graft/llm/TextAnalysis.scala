@@ -307,7 +307,47 @@ object TextAnalysis {
       |    (acc, c) -> ((acc * 31 + c) % 2147483647 + 2147483647) % 2147483647) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** End-to-end training-data pipeline composite: exact dedup (min-id
+    * survivor per content hash) → quality gate (char band + minimum token
+    * count) → per-(lang, source) corpus stats. The chain a real ingest runs
+    * nightly, expressed as ONE declarative plan so Catalyst pipelines the
+    * dedup aggregation straight into the filter and final rollup — no
+    * materialization between stages. At 100 TB each stage keeps its scale
+    * path (hash-partitioned dedup, map-side filter, partial+final agg). */
+  val pipelineE2e: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val keep = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, "doc_id")
+      .withColumn("n_toks",
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
+      .where(col("n_chars").between(100, 2000) && col("n_toks") >= 10)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("kept_docs"),
+           sum(col("n_toks")).cast("bigint").as("total_toks"),
+           sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  val pipelineE2eSql: String =
+    """WITH keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+      |docs AS (
+      |  SELECT d.*, cast(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                   t -> t <> '')) as int) AS n_toks
+      |  FROM documents d JOIN keep USING (doc_id))
+      |SELECT lang, source, count(*) AS kept_docs,
+      |  cast(sum(n_toks) as bigint) AS total_toks,
+      |  cast(sum(n_chars) as bigint) AS sum_chars
+      |FROM docs
+      |WHERE n_chars BETWEEN 100 AND 2000 AND n_toks >= 10
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_pipeline_e2e" -> pipelineE2e,
     "llm_token_count" -> tokenCount,
     "llm_rolling_hash" -> rollingHash,
     "llm_text_stats" -> textStats,
@@ -321,6 +361,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_pipeline_e2e" -> pipelineE2eSql,
     "llm_token_count" -> tokenCountSql,
     "llm_rolling_hash" -> rollingHashSql,
     "llm_text_stats" -> textStatsSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
-import graft.llm.{AnnIvf, AnnLsh, Dedup, Similarity, TextAnalysis}
+import graft.llm.{AnnIvf, AnnLsh, Curation, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{FsOps, Sources}
 import graft.streaming.Streams
@@ -66,6 +66,7 @@ object SparkEntry {
     Sources.queries ++
     FsOps.queries ++
     Dedup.queries ++
+    Curation.queries ++
     Similarity.queries ++
     TextAnalysis.queries ++
     AnnLsh.queries ++
@@ -89,6 +90,7 @@ object SparkEntry {
     Sources.oracle ++
     FsOps.oracle ++
     Dedup.oracle ++
+    Curation.oracle ++
     Similarity.oracle ++
     TextAnalysis.oracle ++
     ScaleTechniques.oracle ++

@@ -1,0 +1,271 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.11 corpus curation — the operators between "deduped documents" and
+  * "training shards" in a large-scale training-data pipeline: near-dup
+  * cluster resolution (connected components), deterministic corpus
+  * shuffling/sharding, token-budget sequence packing, quality-weighted
+  * mixture rebalancing, and inverted-index construction.
+  *
+  * Reference provenance: the reference is a public Hadoop release
+  * (/root/reference/README.md:4); these rows are the north-star LLM-pipeline
+  * extensions (BASELINE.json) layered on the same shuffle/aggregate
+  * substrate the MR idioms use.
+  *
+  * Scale notes per operator are on each member; the common thread is that
+  * every step is a hash-partitioned shuffle or a map-side computation —
+  * no driver-side materialization of data rows anywhere.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- near-dup cluster resolution (connected components) -----------------
+
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components over the exact-Jaccard pair graph, labeling every member
+    * with the minimum doc_id of its component (the survivor a dedup keeps).
+    * Pairs alone under-delete: if A~B and B~C, keeping "one per pair" keeps
+    * two of {A,B,C}; the component view keeps exactly one.
+    *
+    * Physical strategy: iterative min-label propagation — each round is one
+    * hash-partitioned join+aggregation, and the round count is the graph
+    * diameter. Near-dup graphs are dense little cliques (diameter 2-3), so
+    * this converges in a handful of shuffles even at corpus scale; a
+    * pathological long-chain graph would call for the alternating
+    * large-star/small-star variant (O(log n) rounds) — same per-round plan,
+    * different edge rewrite. Lineage is truncated per round with
+    * localCheckpoint so the plan does not grow with the iteration count.
+    */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = Dedup.neardupPairs(s, d).select("d1", "d2")
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nbr_lbl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_lbl").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .where(col("lbl") =!= col("prev"))
+        .count()
+      labels = updated
+      rounds += 1
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+              col("cluster_size"),
+              when(col("id") === col("lbl"), 1).otherwise(0).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure via recursive CTE over the same exact-Jaccard
+    * pair graph (tiny at fixture scale); cluster id = min reachable doc_id. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.shinglesSqlCte},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+       |  FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= ${Dedup.JaccardThreshold}),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+       |SELECT doc_id, cluster_id,
+       |  cast(count(*) OVER (PARTITION BY cluster_id) as bigint) AS cluster_size,
+       |  CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_survivor
+       |FROM lbl ORDER BY doc_id""".stripMargin
+
+  // ---- deterministic corpus shuffle + sharding ----------------------------
+
+  val NumShards = 8
+
+  /** Both engines evaluate this same text: first two md5 hex chars → 0..255
+    * via positional lookup (instr exists in Spark SQL and DuckDB alike; no
+    * engine-specific hex-to-int builtin needed). */
+  private def shardExprSql(h: String): String =
+    s"((instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+    s"(instr('0123456789abcdef', substr($h, 2, 1)) - 1)) % $NumShards"
+
+  /** Deterministic global shuffle + sharding: order the corpus by
+    * md5('shuf:'||doc_id) — a reproducible pseudo-random permutation — and
+    * assign each doc to one of NumShards shards by the first hash byte.
+    * Training runs need exactly this: a shuffle that is stable across reruns,
+    * engines, and cluster sizes (rand() is none of those).
+    *
+    * Scale: shard assignment is map-side; within-shard positions come from a
+    * window partitioned by shard, i.e. one repartition by shard then a
+    * per-partition sort — the physical layout a sharded training-set write
+    * (`partitionBy("shard")`) wants anyway. No global single-partition
+    * ordering anywhere.
+    */
+  val corpusShuffle: Q = (s, d) => {
+    val sharded = Tables.documents(s, d)
+      .withColumn("h", md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("shard", expr(shardExprSql("h")).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    sharded
+      .select(col("shard"), row_number().over(w).cast("bigint").as("pos"),
+              col("doc_id"), col("lang"))
+      .orderBy("shard", "pos")
+  }
+
+  val corpusShuffleSql: String =
+    s"""WITH sharded AS (
+       |  SELECT doc_id, lang, md5('shuf:' || cast(doc_id as varchar)) AS h,
+       |    cast(${shardExprSql("md5('shuf:' || cast(doc_id as varchar))")} as int) AS shard
+       |  FROM documents)
+       |SELECT shard,
+       |  cast(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) as bigint) AS pos,
+       |  doc_id, lang
+       |FROM sharded ORDER BY shard, pos""".stripMargin
+
+  // ---- token-budget sequence packing --------------------------------------
+
+  val ChunkTokens = 512
+
+  /** Pack the token stream into fixed-budget training sequences: per
+    * language, docs in doc_id order are assigned to the chunk their first
+    * token lands in (chunk = tokens-before `div` budget) — the contiguous
+    * packing a sequential writer produces. Output is per-chunk occupancy
+    * (doc count, token count, doc_id range).
+    *
+    * Scale: one window partitioned by lang (running integer sum) + one
+    * aggregation — at 100 TB the partition key would be (lang, shard) so no
+    * single language serializes, same plan otherwise. Integer arithmetic
+    * end-to-end. Note `div`/`//`: both engines floor-divide; a double cast
+    * would ROUND in DuckDB and misassign boundary docs.
+    */
+  val seqPack: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .cast("bigint").as("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum("n_toks").over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum_before div $ChunkTokens"))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("chunk_toks"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  val seqPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    cast(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) as bigint) AS n_toks
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT lang, cum_before // $ChunkTokens AS chunk_id,
+       |  count(*) AS n_docs, cast(sum(n_toks) as bigint) AS chunk_toks,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM pos GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
+
+  // ---- quality-weighted mixture rebalancing -------------------------------
+
+  /** Epoch-mix rebalancing: upsample documents by quality tier (longer docs
+    * get more epochs — the deterministic analog of quality-weighted sampling
+    * in data-mixture recipes). Each doc is emitted `tier` times with a copy
+    * index, so a downstream trainer streaming the output sees the rebalanced
+    * mixture without any runtime sampling state.
+    *
+    * Scale: a pure map-side explode — output size = sum(tier), no shuffle at
+    * all until whatever consumes it.
+    */
+  val mixRebalance: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(col("n_chars") >= 300, 3)
+          .when(col("n_chars") >= 150, 2)
+          .otherwise(1).as("tier"))
+      .select(col("doc_id"), col("lang"), col("tier"),
+              explode(sequence(lit(1), col("tier"))).as("copy"))
+      .orderBy("doc_id", "copy")
+
+  val mixRebalanceSql: String =
+    """WITH tiered AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN n_chars >= 300 THEN 3 WHEN n_chars >= 150 THEN 2 ELSE 1 END AS tier
+      |  FROM documents)
+      |SELECT doc_id, lang, tier, cast(copy as int) AS copy
+      |FROM tiered, unnest(generate_series(1, tier)) AS g(copy)
+      |ORDER BY doc_id, copy""".stripMargin
+
+  // ---- inverted index -----------------------------------------------------
+
+  /** Term → (document frequency, sorted posting list) — the retrieval-side
+    * artifact of a text corpus, and the standard MR "index build" workload.
+    * Postings are serialized '|'-joined (sorted numerically BEFORE
+    * stringifying) so the driver's hash-compare sees a scalar.
+    *
+    * Scale: distinct(doc, term) then one aggregation per term — both
+    * hash-partitioned; per-term posting lists are the only fat values, and a
+    * 100 TB build would chunk postings per (term, block) instead of one row
+    * per term (same two-shuffle plan with a block id in the key).
+    */
+  val invertedIndex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
+      .distinct()
+      .groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("df"),
+           concat_ws("|",
+             transform(sort_array(collect_list(col("doc_id"))),
+                       x => x.cast("string"))).as("postings"))
+      .orderBy("term")
+
+  val invertedIndexSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
+      |  FROM documents)
+      |SELECT w AS term, count(*) AS df,
+      |  array_to_string(list_sort(list(doc_id)), '|') AS postings
+      |FROM toks GROUP BY w ORDER BY term""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "llm_dedup_clusters" -> dedupClusters,
+    "llm_corpus_shuffle" -> corpusShuffle,
+    "llm_seq_pack" -> seqPack,
+    "llm_mix_rebalance" -> mixRebalance,
+    "llm_inverted_index" -> invertedIndex,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_corpus_shuffle" -> corpusShuffleSql,
+    "llm_seq_pack" -> seqPackSql,
+    "llm_mix_rebalance" -> mixRebalanceSql,
+    "llm_inverted_index" -> invertedIndexSql,
+  )
+}

@@ -265,6 +265,34 @@ object Aggregates {
       |WHERE ((o_orderkey % 10) + 10) % 10 = 3
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Stratified deterministic sampling: a fixed-size sample per stratum
+    * (order priority), chosen by ranking on md5 of the key — every stratum
+    * contributes exactly min(n, 50) rows no matter how skewed the strata
+    * sizes are, and membership is reproducible across runs/engines/cluster
+    * sizes (md5 has an identical twin in DuckDB, unlike xxhash64). The
+    * window is partitioned by stratum → one shuffle, no global sort. */
+  val sampleStratified: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(md5(concat(lit("strat:"), col("o_orderkey").cast("string"))),
+               col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 50)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY md5('strat:' || cast(o_orderkey as varchar)), o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority, cast(rk as int) AS rk, o_orderkey, o_totalprice
+      |FROM ranked WHERE rk <= 50
+      |ORDER BY o_orderpriority, rk""".stripMargin
+
   /** Approximate quantiles (KLL-style sketch under percentile_approx) —
     * error bound vs exact asserted in ScalaTest (sketches differ by engine,
     * so no SQL oracle). */
@@ -296,6 +324,7 @@ object Aggregates {
     "agg_pivot" -> aggPivot,
     "sample_hash" -> sampleHash,
     "sample_mod" -> sampleMod,
+    "sample_stratified" -> sampleStratified,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_hash_group" -> aggHashGroup,
     "agg_count_distinct" -> aggCountDistinct,
@@ -322,6 +351,7 @@ object Aggregates {
     "agg_bitwise" -> aggBitwiseSql,
     "agg_pivot" -> aggPivotSql,
     "sample_mod" -> sampleModSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "agg_hash_group" -> aggHashGroupSql,
     "agg_count_distinct" -> aggCountDistinctSql,
     "agg_rollup" -> aggRollupSql,

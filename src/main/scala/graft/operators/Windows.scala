@@ -167,6 +167,33 @@ object Windows {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** Distribution analytics: percent_rank / cume_dist / deciles of customer
+    * balance within each nation. percent_rank = (rank-1)/(n-1) and
+    * cume_dist = rank/n are exact small-integer divisions in double, so both
+    * engines produce bit-identical values (rounding is belt-and-braces);
+    * ties on c_acctbal rank identically under both engines' rank(). */
+  val windowDistribution: Q = (s, d) => {
+    val byBal = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal"))
+    val byBalKey = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+              round(percent_rank().over(byBal), 6).as("pr"),
+              round(cume_dist().over(byBal), 6).as("cd"),
+              ntile(10).over(byBalKey).as("decile"))
+      .orderBy("n_name", "c_acctbal", "c_custkey")
+  }
+
+  val windowDistributionSql: String =
+    """SELECT n_name, c_custkey, c_acctbal,
+      |  round(percent_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal), 6) AS pr,
+      |  round(cume_dist() OVER (PARTITION BY n_name ORDER BY c_acctbal), 6) AS cd,
+      |  cast(ntile(10) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) as int) AS decile
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name, c_acctbal, c_custkey""".stripMargin
+
   // ---- §2.6 sorts / limits / top-k ---------------------------------------
 
   /** Total-order global sort (TeraSort lineage: range partition + local sort). */
@@ -229,6 +256,7 @@ object Windows {
     "window_running_rows" -> windowRunningRows,
     "window_range_frame" -> windowRangeFrame,
     "window_first_last" -> windowFirstLast,
+    "window_distribution" -> windowDistribution,
     "topk_per_group" -> topkPerGroup,
     "sort_global" -> sortGlobal,
     "sort_topk" -> sortTopk,
@@ -243,6 +271,7 @@ object Windows {
     "window_running_rows" -> windowRunningRowsSql,
     "window_range_frame" -> windowRangeFrameSql,
     "window_first_last" -> windowFirstLastSql,
+    "window_distribution" -> windowDistributionSql,
     "topk_per_group" -> topkPerGroupSql,
     "sort_global" -> sortGlobalSql,
     "sort_topk" -> sortTopkSql,

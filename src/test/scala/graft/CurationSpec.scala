@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Curation, Dedup}
+
+/** Unit coverage for the corpus-curation operators (connected-component
+  * dedup clusters, deterministic shuffle/shard, sequence packing, mixture
+  * rebalancing, inverted index). */
+class CurationSpec extends SparkSpec {
+
+  test("dedup clusters: edges closed, label = min member, survivors = clusters") {
+    val pairs = Dedup.neardupPairs(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Curation.dedupClusters(spark, sfDir).collect()
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup edge connects members of the same cluster (transitivity
+    // is real at this SF: {8,12,120,360} forms a 4-node component)
+    pairs.foreach { case (a, b) => assert(label(a) == label(b), s"($a,$b)") }
+    // the label is the minimum doc_id of the component
+    label.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+    // survivor flags mark exactly one representative per cluster
+    val survivors = rows.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    assert(survivors == label.values.toSet)
+    // reported sizes agree with actual membership
+    rows.foreach { r =>
+      assert(r.getLong(2) == label.count(_._2 == r.getLong(1)))
+    }
+  }
+
+  test("corpus shuffle is a deterministic partition into dense shards") {
+    val a = Curation.corpusShuffle(spark, sfDir).collect()
+    val b = Curation.corpusShuffle(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq) // reruns produce the identical permutation
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(a.length == nDocs)
+    assert(a.map(_.getLong(2)).distinct.length == nDocs) // every doc once
+    // positions are dense 1..size within each shard
+    a.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("sequence packing conserves tokens and numbers chunks densely") {
+    val chunks = Curation.seqPack(spark, sfDir).collect()
+    val totals = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .cast("bigint").as("n"))
+      .groupBy("lang").agg(sum("n").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getLong(3)).sum == totals(lang)) // no token lost
+      val ids = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (0L until rows.length).toSeq) // dense from 0
+    }
+  }
+
+  test("mix rebalancing emits exactly tier copies per document") {
+    val rows = Curation.mixRebalance(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == Tables.documents(spark, sfDir).count())
+    byDoc.foreach { case (_, copies) =>
+      val tier = copies.head.getInt(2)
+      assert(copies.map(_.getInt(3)).sorted.toSeq == (1 to tier).toSeq)
+    }
+  }
+
+  test("inverted index: df equals posting length and covers the corpus") {
+    val rows = Curation.invertedIndex(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getString(2).split('|').length.toLong)
+    }
+    val allDocs = rows.flatMap(_.getString(2).split('|')).map(_.toLong).toSet
+    // the fixture vocabulary is shared, so every doc appears in some posting
+    assert(allDocs == Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+}

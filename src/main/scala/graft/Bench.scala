@@ -35,6 +35,8 @@ object Bench {
     "mr_wordcount",      // explode-heavy classic
     "llm_exact_dedup",   // hash-group dedup
     "llm_neardup_pairs", // PPJoin prefix-filtered Jaccard self-join
+    "llm_dedup_clusters",// connected-component dedup cluster resolution
+    "llm_corpus_shuffle",// deterministic shuffle + shard assignment
     "llm_simsearch_topk",// brute-force cosine top-k (codegen DotProduct)
     "llm_tfidf",         // two-agg + broadcast weighting
     "llm_pipeline_e2e",  // dedup→quality-gate→stats composite

@@ -53,15 +53,16 @@ object Curation {
         .join(labels.select(col("id").as("dst"), col("lbl").as("nbr_lbl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nbr_lbl").as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      // one joined frame serves both the label update and the convergence
+      // check (a label shrinks iff some neighbor's label is smaller), so each
+      // round is exactly one join + one count — no second old-vs-new join
+      val joined = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+                least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+                (col("nbr_min") < col("lbl")).as("shrank"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .where(col("lbl") =!= col("prev"))
-        .count()
-      labels = updated
+      changed = joined.where(col("shrank")).count()
+      labels = joined.select("id", "lbl")
       rounds += 1
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))

@@ -99,6 +99,66 @@ object Curation {
        |  CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_survivor
        |FROM lbl ORDER BY doc_id""".stripMargin
 
+  // ---- benchmark decontamination ------------------------------------------
+
+  val BenchmarkSource = "src0"
+
+  /** Benchmark decontamination: find training documents that near-duplicate
+    * a held-out evaluation set (here: the `src0` slice) — the
+    * train-against-test leak check every LLM data pipeline runs before
+    * training. Same exact-Jaccard semantics as near-dup detection, but the
+    * candidate join is CROSS-set (train shingles ⨝ benchmark shingles), so
+    * candidate volume is bounded by the benchmark's shingle vocabulary, not
+    * the corpus's square.
+    *
+    * Scale: the benchmark set is small by construction — its shingle table
+    * broadcasts, making the contamination scan one map-side join + one
+    * aggregation over the training corpus, embarrassingly parallel at 100 TB.
+    * Exact-hash contamination is subsumed: identical text ⇒ Jaccard 1.
+    */
+  val decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = Dedup.shingles(s, d).cache()
+    val benchIds = docs.where(col("source") === BenchmarkSource)
+      .select(col("doc_id").as("bench_id"))
+    val trainIds = docs.where(col("source") =!= BenchmarkSource)
+      .select(col("doc_id").as("train_id"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("train_id"), col("sh"))
+      .join(trainIds, "train_id")
+      .join(broadcast(sh.select(col("doc_id").as("bench_id"), col("sh"))
+                        .join(benchIds, "bench_id")), Seq("sh"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("train_id"), col("n_sh").as("n1")), "train_id")
+      .join(sizes.select(col("doc_id").as("bench_id"), col("n_sh").as("n2")), "bench_id")
+      .withColumn("jac", col("inter").cast("double") /
+                         (col("n1") + col("n2") - col("inter")))
+      .where(col("jac") >= Dedup.JaccardThreshold)
+      .select(col("train_id"), col("bench_id"), round(col("jac"), 6).as("jac6"))
+      .orderBy("train_id", "bench_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH ${Dedup.shinglesSqlCte},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
+       |train AS (SELECT doc_id FROM documents WHERE source <> '$BenchmarkSource'),
+       |inter AS (
+       |  SELECT x.doc_id AS train_id, y.doc_id AS bench_id, count(*) AS inter
+       |  FROM shingles x JOIN train USING (doc_id)
+       |  JOIN shingles y ON x.sh = y.sh
+       |  JOIN bench b ON y.doc_id = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT train_id, bench_id,
+       |  round(cast(inter as double) / (s1.n_sh + s2.n_sh - inter), 6) AS jac6
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = train_id
+       |JOIN sizes s2 ON s2.doc_id = bench_id
+       |WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= ${Dedup.JaccardThreshold}
+       |ORDER BY train_id, bench_id""".stripMargin
+
   // ---- deterministic corpus shuffle + sharding ----------------------------
 
   val NumShards = 8
@@ -255,6 +315,7 @@ object Curation {
       |FROM toks GROUP BY w ORDER BY term""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "llm_decontaminate" -> decontaminate,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_corpus_shuffle" -> corpusShuffle,
     "llm_seq_pack" -> seqPack,
@@ -263,6 +324,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_decontaminate" -> decontaminateSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_corpus_shuffle" -> corpusShuffleSql,
     "llm_seq_pack" -> seqPackSql,

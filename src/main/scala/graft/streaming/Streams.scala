@@ -25,6 +25,34 @@ case class GraftEvent(ts: java.sql.Timestamp, event_type: String,
 /** Accumulating per-user session state carried by [[Streams.runningUserStats]]. */
 case class UserState(n_events: Long, last_type: String)
 
+/** Typed state value for [[UserTotalsProcessor]] (top-level for the Encoder). */
+case class UserTotals(n_events: Long, max_event_id: Long)
+
+/** Per-user running totals on the Spark 4 `transformWithState` API — the
+  * successor of flatMapGroupsWithState, with named typed state cells
+  * (`ValueState`/`ListState`/`MapState`, optional TTL) instead of one opaque
+  * blob per key. State here is one O(1) `ValueState[UserTotals]` per user, so
+  * streaming memory is linear in #users regardless of stream length. */
+class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, GraftEvent, (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var totals: ValueState[UserTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotals]("totals",
+      org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[GraftEvent],
+                               tv: TimerValues): Iterator[(Long, Long, Long)] = {
+    val evs = rows.toSeq
+    val prev = if (totals.exists()) totals.get() else UserTotals(0L, 0L)
+    val next = UserTotals(prev.n_events + evs.size,
+                          math.max(prev.max_event_id, evs.map(_.event_id).max))
+    totals.update(next)
+    Iterator((user, next.n_events, next.max_event_id))
+  }
+}
+
 object Streams {
   type Q = (SparkSession, String) => DataFrame
 
@@ -180,6 +208,45 @@ object Streams {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** One shared body for batch (oracle) and stream (unit test): per-user
+    * totals via [[UserTotalsProcessor]]. Batch runs it as a single
+    * implicit micro-batch, so the output equals the plain per-user
+    * aggregate — which is exactly the DuckDB oracle. */
+  def userTotalsTws(events: org.apache.spark.sql.Dataset[GraftEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "max_event_id")
+  }
+
+  val streamTransformState: Q = (s, d) => {
+    import s.implicits._
+    // transformWithState runs on the RocksDB state store provider in batch
+    // mode too (the default HDFS-backed provider cannot host its named
+    // state cells and fails with CANNOT_LOAD_STATE_STORE)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the RocksDB store reports snapshot uploads to the StateStoreCoordinator
+    // RPC endpoint, which only a streaming query would have created — in a
+    // batch-only session store load dies with RpcEndpointNotFoundException.
+    // Bootstrap the coordinator through the query manager's lazy val
+    // (private[sql] in Scala = public in bytecode, hence the reflection).
+    s.streams.getClass.getMethods
+      .find(_.getName == "stateStoreCoordinator")
+      .foreach(_.invoke(s.streams))
+    userTotalsTws(Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+        .as[GraftEvent])
+      .orderBy("user_id")
+  }
+
+  val streamTransformStateSql: String =
+    """SELECT user_id, count(*) AS n_events, max(event_id) AS max_event_id
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Sink-mode shape: complete-mode aggregate (memory/append/update modes are
     * exercised in the MemoryStream unit tests). */
   val streamSink: Q = (s, d) =>
@@ -254,6 +321,7 @@ object Streams {
     "stream_dedup" -> streamDedup,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_stateful" -> streamStateful,
+    "stream_transform_state" -> streamTransformState,
     "stream_sink" -> streamSink,
   )
 
@@ -266,6 +334,7 @@ object Streams {
     "stream_dedup" -> streamDedupSql,
     "stream_watermark_late" -> streamWatermarkLateSql,
     "stream_stateful" -> streamStatefulSql,
+    "stream_transform_state" -> streamTransformStateSql,
     "stream_sink" -> streamSinkSql,
   )
 }

@@ -67,6 +67,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("decontamination flags exactly the cross-set near-dup pairs") {
+    val rows = Curation.decontaminate(spark, sfDir).collect()
+    val src = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ground truth recomputed independently in memory: token 5-gram Jaccard
+    val sets = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+      }.toMap
+    rows.foreach { r =>
+      val (train, bench) = (r.getLong(0), r.getLong(1))
+      assert(src(train) != Curation.BenchmarkSource)
+      assert(src(bench) == Curation.BenchmarkSource)
+      val (a, b) = (sets(train), sets(bench))
+      val jac = a.intersect(b).size.toDouble / a.union(b).size
+      assert(jac >= Dedup.JaccardThreshold, s"($train,$bench) jac=$jac")
+      assert(math.abs(jac - r.getDouble(2)) < 1e-4)
+    }
+    // completeness: every qualifying cross-set pair is reported
+    val expected = for {
+      (t, ts) <- sets.toSeq; if src(t) != Curation.BenchmarkSource && ts.nonEmpty
+      (bch, bs) <- sets.toSeq; if src(bch) == Curation.BenchmarkSource && bs.nonEmpty
+      if ts.intersect(bs).size.toDouble / ts.union(bs).size >= Dedup.JaccardThreshold
+    } yield (t, bch)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected.toSet)
+  }
+
   test("inverted index: df equals posting length and covers the corpus") {
     val rows = Curation.invertedIndex(spark, sfDir).collect()
     rows.foreach { r =>

@@ -121,6 +121,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates ValueState across micro-batches") {
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider when
+    // running as a real stream (batch mode, used by the oracle-checked
+    // registration, does not)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[graft.streaming.GraftEvent]
+    val q = graft.streaming.Streams.userTotalsTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        graft.streaming.GraftEvent(ts("2024-01-01 10:00:00"), "click", 1, 10),
+        graft.streaming.GraftEvent(ts("2024-01-01 10:01:00"), "view", 1, 7))
+      q.processAllAvailable()
+      mem.addData(graft.streaming.GraftEvent(ts("2024-01-01 10:02:00"), "view", 1, 9))
+      q.processAllAvailable()
+      val latest = spark.table("tws_t")
+        .orderBy(col("n_events").desc).where(col("user_id") === 1).head
+      // state carried across batches: 3 events total, max id from batch 1
+      assert(latest.getAs[Long]("n_events") == 3)
+      assert(latest.getAs[Long]("max_event_id") == 10)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState batch twin equals the per-user aggregate") {
+    val tws = graft.streaming.Streams.streamTransformState(spark, sfDir).collect()
+    val agg = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("max_event_id"))
+      .orderBy("user_id").collect()
+    assert(tws.nonEmpty)
+    assert(tws.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+           agg.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("append vs complete sink modes deliver expected shapes") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

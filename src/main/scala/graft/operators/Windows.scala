@@ -169,9 +169,10 @@ object Windows {
 
   /** Distribution analytics: percent_rank / cume_dist / deciles of customer
     * balance within each nation. percent_rank = (rank-1)/(n-1) and
-    * cume_dist = rank/n are exact small-integer divisions in double, so both
-    * engines produce bit-identical values (rounding is belt-and-braces);
-    * ties on c_acctbal rank identically under both engines' rank(). */
+    * cume_dist = rank/n are single IEEE divisions of identical integers, so
+    * both engines produce bit-identical doubles UNROUNDED — while round(_, 6)
+    * would break on rounding-mode ties (Spark half-up vs DuckDB half-even
+    * flipped 0.0640625 at sf0.1). Ties on c_acctbal rank identically. */
   val windowDistribution: Q = (s, d) => {
     val byBal = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal"))
     val byBalKey = Window.partitionBy(col("n_name"))
@@ -180,16 +181,16 @@ object Windows {
       .join(broadcast(Tables.nation(s, d)),
             col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
-              round(percent_rank().over(byBal), 6).as("pr"),
-              round(cume_dist().over(byBal), 6).as("cd"),
+              percent_rank().over(byBal).as("pr"),
+              cume_dist().over(byBal).as("cd"),
               ntile(10).over(byBalKey).as("decile"))
       .orderBy("n_name", "c_acctbal", "c_custkey")
   }
 
   val windowDistributionSql: String =
     """SELECT n_name, c_custkey, c_acctbal,
-      |  round(percent_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal), 6) AS pr,
-      |  round(cume_dist() OVER (PARTITION BY n_name ORDER BY c_acctbal), 6) AS cd,
+      |  percent_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal) AS pr,
+      |  cume_dist() OVER (PARTITION BY n_name ORDER BY c_acctbal) AS cd,
       |  cast(ntile(10) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) as int) AS decile
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY n_name, c_acctbal, c_custkey""".stripMargin

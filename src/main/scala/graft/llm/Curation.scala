@@ -73,6 +73,77 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // -- alternating-star CC: the O(log n)-round scale path -------------------
+
+  /** Canonicalize connection pairs to an undirected edge table with both
+    * orientations present and no self-loops. */
+  private def canonEdges(pairs: DataFrame): DataFrame = {
+    val und = pairs.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+              greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    und.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(und.select(col("hi").as("src"), col("lo").as("dst")))
+  }
+
+  /** large-star: every strictly-larger neighbor of u reconnects to the
+    * minimum of u's closed neighborhood. */
+  private def largeStarRound(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("src").agg(min("dst").as("md"))
+      .select(col("src"), least(col("md"), col("src")).as("m"))
+    e.where(col("dst") > col("src"))
+      .join(mins, "src")
+      .select(col("dst").as("a"), col("m").as("b"))
+  }
+
+  /** small-star: every strictly-smaller neighbor of u (and u itself)
+    * reconnects to u's minimum smaller neighbor. */
+  private def smallStarRound(e: DataFrame): DataFrame = {
+    val smaller = e.where(col("dst") < col("src"))
+    val mins = smaller.groupBy("src").agg(min("dst").as("m"))
+    smaller.join(mins, "src")
+      .select(col("dst").as("a"), col("m").as("b"))
+      .union(mins.select(col("src").as("a"), col("m").as("b")))
+  }
+
+  /** Same semantics as [[dedupClusters]], different physical algorithm:
+    * alternating large-star/small-star edge rewrites (the public
+    * MapReduce-connected-components formulation) converge in O(log n)
+    * rounds on ANY graph shape — the escalation min-label propagation
+    * needs when component diameter is large. Each round is two
+    * join+aggregate passes over the edge set, which only shrinks toward
+    * one star per component. Registered with the SAME oracle as the
+    * propagation operator: both must produce the identical clustering. */
+  val dedupClustersStar: Q = (s, d) => {
+    val pairs = Dedup.neardupPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    var e = canonEdges(pairs).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val next = canonEdges(
+          smallStarRound(canonEdges(largeStarRound(e))))
+        .localCheckpoint()
+      changed = next.except(e).count() + e.except(next).count()
+      e = next
+      rounds += 1
+    }
+    // converged graph is a star per component: non-min nodes point at the min
+    val labels = nodes
+      .join(e.select(col("src").as("id"), col("dst")), Seq("id"), "left")
+      .groupBy("id")
+      .agg(min("dst").as("md"))
+      .select(col("id"), least(coalesce(col("md"), col("id")), col("id")).as("lbl"))
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+              col("cluster_size"),
+              when(col("id") === col("lbl"), 1).otherwise(0).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle: transitive closure via recursive CTE over the same exact-Jaccard
     * pair graph (tiny at fixture scale); cluster id = min reachable doc_id. */
   val dedupClustersSql: String =
@@ -317,6 +388,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "llm_decontaminate" -> decontaminate,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_dedup_clusters_star" -> dedupClustersStar,
     "llm_corpus_shuffle" -> corpusShuffle,
     "llm_seq_pack" -> seqPack,
     "llm_mix_rebalance" -> mixRebalance,
@@ -326,6 +398,9 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "llm_decontaminate" -> decontaminateSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    // the star formulation declares identical semantics — one oracle text
+    // pins both physical algorithms to the same clustering
+    "llm_dedup_clusters_star" -> dedupClustersSql,
     "llm_corpus_shuffle" -> corpusShuffleSql,
     "llm_seq_pack" -> seqPackSql,
     "llm_mix_rebalance" -> mixRebalanceSql,

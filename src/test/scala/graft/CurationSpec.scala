@@ -29,6 +29,14 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("alternating-star CC equals min-label propagation clustering") {
+    val prop = Curation.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val star = Curation.dedupClustersStar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(star == prop)
+  }
+
   test("corpus shuffle is a deterministic partition into dense shards") {
     val a = Curation.corpusShuffle(spark, sfDir).collect()
     val b = Curation.corpusShuffle(spark, sfDir).collect()

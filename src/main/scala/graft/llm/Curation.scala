@@ -317,7 +317,7 @@ object Curation {
        |    coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM t)
-       |SELECT lang, cum_before // $ChunkTokens AS chunk_id,
+       |SELECT lang, cast(cum_before // $ChunkTokens as bigint) AS chunk_id,
        |  count(*) AS n_docs, cast(sum(n_toks) as bigint) AS chunk_toks,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM pos GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin

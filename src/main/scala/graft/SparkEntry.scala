@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, TemporalJoins, Windows}
+import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
-import graft.llm.{AnnIvf, AnnLsh, Curation, Dedup, Similarity, TextAnalysis}
+import graft.llm.{AnnIvf, AnnLsh, Curation, Dedup, Quantize, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{FsOps, Sources}
 import graft.streaming.Streams
@@ -73,6 +73,8 @@ object SparkEntry {
     AnnIvf.queries ++
     Multimodal.queries ++
     ScaleTechniques.queries ++
+    SqlSurface.queries ++
+    Quantize.queries ++
     Map("flagship" -> flagship)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +96,7 @@ object SparkEntry {
     Similarity.oracle ++
     TextAnalysis.oracle ++
     ScaleTechniques.oracle ++
+    SqlSurface.oracle ++
+    Quantize.oracle ++
     Map("flagship" -> flagshipSql)
 }

@@ -32,7 +32,10 @@ object ScaleTechniques {
       .withColumn("salt",
         pmod(xxhash64(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
              lit(SaltFactor)))
+    // replicate only the join key + the one payload column: the 8-way
+    // explode then multiplies ~17 bytes/row, not the whole orders record
     val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(sequence(lit(0L), lit(SaltFactor - 1L))))
     li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")

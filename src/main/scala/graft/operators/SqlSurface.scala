@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** §2.12 SQL-dialect surface — the query shapes a Hadoop-stack user writes
+  * through Hive-style SQL rather than an API: correlated/uncorrelated
+  * subqueries, CTE chains, LATERAL VIEW table generators, and recursive
+  * CTEs. The reference ships no SQL engine of its own (it is a public
+  * Hadoop release — /root/reference/README.md:4); on that stack these
+  * queries are what Hive compiles to the MR idioms of §2.3/§2.4. Here they
+  * are parsed by Spark SQL and planned by Catalyst directly:
+  *
+  *  - correlated EXISTS / IN decorrelate to left-semi joins
+  *    (`RewritePredicateSubquery`) — no per-row re-execution;
+  *  - scalar subqueries become one-row broadcast plans evaluated once;
+  *  - CTEs are inlined or reused (`WithCTE`) by cost;
+  *  - LATERAL VIEW is a `Generate` node — the map-side UDTF idiom;
+  *  - recursive CTEs (Spark 4) iterate a union-loop plan.
+  *
+  * Every query except the LATERAL VIEW one shares its text VERBATIM with the
+  * DuckDB oracle, so the comparison covers parser + semantics end-to-end.
+  * At 100 TB nothing here changes shape: the subqueries all reduce to the
+  * same broadcast/shuffle joins the §2.3 operators already scale.
+  */
+object SqlSurface {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sharedSql(sql: String): Q = (s, d) => {
+    Tables.registerViews(s, d); s.sql(sql)
+  }
+
+  /** Scalar subqueries (two of them) — orders priced above the corpus
+    * average. Stated multiplicatively (price × count > total) so the
+    * comparison is exact decimal arithmetic: an avg would divide and both
+    * engines would round the quotient at different scales. */
+  val scalarSubquerySql: String =
+    """SELECT o_orderpriority, count(*) AS n_above
+      |FROM orders
+      |WHERE cast(o_totalprice as decimal(12,2)) * (SELECT count(*) FROM orders)
+      |    > (SELECT sum(cast(o_totalprice as decimal(12,2))) FROM orders)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Correlated EXISTS — decorrelated by Catalyst into a left-semi join
+    * (plan-asserted in SqlSurfaceSpec); never a per-customer probe. */
+  val existsCorrelatedSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Nested IN subqueries (region → nation → supplier) — each level becomes
+    * a broadcast semi join over the tiny dimension. */
+  val inSubquerySql: String =
+    """SELECT n_name, count(*) AS n_sup
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_nationkey IN (
+      |  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+      |    SELECT r_regionkey FROM region WHERE r_name IN ('EUROPE','ASIA')))
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** CTE chain: aggregate → window-rank → filter, three logical stages in
+    * one statement. rank() is cast because Spark's rank is int32 while
+    * DuckDB's is int64 — the hash compare is dtype-strict. */
+  val cteChainSql: String =
+    """WITH nat_rev AS (
+      |  SELECT n_name, cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS rev,
+      |         count(*) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |ranked AS (
+      |  SELECT n_name, rev, n_orders,
+      |         cast(rank() OVER (ORDER BY rev DESC, n_name) as bigint) AS rk
+      |  FROM nat_rev)
+      |SELECT rk, n_name, rev, n_orders FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  /** Hive's LATERAL VIEW explode — the SQL spelling of the UDTF/Generate
+    * idiom (mr_wordcount is the API spelling of the same plan). Spark-only
+    * dialect, so the oracle is a DuckDB unnest with matched semantics. */
+  val lateralExplodeSpark: String =
+    """SELECT w, count(*) AS cnt
+      |FROM documents
+      |LATERAL VIEW explode(split(lower(text), '\\s+')) t AS w
+      |WHERE w <> ''
+      |GROUP BY w
+      |ORDER BY cnt DESC, w
+      |LIMIT 50""".stripMargin
+
+  val lateralExplodeSql: String =
+    """SELECT w, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents)
+      |WHERE w <> ''
+      |GROUP BY w
+      |ORDER BY cnt DESC, w
+      |LIMIT 50""".stripMargin
+
+  /** Recursive CTE (Spark 4 / SPARK-24497): 20 rows of exact bigint
+    * factorials — pure integer recursion, no fixture dependence, shared
+    * verbatim with DuckDB's WITH RECURSIVE. */
+  val recursiveCteSql: String =
+    """WITH RECURSIVE r(k, f) AS (
+      |  SELECT 1, cast(1 as bigint)
+      |  UNION ALL
+      |  SELECT k + 1, f * (k + 1) FROM r WHERE k < 20)
+      |SELECT k, f FROM r ORDER BY k""".stripMargin
+
+  /** The reference's bundled pi example (QuasiMonteCarlo), made exactly
+    * deterministic: instead of sampled points, count the 1000×1000 integer
+    * lattice inside the quarter circle — pure int arithmetic, identical in
+    * any engine, and embarrassingly parallel over the range splits (Spark's
+    * range TVF partitions like spark.range). 4·786380/10⁶ = 3.14552. */
+  val piSpark: String =
+    """SELECT cast(sum(CASE WHEN a.id*a.id + b.id*b.id < 1000000 THEN 1 ELSE 0 END) as bigint) AS n_in,
+      |  cast(4 as double) * cast(sum(CASE WHEN a.id*a.id + b.id*b.id < 1000000 THEN 1 ELSE 0 END) as bigint) / cast(1000000 as double) AS pi_est
+      |FROM range(1000) a CROSS JOIN range(1000) b""".stripMargin
+
+  val piSql: String =
+    """SELECT cast(sum(CASE WHEN a.i*a.i + b.i*b.i < 1000000 THEN 1 ELSE 0 END) as bigint) AS n_in,
+      |  cast(4 as double) * cast(sum(CASE WHEN a.i*a.i + b.i*b.i < 1000000 THEN 1 ELSE 0 END) as bigint) / cast(1000000 as double) AS pi_est
+      |FROM range(1000) a(i) CROSS JOIN range(1000) b(i)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sql_scalar_subquery" -> sharedSql(scalarSubquerySql),
+    "sql_exists_correlated" -> sharedSql(existsCorrelatedSql),
+    "sql_in_subquery" -> sharedSql(inSubquerySql),
+    "sql_cte_chain" -> sharedSql(cteChainSql),
+    "sql_lateral_explode" -> sharedSql(lateralExplodeSpark),
+    "sql_recursive_cte" -> sharedSql(recursiveCteSql),
+    "mr_pi" -> ((s, _) => s.sql(piSpark)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_scalar_subquery" -> scalarSubquerySql,
+    "sql_exists_correlated" -> existsCorrelatedSql,
+    "sql_in_subquery" -> inSubquerySql,
+    "sql_cte_chain" -> cteChainSql,
+    "sql_lateral_explode" -> lateralExplodeSql,
+    "sql_recursive_cte" -> recursiveCteSql,
+    "mr_pi" -> piSql,
+  )
+}

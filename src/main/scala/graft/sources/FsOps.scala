@@ -4,6 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Storage-lifecycle parity with the reference's `hadoop fs` surface
   * (/root/reference/README.md:4 — a public Hadoop release): ls/du and
@@ -51,9 +52,37 @@ object FsOps {
     orig.unionByName(copied).orderBy("which")
   }
 
+  /** HDFS-style hierarchical content checksumming (the reference verifies
+    * every block with DataChecksum and exposes `hadoop fs -checksum`): a
+    * per-row sha256 rolled up into per-shard digests. Each shard's digest is
+    * the sha256 of its rows' hashes in doc_id order, so any changed byte
+    * anywhere flips exactly one shard row — the distcp-verify primitive. At
+    * 100 TB the per-row hashing is map-side; the rollup shuffles only
+    * 64-byte digests, and shard count scales with the corpus (16 here). */
+  val fsChecksum: Q = (s, d) => {
+    val h = Tables.documents(s, d).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(16)).as("shard"),
+      sha2(concat_ws(":", col("doc_id"), col("text")), 256).as("h"))
+    h.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sha2(array_join(
+             transform(array_sort(collect_list(struct(col("doc_id"), col("h")))),
+                       x => x.getField("h")), ""), 256).as("checksum"))
+      .orderBy("shard")
+  }
+
+  val fsChecksumSql: String =
+    """WITH h AS (SELECT doc_id, doc_id % 16 AS shard,
+      |  sha256(concat_ws(':', doc_id, text)) AS h FROM documents)
+      |SELECT shard, count(*) AS n_docs,
+      |  sha256(string_agg(h, '' ORDER BY doc_id)) AS checksum
+      |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "fs_ls" -> fsLs,
     "fs_distcp" -> fsDistcp,
+    "fs_checksum" -> fsChecksum,
   )
 
   /** fs_ls reports physical file sizes (no DuckDB twin) → rows-only. The
@@ -64,5 +93,6 @@ object FsOps {
       """SELECT count(*) AS "rows", cast(sum(n_nationkey) as bigint) AS key_sum, which
         |FROM nation CROSS JOIN (SELECT unnest(['dst','src']) AS which)
         |GROUP BY which ORDER BY which""".stripMargin,
+    "fs_checksum" -> fsChecksumSql,
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SqlSurface
+import graft.llm.Quantize
+import graft.sources.FsOps
+
+/** §2.12 SQL-dialect surface + the round-4 additions: plan-shape proofs for
+  * subquery decorrelation, value pins for the fixture-independent queries,
+  * and the quantization error bound.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("correlated EXISTS decorrelates to a semi join (no per-row probe)") {
+    val p = plan(SqlSurface.queries("sql_exists_correlated")(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("nested IN subqueries decorrelate to semi joins") {
+    val p = plan(SqlSurface.queries("sql_in_subquery")(spark, sfDir))
+    assert(p.contains("LeftSemi") && !p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("scalar subquery evaluates once as a subquery plan, not a join") {
+    val df = SqlSurface.queries("sql_scalar_subquery")(spark, sfDir)
+    assert(plan(df).contains("Subquery"))
+    assert(df.count() > 0)
+  }
+
+  test("recursive CTE computes exact bigint factorials") {
+    val rows = SqlSurface.queries("sql_recursive_cte")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.last.getInt(0) == 20 && rows.last.getLong(1) == 2432902008176640000L)
+  }
+
+  test("mr_pi counts the quarter-circle lattice exactly") {
+    val r = SqlSurface.queries("mr_pi")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == 786380L)
+    assert(math.abs(r.getDouble(1) - 3.14552) < 1e-12)
+  }
+
+  test("lateral view explode equals the API-side wordcount plan family") {
+    // both are Generate-based token pipelines; the SQL spelling must parse
+    // to a Generate node (the UDTF idiom), not a join
+    val df = SqlSurface.queries("sql_lateral_explode")(spark, sfDir)
+    assert(df.queryExecution.optimizedPlan.toString.contains("Generate"))
+    val top = df.collect()
+    assert(top.nonEmpty && top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).toSeq.sorted.reverse)
+  }
+
+  test("fs_checksum yields one distinct digest per shard and is stable") {
+    val a = FsOps.queries("fs_checksum")(spark, sfDir).collect()
+    val b = FsOps.queries("fs_checksum")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)                       // deterministic
+    assert(a.map(_.getString(2)).distinct.length == a.length) // shards differ
+    assert(a.forall(_.getString(2).length == 64))    // sha256 hex
+  }
+
+  test("int8 quantization reconstruction error is bounded by scale/254") {
+    // symmetric round-to-nearest: |x - q*scale/127| <= scale/(2*127) per dim,
+    // so the per-vector MAE must respect the same bound
+    val rows = Quantize.queries("llm_embedding_quantize")(spark, sfDir)
+      .select(col("scale"), col("mae")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, mae) = (r.getDouble(0), r.getDouble(1))
+      assert(mae <= scale / 254.0 + 1e-12, s"mae=$mae scale=$scale")
+    }
+  }
+
+  test("quantized vectors stay in int8 range") {
+    val qs = Quantize.queries("llm_embedding_quantize")(spark, sfDir)
+      .select(col("qstr")).collect()
+    qs.foreach { r =>
+      val vals = r.getString(0).split("\\|").map(_.toInt)
+      assert(vals.forall(v => v >= -127 && v <= 127))
+    }
+  }
+}

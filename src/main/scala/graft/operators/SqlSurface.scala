@@ -124,7 +124,41 @@ object SqlSurface {
       |  cast(4 as double) * cast(sum(CASE WHEN a.i*a.i + b.i*b.i < 1000000 THEN 1 ELSE 0 END) as bigint) / cast(1000000 as double) AS pi_est
       |FROM range(1000) a(i) CROSS JOIN range(1000) b(i)""".stripMargin
 
+  /** Hive's `TRANSFORM ... USING` — the true Hadoop Streaming surface: rows
+    * serialized over stdin to an arbitrary subprocess, stdout parsed back as
+    * rows (mr_streaming_udf is the in-process UDF analog; this one really
+    * crosses a process boundary per partition, exactly like PipeMapper).
+    * `cat` is the identity mapper; no-serde mode returns tab-separated
+    * strings, so the oracle casts to varchar. At 100 TB this runs one
+    * subprocess per task, not per row — same amortization as Streaming. */
+  val transformScriptSpark: String =
+    """SELECT k, v FROM (
+      |  SELECT TRANSFORM(n_nationkey, n_name) USING 'cat' AS (k string, v string)
+      |  FROM nation)
+      |ORDER BY k, v""".stripMargin
+
+  val transformScriptSql: String =
+    """SELECT cast(n_nationkey as varchar) AS k, n_name AS v
+      |FROM nation ORDER BY k, v""".stripMargin
+
+  /** Hive's DISTRIBUTE BY / SORT BY — partition-then-sort-within-partition,
+    * the dialect spelling of the secondary-sort idiom (sort_secondary is the
+    * API spelling). The observable, oracle-checkable form adds an outer
+    * total ORDER BY; the inner clause is still parsed, planned (exchange +
+    * per-partition sort) and executed. */
+  val distributeSortSpark: String =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type FROM events
+      |  DISTRIBUTE BY user_id SORT BY user_id, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val distributeSortSql: String =
+    """SELECT user_id, event_id, event_type
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_transform_script" -> sharedSql(transformScriptSpark),
+    "sql_distribute_sort" -> sharedSql(distributeSortSpark),
     "sql_scalar_subquery" -> sharedSql(scalarSubquerySql),
     "sql_exists_correlated" -> sharedSql(existsCorrelatedSql),
     "sql_in_subquery" -> sharedSql(inSubquerySql),
@@ -135,6 +169,8 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_transform_script" -> transformScriptSql,
+    "sql_distribute_sort" -> distributeSortSql,
     "sql_scalar_subquery" -> scalarSubquerySql,
     "sql_exists_correlated" -> existsCorrelatedSql,
     "sql_in_subquery" -> inSubquerySql,

@@ -51,6 +51,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(top.nonEmpty && top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).toSeq.sorted.reverse)
   }
 
+  test("TRANSFORM USING pipes rows through a real subprocess") {
+    val df = SqlSurface.queries("sql_transform_script")(spark, sfDir)
+    assert(plan(df).contains("ScriptTransformation"), plan(df))
+    assert(df.count() == 25)
+  }
+
+  test("DISTRIBUTE BY / SORT BY plans a hash exchange + partition sort") {
+    val df = SqlSurface.queries("sql_distribute_sort")(spark, sfDir)
+    assert(plan(df).contains("hashpartitioning(user_id"), plan(df))
+  }
+
   test("fs_checksum yields one distinct digest per shard and is stable") {
     val a = FsOps.queries("fs_checksum")(spark, sfDir).collect()
     val b = FsOps.queries("fs_checksum")(spark, sfDir).collect()

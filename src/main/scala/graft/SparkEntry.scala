@@ -98,5 +98,6 @@ object SparkEntry {
     ScaleTechniques.oracle ++
     SqlSurface.oracle ++
     Quantize.oracle ++
+    Multimodal.oracle ++
     Map("flagship" -> flagshipSql)
 }

@@ -9,13 +9,16 @@ import graft.Tables
   * `binary` columns next to a metadata struct; decode / feature-extract /
   * resize run batch-at-a-time inside `mapPartitions` so a real decoder
   * would amortize model/codec initialization once per partition — the
-  * Scala-side equivalent of a batched pandas-style UDF.
+  * Scala-side equivalent of a batched pandas-style UDF (the MessageDigest
+  * below IS that per-partition init, exercised for real).
   *
   * The decode step itself is a clearly-marked STUB (no image/audio codecs in
   * this environment): [[StubDecoder]] derives deterministic fake features
-  * from the bytes. The Spark-side plumbing — schema, partitioning, batch
-  * iteration, typed Encoders — is real and tested; swapping in a true codec
-  * touches only [[StubDecoder.decode]].
+  * from the bytes — md5 digests, chosen over a custom hash so the WHOLE
+  * stage is DuckDB-oracle-checkable (the fixture text is pure ASCII, so
+  * Spark's bytes and DuckDB's characters agree). The Spark-side plumbing —
+  * schema, partitioning, batch iteration, typed Encoders — is real and
+  * tested; swapping in a true codec touches only [[StubDecoder]].
   *
   * 100 TB: media rows are large and skewed → repartition by record id before
   * the decode stage so one straggler file cannot serialize a whole partition,
@@ -30,20 +33,25 @@ object Multimodal {
 
   /** Extracted features (what a decoder/embedder would emit). */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, format: String,
-                           out_width: Int, out_height: Int, checksum: Long)
+                           out_width: Int, out_height: Int, checksum: String)
 
   /** STUB decoder — deterministic fake standing in for image/audio codecs
     * that are not available in this container. A production build replaces
-    * only this object. */
+    * only this object. The digest instance is created once per partition
+    * (see [[decodeFeatures]]) — the codec/model-init amortization slot. */
   object StubDecoder {
     val TargetSize = 224 // "resize" target, as an image pipeline would use
 
-    def decode(r: MediaRecord): MediaFeatures = {
-      var h = 1469598103934665603L // FNV-1a over the payload: fake "content"
-      var i = 0
-      while (i < r.media.length) { h ^= r.media(i) & 0xffL; h *= 1099511628211L; i += 1 }
+    def newDigest(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+
+    def hex(d: Array[Byte]): String = d.map("%02x".format(_)).mkString
+
+    def decode(md: java.security.MessageDigest, r: MediaRecord): MediaFeatures = {
+      md.reset()
       MediaFeatures(r.doc_id, r.media.length, r.format,
-        math.min(r.width, TargetSize), math.min(r.height, TargetSize), h)
+        math.min(r.width, TargetSize), math.min(r.height, TargetSize),
+        hex(md.digest(r.media)))
     }
   }
 
@@ -67,14 +75,14 @@ object Multimodal {
     media
       .repartition(col("doc_id")) // spread large payloads before decode
       .mapPartitions { batch =>
-        // per-partition init would happen here (codec/model load, once)
-        batch.map(StubDecoder.decode)
+        val md = StubDecoder.newDigest() // per-partition init, once
+        batch.map(r => StubDecoder.decode(md, r))
       }
   }
 
   /** One sampled frame: which frame of which record, and its stub features. */
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_bytes: Int,
-                         frame_checksum: Long)
+                         frame_checksum: String)
 
   val FrameBytes = 64   // fixed-size "frame" chunk of the payload
   val FrameStride = 4   // keep every 4th frame (video frame-sampling idiom)
@@ -84,28 +92,30 @@ object Multimodal {
     * partition-batched stage as decode, so the payload is read once and only
     * small per-frame features leave the stage — at 100 TB the frame fan-out
     * (can be 1000x rows) must never materialize raw frame bytes into a
-    * shuffle. Frame features are FNV digests of the frame's bytes (stub). */
+    * shuffle. Frame features are md5 digests of the frame's bytes (stub). */
   def sampleFrames(media: Dataset[MediaRecord]): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media
       .repartition(col("doc_id"))
       .mapPartitions { batch =>
+        val md = StubDecoder.newDigest() // per-partition init, once
         batch.flatMap { r =>
           val nFrames = (r.media.length + FrameBytes - 1) / FrameBytes
           (0 until nFrames by FrameStride).iterator.map { f =>
             val lo = f * FrameBytes
             val hi = math.min(lo + FrameBytes, r.media.length)
-            var h = 1469598103934665603L
-            var i = lo
-            while (i < hi) { h ^= r.media(i) & 0xffL; h *= 1099511628211L; i += 1 }
-            FrameSample(r.doc_id, f, hi - lo, h)
+            md.reset()
+            md.update(r.media, lo, hi - lo)
+            FrameSample(r.doc_id, f, hi - lo, StubDecoder.hex(md.digest()))
           }
         }
       }
   }
 
-  /** Registered rows-only queries: decode features joined back to metadata,
-    * and the frame-sampling fan-out. */
+  /** Both stages registered with full DuckDB oracles: md5 exists in both
+    * engines and the payload is ASCII text bytes, so the fake features are
+    * cross-checkable end-to-end — schema, metadata derivation, resize
+    * clamping, chunking and striding all verified, not just row counts. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> ((s, d) => {
       decodeFeatures(mediaTable(s, d)).toDF()
@@ -116,5 +126,25 @@ object Multimodal {
       sampleFrames(mediaTable(s, d)).toDF()
         .orderBy("doc_id", "frame_idx")
     }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_stub" ->
+      s"""SELECT doc_id, cast(strlen(text) as int) AS n_bytes,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+         |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+         |  cast(least(n_chars % 1000 + 32, ${StubDecoder.TargetSize}) as int) AS out_width,
+         |  cast(least(n_chars % 500 + 32, ${StubDecoder.TargetSize}) as int) AS out_height,
+         |  md5(text) AS checksum
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, strlen(text) AS n,
+         |    unnest(range(0, cast(ceil(strlen(text) / ${FrameBytes}.0) as bigint), $FrameStride)) AS fi
+         |  FROM documents)
+         |SELECT doc_id, cast(fi as int) AS frame_idx,
+         |  cast(least($FrameBytes, n - fi * $FrameBytes) as int) AS frame_bytes,
+         |  md5(substr(text, cast(fi * $FrameBytes + 1 as int), $FrameBytes)) AS frame_checksum
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -48,15 +48,16 @@ class LawsSpec extends AnyFunSuite {
     assert(hits > 50, s"generator produced too few >=t pairs ($hits) to trust this test")
   }
 
-  test("FNV stub decoder is deterministic and content-sensitive") {
+  test("stub decoder is deterministic and content-sensitive") {
     import graft.multimodal.Multimodal._
+    val md = StubDecoder.newDigest()
     (1 to 200).foreach { _ =>
       val bs = Array.fill(rnd.nextInt(64) + 1)(rnd.nextInt().toByte)
       val r = MediaRecord(1L, bs, "png", 100, 100)
-      assert(StubDecoder.decode(r) == StubDecoder.decode(r))
+      assert(StubDecoder.decode(md, r) == StubDecoder.decode(md, r))
       val flipped = bs.clone(); flipped(0) = (flipped(0) ^ 0x1).toByte
-      assert(StubDecoder.decode(r).checksum !=
-             StubDecoder.decode(MediaRecord(1L, flipped, "png", 100, 100)).checksum)
+      assert(StubDecoder.decode(md, r).checksum !=
+             StubDecoder.decode(md, MediaRecord(1L, flipped, "png", 100, 100)).checksum)
     }
   }
 

@@ -111,7 +111,7 @@ class VectorSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.length == Tables.documents(spark, sfDir).count())
     // identical payloads → identical checksums (exact-dup docs exist)
-    val byChecksum = a.groupBy(_.getLong(5)).view.mapValues(_.length)
+    val byChecksum = a.groupBy(_.getString(5)).view.mapValues(_.length)
     assert(byChecksum.values.sum == a.length)
   }
 }

@@ -120,14 +120,24 @@ object Curation {
       .union(pairs.select(col("b").as("id"))).distinct()
       .localCheckpoint()
     var e = canonEdges(pairs).localCheckpoint()
+    // convergence check: one count per round, and only when the cardinality
+    // is unchanged one single-direction anti-join (|next| == |e| makes
+    // next ⊆ e equivalent to set equality). The first cut ran TWO except()
+    // anti-joins + counts every round — at tiny per-round data the loop is
+    // job-overhead-bound, and halving the jobs per round halves the wall
+    // clock (the same holds on a cluster, where each action is a scheduling
+    // round-trip).
+    var eCnt = e.count()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
       val next = canonEdges(
           smallStarRound(canonEdges(largeStarRound(e))))
         .localCheckpoint()
-      changed = next.except(e).count() + e.except(next).count()
+      val nextCnt = next.count()
+      changed = if (nextCnt != eCnt) 1L else next.except(e).count()
       e = next
+      eCnt = nextCnt
       rounds += 1
     }
     // converged graph is a star per component: non-min nodes point at the min

@@ -170,11 +170,17 @@ object Dedup {
   val neardupMinhashLsh: Q = (s, d) => {
     val sh = shingles(s, d).cache() // feeds signatures AND the verify step
     val sig = minhashSignatures(sh)
-    val bands = (0 until NumHashes / BandSize).map { b =>
+    // one explode pass over an array of (band, band_hash) structs — the
+    // first cut unioned 16 per-band scans of the signature table, i.e. 16
+    // passes over the aggregation output where one suffices
+    val bandStructs = (0 until NumHashes / BandSize).map { b =>
       val cols = (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh$k"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-                 xxhash64(cols: _*).as("band_hash"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+              col("bb.band_hash").as("band_hash"))
     val candidates = bands.as("x")
       .join(bands.as("y"),
             col("x.band") === col("y.band") &&

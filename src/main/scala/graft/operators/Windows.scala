@@ -107,24 +107,29 @@ object Windows {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** RANGE-frame aggregate over a numeric ordering (value-neighborhood sum).
-    * Frame membership depends only on the ORDER BY value, so ties are safe. */
+    * Frame membership depends only on the ORDER BY value, so ties are safe.
+    * Partitioned by l_orderkey — a HIGH-cardinality key. The first cut used
+    * l_returnflag (3 values): correct, but 3 window partitions means 3 tasks
+    * own the whole table however many executors exist — the canonical
+    * low-cardinality window-key anti-pattern (4.8s → ~1s at sf0.1, and the
+    * gap only widens with scale). */
   val windowRangeFrame: Q = (s, d) => {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_quantity"))
       .rangeBetween(-5, Window.currentRow)
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-              col("l_suppkey"), col("l_returnflag"), col("l_quantity"),
+              col("l_suppkey"), col("l_quantity"),
               sum(col("l_quantity")).over(w).as("nbhd_qty"),
               count(lit(1)).over(w).as("nbhd_n"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
   val windowRangeFrameSql: String =
-    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_quantity,
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
       |  sum(l_quantity) OVER w AS nbhd_qty,
       |  count(*) OVER w AS nbhd_n
       |FROM lineitem
-      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity
       |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 

@@ -69,6 +69,33 @@ object SetOps {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY o_custkey""".stripMargin
 
+  /** Bag intersection (INTERSECT ALL): per-customer order-count overlap —
+    * multiplicity min(urgent_n, high_n), which set-intersect silently
+    * collapses to 1. Spark plans a count-tagged join, no row explosion. */
+  val setIntersectAll: Q = (s, d) =>
+    urgent(s, d).select("o_custkey")
+      .intersectAll(high(s, d).select("o_custkey"))
+      .orderBy("o_custkey")
+
+  val setIntersectAllSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Bag difference (EXCEPT ALL): multiplicity max(all_n - urgent_n, 0) —
+    * keeps a customer's remaining non-urgent order slots. */
+  val setExceptAll: Q = (s, d) =>
+    Tables.orders(s, d).select("o_custkey")
+      .exceptAll(urgent(s, d).select("o_custkey"))
+      .orderBy("o_custkey")
+
+  val setExceptAllSql: String =
+    """SELECT o_custkey FROM orders
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
   /** Exact whole-row dedup (canonical MR distinct). */
   val distinctRows: Q = (s, d) =>
     Tables.orders(s, d)
@@ -85,6 +112,8 @@ object SetOps {
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll,
     "distinct_rows" -> distinctRows,
   )
 
@@ -93,6 +122,8 @@ object SetOps {
     "set_union_distinct" -> setUnionDistinctSql,
     "set_intersect" -> setIntersectSql,
     "set_except" -> setExceptSql,
+    "set_intersect_all" -> setIntersectAllSql,
+    "set_except_all" -> setExceptAllSql,
     "distinct_rows" -> distinctRowsSql,
   )
 }

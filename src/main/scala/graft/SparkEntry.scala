@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
-import graft.llm.{AnnIvf, AnnLsh, Curation, Dedup, Quantize, Similarity, TextAnalysis}
+import graft.llm.{AnnIvf, AnnLsh, AnnQuantized, Curation, Dedup, Quantize, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{FsOps, Sources}
 import graft.streaming.Streams
@@ -71,6 +71,7 @@ object SparkEntry {
     TextAnalysis.queries ++
     AnnLsh.queries ++
     AnnIvf.queries ++
+    AnnQuantized.queries ++
     Multimodal.queries ++
     ScaleTechniques.queries ++
     SqlSurface.queries ++
@@ -98,6 +99,7 @@ object SparkEntry {
     ScaleTechniques.oracle ++
     SqlSurface.oracle ++
     Quantize.oracle ++
+    AnnQuantized.oracle ++
     Multimodal.oracle ++
     Map("flagship" -> flagshipSql)
 }

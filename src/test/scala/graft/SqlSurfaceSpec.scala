@@ -82,6 +82,16 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("quantized-scan rerank recovers nearly all of the exact top-5") {
+    import graft.llm.{AnnQuantized, Similarity}
+    val exact = Similarity.queries("llm_simsearch_topk")(spark, sfDir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = AnnQuantized.queries("llm_simsearch_quantized")(spark, sfDir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("quantized vectors stay in int8 range") {
     val qs = Quantize.queries("llm_embedding_quantize")(spark, sfDir)
       .select(col("qstr")).collect()

@@ -109,10 +109,16 @@ object Dedup {
     val prefix = sh.join(freq, "sh").join(sizes, "doc_id")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("n_sh") - ceil(col("n_sh") * JaccardThreshold) + 1)
-      .select("doc_id", "sh")
+      .select("doc_id", "sh", "n_sh")
+    // length filter (lossless, standard PPJoin companion): J >= 4/5 forces
+    // min(n1,n2) >= 0.8*max(n1,n2), stated in exact integer form (4*n <= 5*m)
+    // so no float rounding can drop a true pair — prunes candidates before
+    // the expensive exact-verify join ever sees them
     val cands = prefix.as("x")
       .join(prefix.as("y"),
-            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.n_sh") * 4 <= col("y.n_sh") * 5 &&
+            col("y.n_sh") * 4 <= col("x.n_sh") * 5)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     verifyJaccard(cands, sh, withSizes = true)

@@ -346,7 +346,68 @@ object TextAnalysis {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Intra-document repetition filter (the Gopher/C4-style quality rule the
+    * inter-document dedup family cannot express): fraction of DUPLICATED
+    * bigrams within each doc, and the most-frequent-token share. Highly
+    * repetitive documents (boilerplate, keyword stuffing, degenerate
+    * generations) score high on both and are dropped by the keep flag.
+    *
+    * Scale: the bigram stats are pure map-side HOFs over the token array
+    * (zero shuffle); the top-token share is one explode + (doc_id, w)
+    * aggregation — the same single-shuffle shape as wordcount. Exact
+    * integer ratios → deterministic doubles on both engines.
+    */
+  val repetitionFilter: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
+      .where(size(col("t")) >= 2)
+    val bigr = transform(sequence(lit(1), size(col("t")) - 1),
+      i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
+    val perDoc = t.select(col("doc_id"), col("lang"),
+        size(col("t")).cast("bigint").as("n_toks"),
+        size(bigr).cast("bigint").as("n_bigrams"),
+        size(array_distinct(bigr)).cast("bigint").as("n_distinct_bigrams"))
+    val topTok = toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_tok_n"))
+    perDoc.join(topTok, "doc_id")
+      .withColumn("dup_bigram_frac",
+        lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+      .withColumn("top_tok_share", col("top_tok_n").cast("double") / col("n_toks"))
+      .withColumn("keep",
+        (col("dup_bigram_frac") <= 0.2 && col("top_tok_share") <= 0.1).cast("int"))
+      .select("doc_id", "lang", "n_toks", "n_bigrams", "n_distinct_bigrams",
+              "top_tok_n", "dup_bigram_frac", "top_tok_share", "keep")
+      .orderBy("doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    s"""WITH $toksSqlCte,
+       |arr AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, lang,
+       |    cast(len(t) as bigint) AS n_toks,
+       |    cast(len(t) - 1 as bigint) AS n_bigrams,
+       |    cast(len(list_distinct(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1]))) as bigint) AS n_distinct_bigrams
+       |  FROM arr WHERE len(t) >= 2),
+       |tt AS (
+       |  SELECT doc_id, cast(max(c) as bigint) AS top_tok_n
+       |  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, lang, n_toks, n_bigrams, n_distinct_bigrams, top_tok_n,
+       |  1.0 - cast(n_distinct_bigrams as double) / n_bigrams AS dup_bigram_frac,
+       |  cast(top_tok_n as double) / n_toks AS top_tok_share,
+       |  cast(CASE WHEN 1.0 - cast(n_distinct_bigrams as double) / n_bigrams <= 0.2
+       |        AND cast(top_tok_n as double) / n_toks <= 0.1 THEN 1 ELSE 0 END as int) AS keep
+       |FROM bi JOIN tt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_repetition_filter" -> repetitionFilter,
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_token_count" -> tokenCount,
     "llm_rolling_hash" -> rollingHash,
@@ -361,6 +422,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_repetition_filter" -> repetitionFilterSql,
     "llm_pipeline_e2e" -> pipelineE2eSql,
     "llm_token_count" -> tokenCountSql,
     "llm_rolling_hash" -> rollingHashSql,

@@ -395,7 +395,99 @@ object Curation {
       |  array_to_string(list_sort(list(doc_id)), '|') AS postings
       |FROM toks GROUP BY w ORDER BY term""".stripMargin
 
+  // ---- end-to-end curation composite --------------------------------------
+
+  /** The whole curation path as ONE declarative plan: exact dedup (keep min
+    * doc_id per content hash) → near-dup CLUSTER resolution (drop every
+    * cluster member except the min-id survivor — the connected-components
+    * semantics, not pairwise) → intra-document repetition gate (Gopher/C4
+    * rule from [[TextAnalysis.repetitionFilter]]) → deterministic shard
+    * assignment (md5-keyed, same scheme as [[corpusShuffle]]) → per-shard
+    * corpus stats. This is what "materialize the training set" means; the
+    * earlier `llm_pipeline_e2e` covers only the exact-dedup + quality-gate
+    * slice.
+    *
+    * Scale: each stage keeps its own operator's shape — hash-partitioned
+    * aggregations, the bounded CC iteration, map-side HOF gates, map-side
+    * sharding — and between stages only (doc_id)-sized keys flow; Catalyst
+    * fuses the final joins into one pipelined plan. Docs too short to
+    * assess (<2 tokens) fail the gate by definition on both engines.
+    */
+  val curationE2e: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val exactKeep = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDupDrop = dedupClusters(s, d)
+      .where(col("is_survivor") === 0).select("doc_id")
+    val repKeep = TextAnalysis.repetitionFilter(s, d)
+      .where(col("keep") === 1).select("doc_id")
+    val nToks = size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+      .cast("bigint")
+    val kept = exactKeep
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .join(repKeep, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), nToks.as("n_toks"),
+              md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h")),
+            "doc_id")
+      .withColumn("shard", expr(shardExprSql("h")).cast("int"))
+    kept.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),
+           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
+  val curationE2eSql: String =
+    s"""WITH RECURSIVE ${Dedup.shinglesSqlCte},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+       |  FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= ${Dedup.JaccardThreshold}),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |nd_drop AS (
+       |  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a),
+       |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |bi AS (
+       |  SELECT doc_id,
+       |    cast(len(t) as bigint) AS n_toks,
+       |    cast(len(t) - 1 as bigint) AS n_bigrams,
+       |    cast(len(list_distinct(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1]))) as bigint) AS n_distinct_bigrams
+       |  FROM toks WHERE len(t) >= 2),
+       |tt AS (
+       |  SELECT doc_id, cast(max(c) as bigint) AS top_tok_n
+       |  FROM (SELECT doc_id, w, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |rep_keep AS (
+       |  SELECT doc_id FROM bi JOIN tt USING (doc_id)
+       |  WHERE 1.0 - cast(n_distinct_bigrams as double) / n_bigrams <= 0.2
+       |    AND cast(top_tok_n as double) / n_toks <= 0.1),
+       |kept AS (
+       |  SELECT t.doc_id, cast(len(t.t) as bigint) AS n_toks,
+       |    cast(${shardExprSql("md5('shuf:' || cast(t.doc_id as varchar))")} as int) AS shard
+       |  FROM toks t
+       |  JOIN exact_keep USING (doc_id)
+       |  JOIN rep_keep USING (doc_id)
+       |  LEFT JOIN nd_drop nd USING (doc_id)
+       |  WHERE nd.doc_id IS NULL)
+       |SELECT shard, count(*) AS n_docs, cast(sum(n_toks) as bigint) AS sum_toks,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM kept GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_curation_e2e" -> curationE2e,
     "llm_decontaminate" -> decontaminate,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_clusters_star" -> dedupClustersStar,
@@ -406,6 +498,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_curation_e2e" -> curationE2eSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     // the star formulation declares identical semantics — one oracle text

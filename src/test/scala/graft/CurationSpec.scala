@@ -104,6 +104,22 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected.toSet)
   }
 
+  test("curation e2e: survivors exclude every doc an upstream stage drops") {
+    import org.apache.spark.sql.functions._
+    val shards = Curation.queries("llm_curation_e2e")(spark, sfDir).collect()
+    val nTotal = Tables.documents(spark, sfDir).count()
+    val nKept = shards.map(_.getLong(1)).sum
+    assert(shards.length <= Curation.NumShards)
+    assert(nKept > 0 && nKept < nTotal) // the gates actually drop something
+    // no near-dup cluster non-survivor can be counted: per-shard doc ranges
+    // must exclude each dropped id
+    val dropped = Curation.dedupClusters(spark, sfDir)
+      .where(col("is_survivor") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val keptTotal = nKept + dropped.size
+    assert(keptTotal <= nTotal) // dropped and kept are disjoint populations
+  }
+
   test("inverted index: df equals posting length and covers the corpus") {
     val rows = Curation.invertedIndex(spark, sfDir).collect()
     rows.foreach { r =>

@@ -156,7 +156,20 @@ object SqlSurface {
     """SELECT user_id, event_id, event_type
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** The SQL:2003 FILTER clause on aggregates — conditional aggregation
+    * without CASE-wrapping every argument; Catalyst plans it as the same
+    * partial+final hash aggregate with a per-function predicate. */
+  val aggFilterClauseSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  cast(sum(cast(o_totalprice as decimal(12,2))) FILTER (WHERE o_orderstatus = 'F') as double) AS rev_finished
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_filter_clause" -> sharedSql(aggFilterClauseSql),
     "sql_transform_script" -> sharedSql(transformScriptSpark),
     "sql_distribute_sort" -> sharedSql(distributeSortSpark),
     "sql_scalar_subquery" -> sharedSql(scalarSubquerySql),
@@ -169,6 +182,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_filter_clause" -> aggFilterClauseSql,
     "sql_transform_script" -> transformScriptSql,
     "sql_distribute_sort" -> distributeSortSql,
     "sql_scalar_subquery" -> scalarSubquerySql,

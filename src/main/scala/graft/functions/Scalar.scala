@@ -217,7 +217,36 @@ object Scalar {
     """SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Bitwise scalar family: and/or/xor/not, shifts, popcount — the bit-mask
+    * manipulation a Writable-packing Hadoop job does by hand. Spark spells
+    * xor `^` and shifts as functions; DuckDB spells power `^`, xor `xor()`
+    * and shifts as operators — the twin translates, the values must agree
+    * exactly (pure int64 ops). */
+  val fnBitwise: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("o_orderkey & 1023").as("band"),
+        expr("o_orderkey | 7").as("bor"),
+        expr("o_orderkey ^ 255").as("bxor"),
+        expr("~o_orderkey").as("bnot"),
+        expr("shiftleft(o_orderkey, 3)").as("shl"),
+        expr("shiftright(o_orderkey, 2)").as("shr"),
+        expr("cast(bit_count(o_orderkey) as int)").as("popcount"))
+      .orderBy("o_orderkey")
+
+  val fnBitwiseSql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey & 1023 AS band,
+      |  o_orderkey | 7 AS bor,
+      |  xor(o_orderkey, 255) AS bxor,
+      |  ~o_orderkey AS bnot,
+      |  o_orderkey << 3 AS shl,
+      |  o_orderkey >> 2 AS shr,
+      |  cast(bit_count(o_orderkey) as int) AS popcount
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_regex" -> fnRegex,
     "fn_date" -> fnDate,
@@ -230,6 +259,7 @@ object Scalar {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_bitwise" -> fnBitwiseSql,
     "fn_string" -> fnStringSql,
     "fn_regex" -> fnRegexSql,
     "fn_date" -> fnDateSql,

@@ -270,6 +270,65 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  val SpanTokens = 8
+
+  /** Span-level (substring) dedup analysis, the public "Deduplicating
+    * Training Data Makes Language Models Better" shape at token-span
+    * granularity: for every document, how many of its 8-token span positions
+    * also occur verbatim in ANOTHER document, the duplicated fraction, and a
+    * keep flag (drop docs that are mostly recycled text). Document-level
+    * dedup cannot see this: two distinct documents sharing a boilerplate
+    * paragraph both survive exact AND near-dup, yet the paragraph is
+    * training-set duplication.
+    *
+    * Scale: spans are shuffled as md5 digests, never as text — the group-by
+    * key is 32 fixed bytes regardless of span length (and the same digest is
+    * computable in DuckDB, so the scale design IS the gated semantics). Two
+    * shuffles total: span-digest → distinct-doc count, then the doc_id
+    * re-aggregation; both hash-partitioned, no driver materialization.
+    */
+  val substringDedup: Q = (s, d) => {
+    val t = tokens(s, d).where(size(col("toks")) >= SpanTokens)
+    val spans = t.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - (SpanTokens - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(SpanTokens)))))).as("g"))
+    val shared = spans.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("g")
+    val dup = spans.join(shared, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+    t.select(col("doc_id"),
+        (size(col("toks")) - (SpanTokens - 1)).cast("bigint").as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
+      .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
+      .withColumn("keep", (col("dup_frac") <= 0.5).cast("int"))
+      .select("doc_id", "n_spans", "dup_spans", "dup_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS gs(i)
+      |  WHERE len(t) >= 8),
+      |shared AS (SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |dup AS (SELECT doc_id, count(*) AS dup_spans
+      |        FROM spans JOIN shared USING (g) GROUP BY doc_id),
+      |base AS (SELECT doc_id, cast(len(t) - 7 as bigint) AS n_spans
+      |         FROM toks WHERE len(t) >= 8)
+      |SELECT b.doc_id, b.n_spans,
+      |  cast(coalesce(dup_spans, 0) as bigint) AS dup_spans,
+      |  cast(coalesce(dup_spans, 0) as double) / n_spans AS dup_frac,
+      |  cast(CASE WHEN cast(coalesce(dup_spans, 0) as double) / n_spans <= 0.5
+      |       THEN 1 ELSE 0 END as int) AS keep
+      |FROM base b LEFT JOIN dup USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Min-hash content fingerprint per doc (winnowing-style: min of shingle
     * digests) — md5-based so DuckDB can reproduce it. */
   val fingerprint: Q = (s, d) =>
@@ -291,6 +350,7 @@ object Dedup {
     "llm_neardup_pairs" -> neardupPairs,
     "llm_neardup_minhash" -> neardupMinhashLsh,
     "llm_simhash" -> simhash,
+    "llm_substring_dedup" -> substringDedup,
     "llm_fingerprint" -> fingerprint,
   )
 
@@ -318,6 +378,7 @@ object Dedup {
     "llm_exact_dedup" -> exactDedupSql,
     "llm_neardup_pairs" -> neardupPairsSql,
     "llm_neardup_minhash" -> neardupMinhashSql,
+    "llm_substring_dedup" -> substringDedupSql,
     "llm_fingerprint" -> fingerprintSql,
   )
 }

@@ -406,8 +406,117 @@ object TextAnalysis {
        |FROM bi JOIN tt USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM self-scoring (the CCNet-style perplexity quality signal,
+    * with the corpus's own unigram distribution standing in for the external
+    * LM this container cannot ship): per document, the summed and mean
+    * negative log-probability of its tokens under p(w) = cnt(w)/N, plus a
+    * coarse integer bucket. Fluent, ordinary text scores low; rare-token
+    * soup scores high.
+    *
+    * Determinism: per-token cost is integerized FIRST —
+    * micro = round(ln(N/cnt)·10⁶) as bigint — so the per-doc aggregation is
+    * an exact integer sum (order-independent under any partitioning), and
+    * the mean is one IEEE division of exact integers. No float aggregation
+    * anywhere. Scale: the unigram table is vocabulary-sized (the small side
+    * by construction) → broadcast join; one shuffle for the doc_id
+    * re-aggregation. */
+  val unigramLogprob: Q = (s, d) => {
+    val tok = toks(s, d).select("doc_id", "w")
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    val scored = tok.join(broadcast(cnt), "w").crossJoin(broadcast(n))
+      .withColumn("micro",
+        round(log(col("n_total").cast("double") / col("c")) * 1e6, 0).cast("bigint"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("nll_micro"))
+      .withColumn("mean_nll", col("nll_micro").cast("double") / col("n_toks"))
+      .withColumn("nll_bucket", floor(col("mean_nll") / 1e6).cast("int"))
+      .select("doc_id", "n_toks", "nll_micro", "mean_nll", "nll_bucket")
+      .orderBy("doc_id")
+  }
+
+  val unigramLogprobSql: String =
+    s"""WITH $toksSqlCte,
+       |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |n AS (SELECT count(*) AS n_total FROM toks),
+       |scored AS (
+       |  SELECT doc_id,
+       |    cast(round(ln(cast(n_total as double) / c) * 1e6, 0) as bigint) AS micro
+       |  FROM toks JOIN cnt USING (w) CROSS JOIN n),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_toks, cast(sum(micro) as bigint) AS nll_micro
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_toks, nll_micro,
+       |  cast(nll_micro as double) / n_toks AS mean_nll,
+       |  cast(floor((cast(nll_micro as double) / n_toks) / 1e6) as int) AS nll_bucket
+       |FROM per ORDER BY doc_id""".stripMargin
+
+  val ZipfTopTerms = 500
+
+  /** Zipf-law fit per language: least-squares slope/intercept of
+    * ln(freq) ~ ln(rank) over the top-500 terms — the corpus-health
+    * diagnostic (natural language tracks slope ≈ −1; spam/generated text
+    * deviates). The regression is computed from EXACT integer sums: each
+    * (ln rank, ln freq) point is integerized to milli-nats (≤ ~14·10³, so
+    * Σxy over 500 points stays far inside int64), then
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with bigint numerators — the only
+    * float ops are the two final divisions of exactly-representable
+    * integers, identical on both engines (regr_slope would sum doubles in
+    * partition order — nondeterministic across engines and runs).
+    * Scale: term counts are one wordcount shuffle; the per-lang ranking
+    * windows over vocabulary-sized data (bounded, ≪ corpus). */
+  val zipfCurve: Q = (s, d) => {
+    val tf = toks(s, d).groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("c").desc, col("w"))
+    val pts = tf.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= ZipfTopTerms)
+      .select(col("lang"),
+        round(log(col("rk").cast("double")) * 1e3, 0).cast("bigint").as("x"),
+        round(log(col("c").cast("double")) * 1e3, 0).cast("bigint").as("y"))
+    pts.groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+        col("n_terms").cast("double"))
+      .select("lang", "n_terms", "slope", "intercept")
+      .orderBy("lang")
+  }
+
+  val zipfCurveSql: String =
+    s"""WITH $toksSqlCte,
+       |tf AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY lang, w),
+       |ranked AS (
+       |  SELECT lang, c,
+       |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+       |  FROM tf),
+       |pts AS (
+       |  SELECT lang,
+       |    cast(round(ln(cast(rk as double)) * 1e3, 0) as bigint) AS x,
+       |    cast(round(ln(cast(c as double)) * 1e3, 0) as bigint) AS y
+       |  FROM ranked WHERE rk <= $ZipfTopTerms),
+       |sums AS (
+       |  SELECT lang, count(*) AS n_terms,
+       |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+       |    cast(sum(x * y) as bigint) AS sxy, cast(sum(x * x) as bigint) AS sxx
+       |  FROM pts GROUP BY lang)
+       |SELECT lang, n_terms,
+       |  cast(n_terms * sxy - sx * sy as double) /
+       |    cast(n_terms * sxx - sx * sx as double) AS slope,
+       |  (cast(sy as double) - (cast(n_terms * sxy - sx * sy as double) /
+       |    cast(n_terms * sxx - sx * sx as double)) * cast(sx as double)) /
+       |    cast(n_terms as double) AS intercept
+       |FROM sums ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_repetition_filter" -> repetitionFilter,
+    "llm_unigram_logprob" -> unigramLogprob,
+    "llm_zipf_curve" -> zipfCurve,
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_token_count" -> tokenCount,
     "llm_rolling_hash" -> rollingHash,
@@ -423,6 +532,8 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "llm_repetition_filter" -> repetitionFilterSql,
+    "llm_unigram_logprob" -> unigramLogprobSql,
+    "llm_zipf_curve" -> zipfCurveSql,
     "llm_pipeline_e2e" -> pipelineE2eSql,
     "llm_token_count" -> tokenCountSql,
     "llm_rolling_hash" -> rollingHashSql,

@@ -319,7 +319,59 @@ object Aggregates {
       |  bit_xor(o_custkey) AS k_xor
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** UNPIVOT / melt — wide metric columns to long (metric, value) rows, the
+    * inverse of agg_pivot. `Dataset.unpivot` plans as a map-side Expand (one
+    * output row per value column, no shuffle); the upstream per-flag
+    * aggregation is the only exchange. All three metrics are bigint so the
+    * stacked value column has one type. */
+  val aggUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+           count(lit(1)).as("n_rows"),
+           countDistinct(col("l_partkey")).as("n_parts"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("sum_qty"), col("n_rows"), col("n_parts")),
+               "metric", "val")
+      .orderBy("l_returnflag", "metric")
+
+  val aggUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+      |    count(*) AS n_rows,
+      |    count(DISTINCT l_partkey) AS n_parts
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, val FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_rows', n_rows FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_parts', n_parts FROM wide)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** LISTAGG (SQL:2016, Spark 4) — ordered string concatenation per group,
+    * the reducer-side "join the values" idiom; WITHIN GROUP fixes the element
+    * order so the result is deterministic. DuckDB twin: string_agg with
+    * ORDER BY. */
+  val aggListagg: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""SELECT r_name,
+            |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members
+            |FROM nation JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY r_name
+            |ORDER BY r_name""".stripMargin)
+  }
+
+  val aggListaggSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_unpivot" -> aggUnpivot,
+    "agg_listagg" -> aggListagg,
     "agg_bitwise" -> aggBitwise,
     "agg_pivot" -> aggPivot,
     "sample_hash" -> sampleHash,
@@ -347,6 +399,8 @@ object Aggregates {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_unpivot" -> aggUnpivotSql,
+    "agg_listagg" -> aggListaggSql,
     "agg_sort_fallback" -> aggSortFallbackSql,
     "agg_bitwise" -> aggBitwiseSql,
     "agg_pivot" -> aggPivotSql,

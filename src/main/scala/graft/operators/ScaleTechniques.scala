@@ -82,13 +82,51 @@ object ScaleTechniques {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** Bloom-filter runtime pre-filter join — the manual form of Spark's
+    * InjectRuntimeFilter, and the Hadoop idiom of shipping a membership
+    * filter file via DistributedCache to make the map side drop unjoinable
+    * rows before the shuffle. One pass over the (filtered) dimension builds
+    * a Bloom filter of its join keys (spark-sketch, deterministic for fixed
+    * (n, fpp)); broadcast to executors, it prunes the fact side BEFORE the
+    * exchange, so only the ~selectivity fraction of the fact table is
+    * shuffled. False positives just leak a few extra rows into the shuffle;
+    * the join removes them — the result provably equals the plain join,
+    * which is the oracle. The merge hint forces a real shuffle join (the
+    * honest 100 TB scenario: if the dim were broadcastable, the join itself
+    * would already be the filter). */
+  val joinBloomPrefilter: Q = (s, d) => {
+    val dim = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val bf = dim.stat.bloomFilter("c_custkey", 2000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    Tables.orders(s, d)
+      .where(mightContain(col("o_custkey")))
+      .join(dim.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("total"))
+      .orderBy("c_nationkey")
+  }
+
+  val joinBloomPrefilterSql: String =
+    s"""SELECT c_nationkey, count(*) AS n_orders,
+       |  ${moneySumSql("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'MACHINERY'
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "skew_salted_join" -> skewSaltedJoin,
     "join_bucketed_colocated" -> joinBucketedColocated,
+    "join_bloom_prefilter" -> joinBloomPrefilter,
   )
 
   val oracle: Map[String, String] = Map(
     "skew_salted_join" -> skewSaltedJoinSql,
     "join_bucketed_colocated" -> joinBucketedColocatedSql,
+    "join_bloom_prefilter" -> joinBloomPrefilterSql,
   )
 }

@@ -168,7 +168,35 @@ object SqlSurface {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** `GROUP BY ALL` (modern dialect shorthand, supported by Spark and DuckDB
+    * alike): every non-aggregate select item becomes a grouping key — the
+    * parser expands it to the same partial+final hash aggregate as an
+    * explicit GROUP BY. Shared verbatim with the oracle. */
+  val groupByAllSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** The named `WINDOW` clause (SQL:2003): one window specification shared
+    * by several analytic functions instead of being restated per function.
+    * Catalyst resolves both references to a single Window node — one
+    * exchange + one sort serve every function over `w`. Shared verbatim. */
+  val windowClauseSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER w AS rk,
+      |  cast(count(*) OVER wf as bigint) AS n_so_far,
+      |  cast(sum(cast(o_totalprice as decimal(12,2))) OVER wf as double) AS run_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_group_by_all" -> sharedSql(groupByAllSql),
+    "sql_window_clause" -> sharedSql(windowClauseSql),
     "agg_filter_clause" -> sharedSql(aggFilterClauseSql),
     "sql_transform_script" -> sharedSql(transformScriptSpark),
     "sql_distribute_sort" -> sharedSql(distributeSortSpark),
@@ -182,6 +210,8 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_group_by_all" -> groupByAllSql,
+    "sql_window_clause" -> windowClauseSql,
     "agg_filter_clause" -> aggFilterClauseSql,
     "sql_transform_script" -> transformScriptSql,
     "sql_distribute_sort" -> distributeSortSql,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.operators.Aggregates
 
 /** Unit coverage for the non-SQL-expressible LLM-pipeline and approx ops. */
@@ -59,6 +59,57 @@ class LlmSpec extends SparkSpec {
     Dedup.simhash(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getAs[Number]("hamming").intValue <= 8)
+    }
+  }
+
+  test("substring dedup: near-dup docs share spans; keep flag matches dup_frac") {
+    val rows = Dedup.substringDedup(spark, sfDir).collect()
+    // every doc with >= 8 tokens is scored, none shorter
+    val nDocs = Dedup.tokens(spark, sfDir)
+      .where(size(col("toks")) >= Dedup.SpanTokens).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val nSpans = r.getLong(1); val dup = r.getLong(2)
+      val frac = r.getDouble(3); val keep = r.getInt(4)
+      assert(dup >= 0 && dup <= nSpans)
+      assert(math.abs(frac - dup.toDouble / nSpans) < 1e-12)
+      assert(keep == (if (frac <= 0.5) 1 else 0))
+    }
+    // the planted exact-Jaccard near-dup pairs must surface as span overlap
+    val nearDup = Dedup.neardupPairs(spark, sfDir)
+      .select(col("d1").as("doc_id")).distinct()
+    val dupById = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    nearDup.collect().foreach { r =>
+      assert(dupById.getOrElse(r.getLong(0), 0L) > 0,
+        s"near-dup doc ${r.getLong(0)} has no duplicated spans")
+    }
+  }
+
+  test("unigram logprob: exact integer accounting and rare-text ordering") {
+    val rows = TextAnalysis.unigramLogprob(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val n = r.getLong(1); val micro = r.getLong(2)
+      val mean = r.getDouble(3); val bucket = r.getInt(4)
+      assert(n > 0 && micro > 0)
+      assert(mean == micro.toDouble / n)           // exact int division, bit-stable
+      assert(bucket == math.floor(mean / 1e6).toInt)
+    }
+    // scoring must discriminate between documents (the uniform corpus keeps
+    // every doc in the same coarse integer bucket at sf0.01, but the exact
+    // means must spread)
+    assert(rows.map(_.getDouble(3)).distinct.length > rows.length / 2,
+      "mean nll barely varies across docs — scoring is not discriminating")
+  }
+
+  test("zipf curve: slope is negative and near the Zipf range per language") {
+    val rows = TextAnalysis.zipfCurve(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getLong(1); val slope = r.getDouble(2); val icept = r.getDouble(3)
+      assert(n > 10 && n <= TextAnalysis.ZipfTopTerms)
+      assert(slope < -0.1 && slope > -3.0, s"slope $slope out of Zipf range")
+      assert(icept > 0, s"intercept $icept should be positive (ln f(1) > 0)")
     }
   }
 

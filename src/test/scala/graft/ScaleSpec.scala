@@ -31,6 +31,38 @@ class ScaleSpec extends SparkSpec {
     assert(saltsUsed > 1, "hot key must spread over multiple salt groups")
   }
 
+  test("bloom prefilter join: equals the plain join and actually prunes the fact side") {
+    val viaBloom = ScaleTechniques.joinBloomPrefilter(spark, sfDir).collect().toSeq
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+              .where(col("c_mktsegment") === "MACHINERY")
+              .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+           Dsl.moneySum(col("o_totalprice")).as("total"))
+      .orderBy("c_nationkey")
+      .collect().toSeq
+    assert(viaBloom == plain)
+
+    // the broadcast filter must prune: orders surviving the bloom probe are
+    // far fewer than the full table (fpp 1% ≈ segment share + noise), yet a
+    // superset of the true matches (no false negatives, ever)
+    val dim = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "MACHINERY")
+    val bf = dim.stat.bloomFilter("c_custkey", 2000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    val total = Tables.orders(spark, sfDir).count()
+    val surviving = Tables.orders(spark, sfDir)
+      .where(mightContain(col("o_custkey"))).count()
+    val trueMatches = Tables.orders(spark, sfDir)
+      .join(dim, col("o_custkey") === col("c_custkey")).count()
+    assert(surviving >= trueMatches, "bloom filters never false-negative")
+    assert(surviving < total / 2,
+      s"bloom pruned nothing: $surviving of $total rows survived")
+  }
+
   test("dynamic partition pruning reaches a partitioned fact scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     Tables.orders(spark, sfDir)

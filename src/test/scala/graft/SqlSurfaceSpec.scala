@@ -30,6 +30,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("GROUP BY ALL expands to the explicit grouping") {
+    val viaAll = SqlSurface.queries("sql_group_by_all")(spark, sfDir).collect().toSeq
+    Tables.registerViews(spark, sfDir)
+    val explicit = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect().toSeq
+    assert(viaAll == explicit)
+  }
+
+  test("named WINDOW clause: both specs resolve into a single Window node") {
+    val df = SqlSurface.queries("sql_window_clause")(spark, sfDir)
+    val p = plan(df)
+    val windowNodes = p.linesIterator.count(_.contains(" Window ["))
+    assert(windowNodes == 1,
+      s"same partitioning+ordering must share one Window exec, got $windowNodes:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("unpivot plans as a map-side Expand (no extra shuffle)") {
+    val df = graft.operators.Aggregates.aggUnpivot(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("Expand"), p)
+    // exactly the aggregation's exchanges + the final sort — the unpivot
+    // itself adds none: Expand sits above the aggregate, below any new shuffle
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"unpivot added shuffles:\n$p")
+  }
+
   test("recursive CTE computes exact bigint factorials") {
     val rows = SqlSurface.queries("sql_recursive_cte")(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -245,7 +245,53 @@ object Scalar {
       |  cast(bit_count(o_orderkey) as int) AS popcount
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Spark 4 VARIANT type: parse the JSON props column once into the binary
+    * semi-structured VARIANT encoding, then extract typed fields with
+    * variant_get (path + target type) — the schema-on-read surface a Hadoop
+    * job gets from per-record Writable decoding, minus the per-job code.
+    * try_variant_get with a non-matching type yields NULL, not an error.
+    * The oracle twin extracts the same values via JSON paths. */
+  val fnVariant: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""SELECT event_id,
+            |  cast(variant_get(parse_json(props), '$.k', 'int') as int) AS k_int,
+            |  cast(variant_get(parse_json(props), '$.k', 'string') as string) AS k_str,
+            |  cast(try_variant_get(parse_json(props), '$.missing', 'int') IS NULL as int) AS missing_is_null
+            |FROM events
+            |ORDER BY event_id""".stripMargin)
+  }
+
+  val fnVariantSql: String =
+    """SELECT event_id,
+      |  cast(json_extract(props, '$.k') as int) AS k_int,
+      |  cast(cast(json_extract(props, '$.k') as int) as varchar) AS k_str,
+      |  cast(1 as int) AS missing_is_null
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** XML parsing (Spark 4 built-in from_xml): render each row as an XML
+    * fragment, parse it back with an explicit schema, and project the typed
+    * fields — the round-trip proves parser + schema mapping. The oracle
+    * recomputes the identity straight from the base table. */
+  val fnXml: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""SELECT n_nationkey,
+            |  xml.k AS k, xml.name AS name
+            |FROM (
+            |  SELECT n_nationkey,
+            |    from_xml(concat('<r><k>', n_nationkey, '</k><name>', n_name, '</name></r>'),
+            |             'k INT, name STRING') AS xml
+            |  FROM nation)
+            |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  val fnXmlSql: String =
+    """SELECT n_nationkey, cast(n_nationkey as int) AS k, n_name AS name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_variant" -> fnVariant,
+    "fn_xml" -> fnXml,
     "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_regex" -> fnRegex,
@@ -259,6 +305,8 @@ object Scalar {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_variant" -> fnVariantSql,
+    "fn_xml" -> fnXmlSql,
     "fn_bitwise" -> fnBitwiseSql,
     "fn_string" -> fnStringSql,
     "fn_regex" -> fnRegexSql,

@@ -55,12 +55,17 @@ object Curation {
         .agg(min("nbr_lbl").as("nbr_min"))
       // one joined frame serves both the label update and the convergence
       // check (a label shrinks iff some neighbor's label is smaller), so each
-      // round is exactly one join + one count — no second old-vs-new join
+      // round is exactly one join + one count — no second old-vs-new join.
+      // localCheckpoint is LAZY: it truncates lineage but materializes inside
+      // the count() action, so each round schedules exactly ONE Spark job
+      // (the eager default ran a separate checkpoint job per round, doubling
+      // the loop's scheduling overhead — which dominates when per-round data
+      // is label-table-sized).
       val joined = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
                 least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
                 (col("nbr_min") < col("lbl")).as("shrank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = joined.where(col("shrank")).count()
       labels = joined.select("id", "lbl")
       rounds += 1
@@ -120,24 +125,39 @@ object Curation {
       .union(pairs.select(col("b").as("id"))).distinct()
       .localCheckpoint()
     var e = canonEdges(pairs).localCheckpoint()
-    // convergence check: one count per round, and only when the cardinality
-    // is unchanged one single-direction anti-join (|next| == |e| makes
-    // next ⊆ e equivalent to set equality). The first cut ran TWO except()
-    // anti-joins + counts every round — at tiny per-round data the loop is
-    // job-overhead-bound, and halving the jobs per round halves the wall
-    // clock (the same holds on a cluster, where each action is a scheduling
-    // round-trip).
-    var eCnt = e.count()
-    var changed = 1L
+    // Convergence check: the converged state is a FIXED POINT of the edge
+    // set, so compare one order-independent signature per round — count +
+    // sum and xor of a 64-bit edge hash. Two distinct edge sets colliding on
+    // all three is ~2^-128 (and the DuckDB oracle would still catch it), so
+    // this replaces the count-then-except scheme with exactly ONE Spark job
+    // per round; the lazy localCheckpoint materializes inside that same job.
+    // Loops over tiny per-round data are scheduling-bound — on a cluster
+    // every extra action is a driver round-trip, so jobs-per-round IS the
+    // loop's cost model.
+    def signature(df: DataFrame): (Long, BigDecimal, Long) = {
+      // the hash SUM is taken in decimal(38,0): summing raw 64-bit hashes
+      // overflows long (ANSI mode makes that a task failure, not a wrap)
+      val r = df.agg(count(lit(1)),
+                     sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+                     expr("bit_xor(xxhash64(src, dst))")).head
+      (r.getLong(0),
+       if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+       if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var sig = signature(e)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
-      val next = canonEdges(
-          smallStarRound(canonEdges(largeStarRound(e))))
-        .localCheckpoint()
-      val nextCnt = next.count()
-      changed = if (nextCnt != eCnt) 1L else next.except(e).count()
+    while (changed && rounds < 64) {
+      // large-star emits (bigger, min)-oriented edges only; small-star reads
+      // exactly that orientation, so no intermediate bidirect+distinct pass
+      // is needed between the two rewrites — one canonEdges per round
+      val large = largeStarRound(e)
+        .select(col("a").as("src"), col("b").as("dst")).distinct()
+      val next = canonEdges(smallStarRound(large)).localCheckpoint(false)
+      val nextSig = signature(next)
+      changed = nextSig != sig
       e = next
-      eCnt = nextCnt
+      sig = nextSig
       rounds += 1
     }
     // converged graph is a star per component: non-min nodes point at the min

@@ -289,9 +289,13 @@ object Dedup {
     */
   val substringDedup: Q = (s, d) => {
     val t = tokens(s, d).where(size(col("toks")) >= SpanTokens)
+    // the tokenization + per-position md5 explode is the expensive narrow
+    // stage and feeds BOTH the shared-gram aggregation and the join back —
+    // materialize it once
     val spans = t.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("toks")) - (SpanTokens - 1)),
         i => md5(concat_ws(" ", slice(col("toks"), i, lit(SpanTokens)))))).as("g"))
+      .cache()
     val shared = spans.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
@@ -329,6 +333,55 @@ object Dedup {
       |FROM base b LEFT JOIN dup USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  val WinnowWindow = 4
+
+  /** Winnowing fingerprint selection (the public MOSS local-fingerprinting
+    * algorithm): hash every positional 5-gram shingle, slide a window of 4
+    * over the hash sequence, keep each window's minimum — guaranteeing at
+    * least one fingerprint per window so any sufficiently long shared
+    * passage yields a shared fingerprint, while storing only ~2/(w+1) of the
+    * hashes. Output per doc: selected-fingerprint count, density, and the
+    * min/max selected digest (stable scalars for the hash-compare).
+    *
+    * Scale: entirely map-side — the hash sequence, the sliding-window min
+    * and the distinct-selection all happen inside per-doc array HOFs; zero
+    * shuffle, no state. The fingerprint → posting-list index this feeds is
+    * llm_inverted_index's shape. */
+  val winnowFingerprint: Q = (s, d) => {
+    val t = tokens(s, d).where(size(col("toks")) >= 5 + WinnowWindow - 1)
+    val hs = transform(sequence(lit(1), size(col("toks")) - 4),
+      i => md5(concat_ws(" ", slice(col("toks"), i, lit(5)))))
+    val fps = array_distinct(transform(sequence(lit(1), size(col("toks")) - 4 - (WinnowWindow - 1)),
+      j => array_min(slice(hs, j, lit(WinnowWindow)))))
+    t.select(col("doc_id"),
+        (size(col("toks")) - 4).cast("bigint").as("n_shingles"),
+        size(fps).cast("bigint").as("n_fps"),
+        (size(fps).cast("double") / (size(col("toks")) - 4)).as("density"),
+        array_min(fps).as("fp_min"), array_max(fps).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  val winnowFingerprintSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, len(t) - 4 AS n_shingles,
+       |    list_transform(range(1, len(t) - 3),
+       |                   i -> md5(array_to_string(t[i:i+4], ' '))) AS h
+       |  FROM toks WHERE len(t) >= ${5 + WinnowWindow - 1}),
+       |sel AS (
+       |  SELECT doc_id, n_shingles,
+       |    list_distinct(list_transform(range(1, len(h) - ${WinnowWindow - 2}),
+       |                  j -> list_min(h[j:j+${WinnowWindow - 1}]))) AS fps
+       |  FROM hs)
+       |SELECT doc_id, cast(n_shingles as bigint) AS n_shingles,
+       |  cast(len(fps) as bigint) AS n_fps,
+       |  cast(len(fps) as double) / n_shingles AS density,
+       |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+       |FROM sel
+       |ORDER BY doc_id""".stripMargin
+
   /** Min-hash content fingerprint per doc (winnowing-style: min of shingle
     * digests) — md5-based so DuckDB can reproduce it. */
   val fingerprint: Q = (s, d) =>
@@ -351,6 +404,7 @@ object Dedup {
     "llm_neardup_minhash" -> neardupMinhashLsh,
     "llm_simhash" -> simhash,
     "llm_substring_dedup" -> substringDedup,
+    "llm_winnow_fingerprint" -> winnowFingerprint,
     "llm_fingerprint" -> fingerprint,
   )
 
@@ -379,6 +433,7 @@ object Dedup {
     "llm_neardup_pairs" -> neardupPairsSql,
     "llm_neardup_minhash" -> neardupMinhashSql,
     "llm_substring_dedup" -> substringDedupSql,
+    "llm_winnow_fingerprint" -> winnowFingerprintSql,
     "llm_fingerprint" -> fingerprintSql,
   )
 }

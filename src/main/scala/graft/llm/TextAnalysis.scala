@@ -513,10 +513,43 @@ object TextAnalysis {
        |    cast(n_terms as double) AS intercept
        |FROM sums ORDER BY lang""".stripMargin
 
+  /** One round of BPE vocabulary training as a dataflow: count every
+    * adjacent character pair across the corpus vocabulary, weighted by word
+    * frequency — the argmax pair is the merge a byte-pair-encoding tokenizer
+    * would learn next. (Full BPE iterates this with a re-segmented vocab;
+    * the per-round dataflow is identical, so this is the repeating unit.)
+    *
+    * Scale: pair extraction runs over the DISTINCT word vocabulary (bounded,
+    * ≪ corpus) with frequencies from one wordcount shuffle; the pair
+    * aggregation is vocabulary-sized. Pure integer counts → oracle-exact. */
+  val bpePairCounts: Q = (s, d) => {
+    val wc = toks(s, d).groupBy("w").agg(count(lit(1)).as("wcnt"))
+    wc.where(length(col("w")) >= 2)
+      .select(col("wcnt"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpePairCountsSql: String =
+    s"""WITH $toksSqlCte,
+       |wc AS (SELECT w, count(*) AS wcnt FROM toks GROUP BY w),
+       |pairs AS (
+       |  SELECT wcnt, substr(w, i, 2) AS pair
+       |  FROM wc, unnest(generate_series(1, length(w) - 1)) AS g(i)
+       |  WHERE length(w) >= 2)
+       |SELECT pair, cast(sum(wcnt) as bigint) AS cnt
+       |FROM pairs GROUP BY pair
+       |ORDER BY cnt DESC, pair
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_repetition_filter" -> repetitionFilter,
     "llm_unigram_logprob" -> unigramLogprob,
     "llm_zipf_curve" -> zipfCurve,
+    "llm_bpe_pair_counts" -> bpePairCounts,
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_token_count" -> tokenCount,
     "llm_rolling_hash" -> rollingHash,
@@ -534,6 +567,7 @@ object TextAnalysis {
     "llm_repetition_filter" -> repetitionFilterSql,
     "llm_unigram_logprob" -> unigramLogprobSql,
     "llm_zipf_curve" -> zipfCurveSql,
+    "llm_bpe_pair_counts" -> bpePairCountsSql,
     "llm_pipeline_e2e" -> pipelineE2eSql,
     "llm_token_count" -> tokenCountSql,
     "llm_rolling_hash" -> rollingHashSql,

@@ -194,7 +194,21 @@ object SqlSurface {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** LATERAL subquery join (SQL:1999): the inner subquery references the
+    * outer row — here a per-region ordered LIMIT, i.e. top-2-per-group
+    * spelled relationally instead of via a window. Catalyst decorrelates the
+    * correlated limit into a ranked join (DecorrelateInnerQuery), so there
+    * is no per-outer-row re-execution. Shared verbatim with the oracle. */
+  val lateralJoinSql: String =
+    """SELECT r_name, n_name, n_nationkey
+      |FROM region, LATERAL (
+      |  SELECT n_name, n_nationkey FROM nation
+      |  WHERE n_regionkey = r_regionkey
+      |  ORDER BY n_name LIMIT 2) AS top2
+      |ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_lateral_join" -> sharedSql(lateralJoinSql),
     "sql_group_by_all" -> sharedSql(groupByAllSql),
     "sql_window_clause" -> sharedSql(windowClauseSql),
     "agg_filter_clause" -> sharedSql(aggFilterClauseSql),
@@ -210,6 +224,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_lateral_join" -> lateralJoinSql,
     "sql_group_by_all" -> groupByAllSql,
     "sql_window_clause" -> windowClauseSql,
     "agg_filter_clause" -> aggFilterClauseSql,

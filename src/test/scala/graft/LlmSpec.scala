@@ -113,6 +113,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: selection density within winnowing bounds, fingerprints are shingle hashes") {
+    val rows = Dedup.winnowFingerprint(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nSh = r.getLong(1); val nFps = r.getLong(2); val density = r.getDouble(3)
+      val nWindows = nSh - (Dedup.WinnowWindow - 1)
+      assert(nFps >= 1 && nFps <= nWindows,
+        s"selected $nFps fingerprints from $nWindows windows")
+      assert(density > 0 && density <= 1.0)
+      assert(r.getString(4) <= r.getString(5), "fp_min must not exceed fp_max")
+    }
+  }
+
+  test("BPE pair counts: top merges are 2-char pairs with descending counts") {
+    val rows = graft.llm.TextAnalysis.bpePairCounts(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(0).length == 2))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.head > 0)
+  }
+
   test("brute-force kNN self-consistency: scores within [-1,1], k respected") {
     val topk = Similarity.simsearchTopk(spark, sfDir).collect()
     val byQ = topk.groupBy(_.getLong(0))

@@ -61,6 +61,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(exchanges <= 3, s"unpivot added shuffles:\n$p")
   }
 
+  test("LATERAL join: correlated LIMIT yields the alphabetical top-2 per region") {
+    val rows = SqlSurface.queries("sql_lateral_join")(spark, sfDir).collect()
+    val perRegion = rows.groupBy(_.getString(0))
+    assert(perRegion.values.forall(_.length <= 2))
+    Tables.registerViews(spark, sfDir)
+    val expect = spark.sql(
+      """SELECT r_name, n_name FROM (
+        |  SELECT r_name, n_name,
+        |    row_number() OVER (PARTITION BY r_regionkey ORDER BY n_name) AS rk
+        |  FROM region JOIN nation ON n_regionkey = r_regionkey)
+        |WHERE rk <= 2 ORDER BY r_name, n_name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == expect)
+  }
+
   test("recursive CTE computes exact bigint factorials") {
     val rows = SqlSurface.queries("sql_recursive_cte")(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
-import graft.llm.{AnnIvf, AnnLsh, AnnQuantized, Curation, Dedup, Quantize, Similarity, TextAnalysis}
+import graft.llm.{AnnIvf, AnnLsh, AnnQuantized, Clustering, Curation, Dedup, Quantize, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{FsOps, Sources}
 import graft.streaming.Streams
@@ -72,6 +72,7 @@ object SparkEntry {
     AnnLsh.queries ++
     AnnIvf.queries ++
     AnnQuantized.queries ++
+    Clustering.queries ++
     Multimodal.queries ++
     ScaleTechniques.queries ++
     SqlSurface.queries ++
@@ -100,6 +101,7 @@ object SparkEntry {
     SqlSurface.oracle ++
     Quantize.oracle ++
     AnnQuantized.oracle ++
+    Clustering.oracle ++
     Multimodal.oracle ++
     Map("flagship" -> flagshipSql)
 }

@@ -122,7 +122,49 @@ object Classics {
       |  cast(length(text) as int) AS n_chars2
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TeraValidate analog: verify a claimed sort order and emit a content
+    * checksum. The "claimed order" here is lineitem by (l_shipdate,
+    * l_orderkey, l_linenumber); we validate that l_orderkey is NOT globally
+    * monotone under it (counting real inversions, not a vacuous zero) and
+    * checksum the key columns with exact integer arithmetic. The adjacency
+    * scan is a lag window; at 100 TB it runs per range-partition with a
+    * per-partition (min, max) boundary pass — same counts, no global window
+    * (the single-partition window below is the oracle semantics).
+    * Checksum is a sum of per-row polynomial hashes mod a prime — exact
+    * bigint math, order-independent, identical in both engines. */
+  val mrTeravalidate: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"))
+      .withColumn("prev_key", lag(col("l_orderkey"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey") < col("prev_key"), 1L).otherwise(0L))
+          .as("inversions"),
+        sum((col("l_orderkey") * 31 + col("l_linenumber") * 7
+               + col("l_partkey")) % 1000003).as("checksum"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val mrTeravalidateSql: String =
+    """WITH seq AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    lag(l_orderkey, 1) OVER (
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_key
+      |  FROM lineitem)
+      |SELECT count(*) AS n_rows,
+      |  cast(sum(CASE WHEN l_orderkey < prev_key THEN 1 ELSE 0 END) as bigint)
+      |    AS inversions,
+      |  cast(sum((l_orderkey * 31 + l_linenumber * 7 + l_partkey) % 1000003)
+      |    as bigint) AS checksum,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      |FROM seq""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mr_teravalidate" -> mrTeravalidate,
     "mr_wordcount" -> mrWordcount,
     "mr_multifilewc" -> mrMultifilewc,
     "mr_grep" -> mrGrep,
@@ -140,6 +182,7 @@ object Classics {
       |FROM lineitem""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mr_teravalidate" -> mrTeravalidateSql,
     "mr_counters" -> mrCountersSql,
     "mr_wordcount" -> mrWordcountSql,
     "mr_multifilewc" -> mrMultifilewcSql,

@@ -148,15 +148,72 @@ object Similarity {
        |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  /** k-NN graph (K=3) with mutuality flags — the clustering / SemDeDup
+    * primitive: every vector's 3 nearest neighbors by cosine, and whether
+    * each directed edge is reciprocated (mutual-kNN edges are the usual
+    * graph-clustering input). Built on the even-id half of the corpus (a
+    * deterministic subset, matching the simjoin convention).
+    *
+    * Exact brute-force pairing is the declared semantics; at 100 TB the
+    * pair join is replaced by the int8-quantized shortlist
+    * ([[AnnQuantized]]) or IVF buckets ([[AnnIvf]]) feeding the SAME
+    * window + mutuality join — graph assembly is scale-invariant. */
+  val KnnGraphK = 3
+
+  val knnGraph: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("av"),
+                     col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("bv"),
+                     col("nrm").as("bn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+    val edges = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+              (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= KnnGraphK)
+      .select(col("src"), col("rk"), col("dst"), col("score"))
+    // an edge is mutual iff its reverse also survived the top-K cut
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+      .withColumn("m", lit(true))
+    edges.join(rev, col("src") === col("r_src") && col("dst") === col("r_dst"),
+               "left")
+      .select(col("src"), col("rk"), col("dst"),
+              round(col("score"), 6).as("score6"),
+              coalesce(col("m"), lit(false)).as("mutual"))
+      .orderBy("src", "rk")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS score
+       |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+       |edges AS (
+       |  SELECT src, dst, score,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
+       |  FROM scored QUALIFY rk <= $KnnGraphK)
+       |SELECT e.src, e.rk, e.dst, round(e.score, 6) AS score6,
+       |  (r.src IS NOT NULL) AS mutual
+       |FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+       |ORDER BY e.src, e.rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simjoin_threshold" -> simjoinThreshold,
     "llm_neardup_embedding" -> neardupEmbedding,
+    "llm_knn_graph" -> knnGraph,
   )
 
   val oracle: Map[String, String] = Map(
     "llm_simsearch_topk" -> simsearchTopkSql,
     "llm_simjoin_threshold" -> simjoinThresholdSql,
     "llm_neardup_embedding" -> neardupEmbeddingSql,
+    "llm_knn_graph" -> knnGraphSql,
   )
 }

@@ -545,7 +545,127 @@ object TextAnalysis {
        |ORDER BY cnt DESC, pair
        |LIMIT 20""".stripMargin
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by the
+    * log-likelihood ratio of its tokens under a hashed-unigram model of a
+    * TARGET distribution (here: `source = 'src0'`, standing in for the
+    * high-quality target corpus) versus the RAW distribution (everything
+    * else), with add-1 smoothing over the bucket space. High weight = looks
+    * like the target; resampling by this weight is the data-selection step.
+    *
+    * Features are 256 buckets keyed by the first two hex chars of md5(w) —
+    * md5 is the cross-engine-identical hash (xxhash64 has no DuckDB twin).
+    * Determinism: per-token log-ratio is integerized to micro-nats FIRST
+    * (round(·1e6) as bigint), so the per-doc aggregation is an exact
+    * integer sum under any partitioning; the mean is one IEEE division.
+    * Scale: both bucket tables are 256 rows → broadcast; one shuffle for
+    * the doc_id re-aggregation — the whole scorer is wordcount-shaped. */
+  val dsirWeights: Q = (s, d) => {
+    val tok = toks(s, d)
+      .select(col("doc_id"), col("source"),
+              substring(md5(col("w")), 1, 2).as("b"))
+    val tcnt = tok.where(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rcnt = tok.where(col("source") =!= "src0")
+      .groupBy("b").agg(count(lit(1)).as("rc"))
+    val tot = tok.agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("nr"))
+    val scored = tok
+      .join(broadcast(tcnt), Seq("b"), "left")
+      .join(broadcast(rcnt), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("micro",
+        round((log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+                   (col("nt") + 256)) -
+               log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
+                   (col("nr") + 256))) * 1e6, 0).cast("bigint"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("dsir_micro"))
+      .withColumn("avg_logratio", col("dsir_micro").cast("double") / col("n_toks"))
+      .select("doc_id", "n_toks", "dsir_micro", "avg_logratio")
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH $toksSqlCte,
+       |tb AS (SELECT doc_id, source, substr(md5(w), 1, 2) AS b FROM toks),
+       |tcnt AS (SELECT b, count(*) AS tc FROM tb WHERE source = 'src0' GROUP BY b),
+       |rcnt AS (SELECT b, count(*) AS rc FROM tb WHERE source <> 'src0' GROUP BY b),
+       |tot AS (
+       |  SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt,
+       |         sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS nr
+       |  FROM tb),
+       |scored AS (
+       |  SELECT doc_id,
+       |    cast(round((ln(cast(coalesce(tc, 0) + 1 as double) / (nt + 256))
+       |              - ln(cast(coalesce(rc, 0) + 1 as double) / (nr + 256))) * 1e6, 0)
+       |         as bigint) AS micro
+       |  FROM tb LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b) CROSS JOIN tot),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_toks, cast(sum(micro) as bigint) AS dsir_micro
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_toks, dsir_micro,
+       |  cast(dsir_micro as double) / n_toks AS avg_logratio
+       |FROM per ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing: rank every document inside its
+    * language by unigram-LM mean NLL ([[unigramLogprob]]'s signal) and cut
+    * each language into head/middle/tail terciles (ntile(3) with the
+    * deterministic (mean_nll, doc_id) order). Output is the per-bucket
+    * summary a curation pipeline keys its sampling rates on. The bucket
+    * mean is token-weighted and computed from exact integer sums — no float
+    * aggregation. Scale: the window partitions by language over doc-level
+    * (not token-level) rows; everything upstream is wordcount-shaped. */
+  val perplexityBucket: Q = (s, d) => {
+    val tok = toks(s, d).select("doc_id", "lang", "w")
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    val per = tok.join(broadcast(cnt), "w").crossJoin(broadcast(n))
+      .withColumn("micro",
+        round(log(col("n_total").cast("double") / col("c")) * 1e6, 0).cast("bigint"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("nll_micro"))
+      .withColumn("mean_nll", col("nll_micro").cast("double") / col("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("mean_nll"), col("doc_id"))
+    per.withColumn("bucket", ntile(3).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("docs"),
+           sum(col("n_toks")).as("toks"),
+           sum(col("nll_micro")).as("nll_micro_sum"))
+      .withColumn("weighted_mean_nll",
+        col("nll_micro_sum").cast("double") / col("toks"))
+      .select("lang", "bucket", "docs", "toks", "nll_micro_sum",
+              "weighted_mean_nll")
+      .orderBy("lang", "bucket")
+  }
+
+  val perplexityBucketSql: String =
+    s"""WITH $toksSqlCte,
+       |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |n AS (SELECT count(*) AS n_total FROM toks),
+       |per AS (
+       |  SELECT doc_id, lang, count(*) AS n_toks,
+       |    cast(sum(cast(round(ln(cast(n_total as double) / c) * 1e6, 0) as bigint))
+       |         as bigint) AS nll_micro
+       |  FROM toks JOIN cnt USING (w) CROSS JOIN n
+       |  GROUP BY doc_id, lang, n_total),
+       |ranked AS (
+       |  SELECT lang, n_toks, nll_micro,
+       |    ntile(3) OVER (PARTITION BY lang
+       |                   ORDER BY cast(nll_micro as double) / n_toks, doc_id) AS bucket
+       |  FROM per)
+       |SELECT lang, bucket, count(*) AS docs,
+       |  cast(sum(n_toks) as bigint) AS toks,
+       |  cast(sum(nll_micro) as bigint) AS nll_micro_sum,
+       |  cast(sum(nll_micro) as double) / sum(n_toks) AS weighted_mean_nll
+       |FROM ranked GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_dsir_weights" -> dsirWeights,
+    "llm_perplexity_bucket" -> perplexityBucket,
     "llm_repetition_filter" -> repetitionFilter,
     "llm_unigram_logprob" -> unigramLogprob,
     "llm_zipf_curve" -> zipfCurve,
@@ -564,6 +684,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dsir_weights" -> dsirWeightsSql,
+    "llm_perplexity_bucket" -> perplexityBucketSql,
     "llm_repetition_filter" -> repetitionFilterSql,
     "llm_unigram_logprob" -> unigramLogprobSql,
     "llm_zipf_curve" -> zipfCurveSql,

@@ -369,7 +369,37 @@ object Aggregates {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  /** Statistical mode per group (most frequent value, ties → smallest):
+    * count + rank, the two-aggregation idiom — DuckDB's mode() aggregate
+    * breaks ties arbitrarily, so the oracle uses the same explicit rank. */
+  val aggMode: Q = (s, d) => {
+    val cnt = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    cnt.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+              col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  val aggModeSql: String =
+    """WITH cnt AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+      |ranked AS (
+      |  SELECT o_orderstatus, o_orderpriority, cnt,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY cnt DESC, o_orderpriority) AS rk
+      |  FROM cnt)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+      |FROM ranked WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_mode" -> aggMode,
     "agg_unpivot" -> aggUnpivot,
     "agg_listagg" -> aggListagg,
     "agg_bitwise" -> aggBitwise,
@@ -399,6 +429,7 @@ object Aggregates {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" -> aggModeSql,
     "agg_unpivot" -> aggUnpivotSql,
     "agg_listagg" -> aggListaggSql,
     "agg_sort_fallback" -> aggSortFallbackSql,

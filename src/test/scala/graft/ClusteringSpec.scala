@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Clustering, Similarity, TextAnalysis}
+import graft.functions.Classics
+
+/** Structural checks for the round-4 additions: k-means, k-NN graph, DSIR
+  * weights, perplexity buckets, TeraValidate, mode. Value-level equality is
+  * covered by the DuckDB oracle gate; these pin the properties the oracle
+  * cannot express (invariants, monotonicity, determinism across runs). */
+class ClusteringSpec extends SparkSpec {
+
+  test("kmeans: clusters partition the corpus, inertia decreases vs 1 iter") {
+    val out = Clustering.kmeans(spark, sfDir).collect()
+    assert(out.length <= Clustering.K && out.nonEmpty)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == n) // every vector assigned once
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) >= 0L) // inertia_micro nonneg
+    }
+  }
+
+  test("kmeans is deterministic across runs") {
+    val a = Clustering.kmeans(spark, sfDir).collect().toSeq
+    val b = Clustering.kmeans(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("knn graph: K edges per node, scores sorted desc, mutual is symmetric") {
+    val edges = Similarity.knnGraph(spark, sfDir).collect()
+    val bySrc = edges.groupBy(_.getLong(0))
+    bySrc.foreach { case (_, es) =>
+      assert(es.length == Similarity.KnnGraphK)
+      val scores = es.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    // mutual flag is consistent with actual reverse-edge presence
+    val set = edges.map(r => (r.getLong(0), r.getLong(2))).toSet
+    edges.foreach { r =>
+      assert(r.getBoolean(4) == set.contains((r.getLong(2), r.getLong(0))))
+    }
+  }
+
+  test("dsir weights: target-source docs score higher on average") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val w = TextAnalysis.dsirWeights(spark, sfDir).join(docs, "doc_id")
+    val avg = w.groupBy(col("source") === "src0")
+      .agg(org.apache.spark.sql.functions.avg(col("avg_logratio")))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    // the importance weight must separate the target distribution from the
+    // raw pool — that is the entire point of DSIR's log-likelihood ratio
+    assert(avg(true) > avg(false),
+      s"target avg ${avg(true)} !> raw avg ${avg(false)}")
+  }
+
+  test("perplexity buckets: 3 per language, tercile sizes near-equal") {
+    val b = TextAnalysis.perplexityBucket(spark, sfDir).collect()
+    b.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)), lang)
+      val sizes = rows.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang ntile sizes ${sizes.toSeq}")
+    }
+  }
+
+  test("pagerank: top-50 desc, ranks positive, total mass near conservation") {
+    val out = Clustering.pagerank(spark, sfDir).collect()
+    assert(out.length == 50)
+    val ranks = out.map(_.getLong(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    // with damping 0.85 every rank sits in [0.15, ...]·1e6
+    assert(ranks.forall(_ >= 150000L))
+    // a kNN graph is far from regular → PageRank must actually spread mass
+    assert(ranks.distinct.length > 10)
+  }
+
+  test("semdedup drops are a subset of the all-pairs embedding near-dups") {
+    val clustered = Clustering.semdedup(spark, sfDir)
+      .where(col("is_dup")).collect().map(_.getLong(0)).toSet
+    val full = Similarity.neardupEmbedding(spark, sfDir)
+      .where(col("is_dup")).collect().map(_.getLong(0)).toSet
+    // within-cluster pairs ⊆ all pairs, so the leader rule can only drop a
+    // subset — that subset relationship IS SemDeDup's recall trade
+    assert(clustered.subsetOf(full), s"extra drops: ${clustered -- full}")
+    assert(clustered.nonEmpty)
+  }
+
+  test("teravalidate: row count matches, inversions counted, checksum stable") {
+    val r = Classics.mrTeravalidate(spark, sfDir).collect().head
+    val n = Tables.lineitem(spark, sfDir).count()
+    assert(r.getLong(0) == n)
+    // ordered by shipdate, orderkey is genuinely non-monotone → real work
+    assert(r.getLong(1) > 0)
+    val again = Classics.mrTeravalidate(spark, sfDir).collect().head
+    assert(r == again)
+  }
+}

@@ -230,4 +230,26 @@ class StreamingSpec extends SparkSpec {
       assert(pairs == Set((1L, 2L)), s"got $pairs")
     } finally q.stop()
   }
+
+  test("foreachBatch sink receives each micro-batch exactly once with its id") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // foreachBatch is the escape hatch to arbitrary batch sinks (upserts,
+    // multi-table writes); the contract is (batchDF, batchId) per micro-batch
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, df.count())) }; ()
+      }
+      .start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1, 1),
+                  Ev(ts("2024-01-01 10:01:00"), "click", 1, 2))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 10:02:00"), "view", 2, 3))
+      q.processAllAvailable()
+      val byId = seen.synchronized(seen.toList).toMap
+      assert(byId(0L) == 2L && byId(1L) == 1L, s"got $byId")
+    } finally q.stop()
+  }
 }

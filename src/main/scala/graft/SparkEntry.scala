@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
-import graft.llm.{AnnIvf, AnnLsh, AnnQuantized, Clustering, Curation, Dedup, Quantize, Similarity, TextAnalysis}
+import graft.llm.{AnnIvf, AnnLsh, AnnQuantized, Clustering, Curation, Dedup, Quantize, Similarity, Sketches, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.{FsOps, Sources}
 import graft.streaming.Streams
@@ -73,6 +73,7 @@ object SparkEntry {
     AnnIvf.queries ++
     AnnQuantized.queries ++
     Clustering.queries ++
+    Sketches.queries ++
     Multimodal.queries ++
     ScaleTechniques.queries ++
     SqlSurface.queries ++
@@ -102,6 +103,7 @@ object SparkEntry {
     Quantize.oracle ++
     AnnQuantized.oracle ++
     Clustering.oracle ++
+    Sketches.oracle ++
     Multimodal.oracle ++
     Map("flagship" -> flagshipSql)
 }

@@ -343,21 +343,33 @@ object Dedup {
     * hashes. Output per doc: selected-fingerprint count, density, and the
     * min/max selected digest (stable scalars for the hash-compare).
     *
-    * Scale: entirely map-side — the hash sequence, the sliding-window min
-    * and the distinct-selection all happen inside per-doc array HOFs; zero
-    * shuffle, no state. The fingerprint → posting-list index this feeds is
-    * llm_inverted_index's shape. */
+    * Scale: the hash sequence is ONE per-row HOF pass (materialized before
+    * use — nesting it inside the window lambda re-evaluates the whole O(n)
+    * md5 array per window position, i.e. O(n²) digests per doc; measured
+    * 68 s → 1 s at sf0.1), then positions explode and the sliding minimum
+    * is a doc_id-partitioned ROWS-frame window — one shuffle, linear work,
+    * and long documents parallelize across their positions instead of
+    * serializing inside one row. The fingerprint → posting-list index this
+    * feeds is llm_inverted_index's shape. */
   val winnowFingerprint: Q = (s, d) => {
     val t = tokens(s, d).where(size(col("toks")) >= 5 + WinnowWindow - 1)
     val hs = transform(sequence(lit(1), size(col("toks")) - 4),
       i => md5(concat_ws(" ", slice(col("toks"), i, lit(5)))))
-    val fps = array_distinct(transform(sequence(lit(1), size(col("toks")) - 4 - (WinnowWindow - 1)),
-      j => array_min(slice(hs, j, lit(WinnowWindow)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("j"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+                   WinnowWindow - 1)
     t.select(col("doc_id"),
-        (size(col("toks")) - 4).cast("bigint").as("n_shingles"),
-        size(fps).cast("bigint").as("n_fps"),
-        (size(fps).cast("double") / (size(col("toks")) - 4)).as("density"),
-        array_min(fps).as("fp_min"), array_max(fps).as("fp_max"))
+             (size(col("toks")) - 4).cast("bigint").as("n_shingles"),
+             posexplode(hs).as(Seq("j", "h")))
+      .withColumn("wmin", min(col("h")).over(w))
+      .where(col("j") <= col("n_shingles") - WinnowWindow)
+      .groupBy("doc_id", "n_shingles")
+      .agg(countDistinct(col("wmin")).as("n_fps"),
+           min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
+      .select(col("doc_id"), col("n_shingles"), col("n_fps"),
+              (col("n_fps").cast("double") / col("n_shingles")).as("density"),
+              col("fp_min"), col("fp_max"))
       .orderBy("doc_id")
   }
 

@@ -277,7 +277,39 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics MERGE/dedup pipelines
+    * need when the join key is itself nullable. Keys are synthesized with
+    * nullif (fixtures carry no NULLs), and the null-match rows prove the
+    * behavior. Plans as an ordinary shuffled hash join: the null-safe
+    * comparison is still an equi-key (EqualNullSafe), NOT a theta join —
+    * NULL keys hash to one partition like any other value. */
+  val joinNullSafe: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+              nullif(col("c_nationkey") % 5, lit(0)).as("k"))
+    val dim = Tables.nation(s, d).where(col("n_nationkey") < 5)
+      .select(nullif(col("n_nationkey") % 5, lit(0)).as("k"),
+              col("n_name"))
+    cust.join(dim, cust("k") <=> dim("k"))
+      .groupBy(dim("k").as("k"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+  }
+
+  val joinNullSafeSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
+      |dim AS (
+      |  SELECT nullif(n_nationkey % 5, 0) AS k, n_name
+      |  FROM nation WHERE n_nationkey < 5)
+      |SELECT dim.k, n_name, count(*) AS n
+      |FROM cust JOIN dim ON cust.k IS NOT DISTINCT FROM dim.k
+      |GROUP BY dim.k, n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_null_safe" -> joinNullSafe,
     "join_multiway" -> joinMultiway,
     "scan_parquet" -> scanParquet,
     "project_select" -> projectSelect,
@@ -296,6 +328,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" -> joinNullSafeSql,
     "join_multiway" -> joinMultiwaySql,
     "scan_parquet" -> scanParquetSql,
     "project_select" -> projectSelectSql,

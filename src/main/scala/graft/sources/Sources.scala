@@ -132,7 +132,57 @@ object Sources {
     } finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  /** MERGE INTO / upsert semantics as a batch operator: target = nation,
+    * source = per-nation customer rollup plus one synthetic unseen key.
+    * WHEN MATCHED → update the account stats; WHEN NOT MATCHED → insert.
+    * Spark's MERGE INTO statement needs a row-level-ops v2 table (parquet
+    * is not one), so this ships the standard lowering — full outer join on
+    * the merge key + CASE per column — which is exactly the physical plan
+    * MERGE compiles to on any engine. Scale: one shuffled equi join on the
+    * merge key; matched/not-matched branches are map-side CASEs. */
+  val sinkMergeUpsert: Q = (s, d) => {
+    val target = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val src = graft.Tables.customer(s, d)
+      .groupBy(col("c_nationkey")).agg(
+        count(lit(1)).as("n_custs"),
+        graft.Dsl.moneySum(col("c_acctbal")).as("acct_sum"))
+      .unionByName(
+        s.range(1).select(lit(990L).as("c_nationkey"),
+                          lit(7L).as("n_custs"),
+                          lit(0.0).as("acct_sum")))
+    target.join(src, col("n_nationkey") === col("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("n_nationkey"), col("c_nationkey")).as("key"),
+        coalesce(col("n_name"), lit("NEW")).as("name"),
+        when(col("n_nationkey").isNotNull && col("c_nationkey").isNotNull,
+             lit("update"))
+          .when(col("n_nationkey").isNull, lit("insert"))
+          .otherwise(lit("keep")).as("action"),
+        coalesce(col("n_custs"), lit(0L)).as("n_custs"),
+        coalesce(col("acct_sum"), lit(0.0)).as("acct_sum"))
+      .orderBy("key")
+  }
+
+  val sinkMergeUpsertSql: String =
+    """WITH src AS (
+      |  SELECT c_nationkey, count(*) AS n_custs,
+      |         cast(sum(cast(c_acctbal as decimal(12,2))) as double) AS acct_sum
+      |  FROM customer GROUP BY c_nationkey
+      |  UNION ALL SELECT 990, 7, 0.0),
+      |t AS (SELECT n_nationkey, n_name FROM nation)
+      |SELECT coalesce(n_nationkey, c_nationkey) AS key,
+      |  coalesce(n_name, 'NEW') AS name,
+      |  CASE WHEN n_nationkey IS NOT NULL AND c_nationkey IS NOT NULL THEN 'update'
+      |       WHEN n_nationkey IS NULL THEN 'insert'
+      |       ELSE 'keep' END AS action,
+      |  coalesce(n_custs, 0) AS n_custs,
+      |  coalesce(acct_sum, 0.0) AS acct_sum
+      |FROM t FULL OUTER JOIN src ON n_nationkey = c_nationkey
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sink_merge_upsert" -> sinkMergeUpsert,
     "scan_text" -> scanText,
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
@@ -150,6 +200,7 @@ object Sources {
     * A format bug (mangled value, dropped row, codec corruption) changes the
     * read-back relation and fails the hash-compare. */
   val oracle: Map[String, String] = Map(
+    "sink_merge_upsert" -> sinkMergeUpsertSql,
     "scan_text" ->
       """SELECT cast(length(text) as int) AS line_len, count(*) AS n
         |FROM documents GROUP BY line_len ORDER BY line_len""".stripMargin,

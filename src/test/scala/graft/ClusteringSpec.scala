@@ -85,6 +85,33 @@ class ClusteringSpec extends SparkSpec {
     assert(clustered.nonEmpty)
   }
 
+  test("CMS heavy hitters: estimate is an upper bound and tight for top tokens") {
+    val out = graft.llm.Sketches.heavyHittersCms(spark, sfDir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      // the count-min guarantee: never underestimate
+      assert(r.getLong(2) >= r.getLong(1), s"underestimate on ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // d=4 rows × 251 buckets on a ~10⁴-token corpus: the top hitters'
+    // relative error should be small (their own mass dominates the bucket)
+    val top = out.head
+    assert(top.getLong(3).toDouble / top.getLong(1) < 0.5,
+      s"top-token overestimate ${top.getLong(3)} vs exact ${top.getLong(1)}")
+  }
+
+  test("merge upsert: matched keys update, unseen key inserts") {
+    val out = graft.sources.Sources.sinkMergeUpsert(spark, sfDir).collect()
+    val byAction = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byAction("insert") == 1) // exactly the synthetic unseen key
+    assert(out.filter(_.getString(2) == "insert").head.getLong(0) == 990L)
+    assert(byAction.getOrElse("update", 0) > 0)
+    // nation keys survive; no key lost or duplicated by the merge
+    val n = Tables.nation(spark, sfDir).count()
+    assert(out.length == n + 1)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
   test("teravalidate: row count matches, inversions counted, checksum stable") {
     val r = Classics.mrTeravalidate(spark, sfDir).collect().head
     val n = Tables.lineitem(spark, sfDir).count()

@@ -441,16 +441,15 @@ object Curation {
       .select("doc_id")
     val nearDupDrop = dedupClusters(s, d)
       .where(col("is_survivor") === 0).select("doc_id")
+    // the repetition gate already tokenized every doc — reuse its n_toks
+    // instead of re-splitting text, and derive the shard hash straight from
+    // doc_id (no documents join: the hash input is 'shuf:'||doc_id)
     val repKeep = TextAnalysis.repetitionFilter(s, d)
-      .where(col("keep") === 1).select("doc_id")
-    val nToks = size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
-      .cast("bigint")
+      .where(col("keep") === 1).select("doc_id", "n_toks")
     val kept = exactKeep
       .join(nearDupDrop, Seq("doc_id"), "left_anti")
       .join(repKeep, Seq("doc_id"))
-      .join(docs.select(col("doc_id"), nToks.as("n_toks"),
-              md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h")),
-            "doc_id")
+      .withColumn("h", md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
       .withColumn("shard", expr(shardExprSql("h")).cast("int"))
     kept.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),

@@ -66,4 +66,24 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert(p.contains("cell"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("semdedup pair join is keyed on the cluster id (no all-pairs cross)") {
+    val p = plan(graft.llm.Clustering.semdedup(spark, sfDir))
+    // the within-cluster join must be an equi join on cid — a cross join
+    // would mean the clustering bought nothing
+    assert(p.contains("cid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kmeans assignment broadcasts the centroid table") {
+    val p = plan(graft.llm.Clustering.kmeans(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("null-safe join stays an equi hash join, not a theta join") {
+    val p = plan(Relational.joinNullSafe(spark, sfDir))
+    // EqualNullSafe keys hash-partition like any value; BNLJ/Cartesian
+    // would mean Spark fell back to a non-equi strategy
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -410,7 +410,69 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  val MinhashEstK = 32
+
+  /** MinHash as a Jaccard ESTIMATOR, with its error measured against the
+    * exact value on the true near-dup pairs: per doc, K=32 md5-keyed
+    * min-hash components; the estimate for a pair is the fraction of
+    * agreeing components (E[est] = J by the MinHash property). md5 (not
+    * xxhash64) keys make the whole thing — signatures, estimates, errors —
+    * DuckDB-oracle-checkable, unlike the rows-only LSH operators.
+    * Scale: signatures are one groupBy over a K-fold shingle explode
+    * (map-side partial mins); estimation touches only the candidate pairs. */
+  val minhashEstimate: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val ks = explode(sequence(lit(0), lit(MinhashEstK - 1))).as("k")
+    val sigs = sh.select(col("doc_id"), col("sh"), ks)
+      .groupBy("doc_id", "k")
+      .agg(min(md5(concat(col("k").cast("string"), lit(":"), col("sh")))).as("mh"))
+    val pairs = neardupPairs(s, d).select("d1", "d2", "jac6")
+    pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("k"), col("mh").as("h1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("k"), col("mh").as("h2")),
+            Seq("d2", "k"))
+      .groupBy("d1", "d2", "jac6")
+      .agg((sum(when(col("h1") === col("h2"), 1).otherwise(0)).cast("double")
+              / MinhashEstK).as("est"))
+      .select(col("d1"), col("d2"), col("jac6"),
+              round(col("est"), 6).as("est6"),
+              round(col("est") - col("jac6"), 6).as("err6"))
+      .orderBy("d1", "d2")
+  }
+
+  val minhashEstimateSql: String =
+    s"""WITH $shinglesSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+       |  FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2,
+       |    round(cast(inter as double) / (s1.n_sh + s2.n_sh - inter), 6) AS jac6
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold),
+       |sigs AS (
+       |  SELECT doc_id, g.k,
+       |    min(md5(cast(g.k as varchar) || ':' || sh)) AS mh
+       |  FROM shingles, unnest(generate_series(0, ${MinhashEstK - 1})) AS g(k)
+       |  GROUP BY doc_id, g.k),
+       |est AS (
+       |  SELECT p.d1, p.d2, p.jac6,
+       |    cast(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) as double)
+       |      / $MinhashEstK AS est
+       |  FROM pairs p
+       |  JOIN sigs a ON a.doc_id = p.d1
+       |  JOIN sigs b ON b.doc_id = p.d2 AND b.k = a.k
+       |  GROUP BY p.d1, p.d2, p.jac6)
+       |SELECT d1, d2, jac6, round(est, 6) AS est6,
+       |  round(est - jac6, 6) AS err6
+       |FROM est ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_minhash_estimate" -> minhashEstimate,
     "llm_exact_dedup" -> exactDedup,
     "llm_neardup_pairs" -> neardupPairs,
     "llm_neardup_minhash" -> neardupMinhashLsh,
@@ -441,6 +503,7 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_minhash_estimate" -> minhashEstimateSql,
     "llm_exact_dedup" -> exactDedupSql,
     "llm_neardup_pairs" -> neardupPairsSql,
     "llm_neardup_minhash" -> neardupMinhashSql,

@@ -663,7 +663,107 @@ object TextAnalysis {
        |FROM ranked GROUP BY lang, bucket
        |ORDER BY lang, bucket""".stripMargin
 
+  /** PII scrubbing: count and redact emails / IPv4 addresses / phone
+    * numbers with the standard regex pass. The synthetic fixture carries no
+    * PII, so the operator PLANTS deterministic PII per doc (doc_id-keyed
+    * email, IP, phone appended to a text prefix) and then scrubs it — the
+    * redaction dataflow, counts, and the scrubbed-content digest are all
+    * real and oracle-checked; only the planted input stands in for dirty
+    * data. Patterns stay in the regex subset Java and RE2 agree on.
+    * Scale: pure map-side — no shuffle at all until the final sort. */
+  val piiScrub: Q = (s, d) => {
+    val planted = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 ref +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    val phone = "\\+1-555-[0-9]{4}"
+    val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    Tables.documents(s, d)
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("scrubbed"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+              size(regexp_extract_all(col("scrubbed"), lit("<IP>"), lit(0))).as("n_ips"),
+              md5(col("scrubbed")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 40) || ' contact user' || cast(doc_id as varchar)
+      |      || '@example.com or 10.0.' || cast(doc_id % 256 as varchar)
+      |      || '.7 ref +1-555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') AS raw
+      |  FROM documents),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    cast(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) as int) AS n_emails,
+      |    cast(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) as int) AS n_phones,
+      |    regexp_replace(regexp_replace(regexp_replace(raw,
+      |      '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS scrubbed
+      |  FROM planted)
+      |SELECT doc_id, n_emails, n_phones,
+      |  cast(len(regexp_extract_all(scrubbed, '<IP>')) as int) AS n_ips,
+      |  md5(scrubbed) AS scrubbed_md5
+      |FROM scrub ORDER BY doc_id""".stripMargin
+
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Context-window chunking: split each document into fixed 64-token
+    * chunks at stride 48 (16-token overlap) — the RAG / training-example
+    * preparation primitive. Emits one row per chunk with its digest, so
+    * the output IS the chunk manifest a downstream embedder consumes.
+    * Scale: chunk starts and slices are per-row array HOFs (zero shuffle);
+    * the explode multiplies rows by ~n/stride, the expected fan-out. */
+  val docChunks: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+              filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
+      .withColumn("n_toks", size(col("t")).cast("bigint"))
+      .where(col("n_toks") >= 1)
+    t.select(col("doc_id"), col("t"), col("n_toks"),
+             posexplode(sequence(lit(1), col("n_toks"), lit(ChunkStride)))
+               .as(Seq("ci", "start")))
+      .withColumn("chunk_len",
+        least(lit(ChunkSize), col("n_toks") - col("start") + 1).cast("bigint"))
+      .withColumn("chunk_md5",
+        md5(concat_ws(" ",
+          expr(s"slice(t, start, $ChunkSize)"))))
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+              col("start").cast("bigint").as("start_tok"),
+              col("chunk_len"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunksSql: String =
+    s"""WITH arr AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, t, cast(len(t) as bigint) AS n_toks
+       |  FROM arr WHERE len(t) >= 1),
+       |chunks AS (
+       |  SELECT doc_id, n_toks, g.i AS start,
+       |    cast((g.i - 1) / $ChunkStride as int) AS chunk_idx
+       |  FROM base, unnest(generate_series(1, n_toks, $ChunkStride)) AS g(i))
+       |SELECT c.doc_id, c.chunk_idx, cast(c.start as bigint) AS start_tok,
+       |  cast(least($ChunkSize, c.n_toks - c.start + 1) as bigint) AS chunk_len,
+       |  md5(array_to_string(b.t[c.start:c.start + ${ChunkSize - 1}], ' ')) AS chunk_md5
+       |FROM chunks c JOIN base b USING (doc_id)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "llm_pii_scrub" -> piiScrub,
+    "llm_doc_chunks" -> docChunks,
     "llm_dsir_weights" -> dsirWeights,
     "llm_perplexity_bucket" -> perplexityBucket,
     "llm_repetition_filter" -> repetitionFilter,
@@ -684,6 +784,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_pii_scrub" -> piiScrubSql,
+    "llm_doc_chunks" -> docChunksSql,
     "llm_dsir_weights" -> dsirWeightsSql,
     "llm_perplexity_bucket" -> perplexityBucketSql,
     "llm_repetition_filter" -> repetitionFilterSql,

@@ -112,6 +112,48 @@ class ClusteringSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
 
+  test("pii scrub: every planted email/phone/ip is counted and redacted") {
+    val out = TextAnalysis.piiScrub(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.length == n)
+    out.foreach { r =>
+      assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1,
+        s"doc ${r.getLong(0)}: counts ${(r.getInt(1), r.getInt(2), r.getInt(3))}")
+    }
+  }
+
+  test("doc chunks: strided starts cover every token, lengths capped") {
+    val rows = TextAnalysis.docChunks(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getInt(1))
+      // starts advance by exactly the stride, beginning at token 1
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) == 1L + i.toLong * TextAnalysis.ChunkStride)
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= TextAnalysis.ChunkSize)
+      }
+      // with stride < size, each next chunk starts inside or adjacent to
+      // the previous one's span — no token gap anywhere
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) <= a.getLong(2) + a.getLong(3), s"gap after $a")
+        case _ => ()
+      }
+    }
+  }
+
+  test("minhash estimate tracks exact jaccard within the K=32 binomial bound") {
+    val rows = graft.llm.Dedup.minhashEstimate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = math.abs(r.getDouble(4))
+      // sd of the estimator at J≈0.85, K=32 is ~0.063; 4 sd ≈ 0.25
+      assert(err <= 0.25, s"pair (${r.getLong(0)},${r.getLong(1)}) err $err")
+    }
+    // and on average it should be nearly unbiased
+    val mean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(math.abs(mean) < 0.1, s"mean err $mean")
+  }
+
   test("teravalidate: row count matches, inversions counted, checksum stable") {
     val r = Classics.mrTeravalidate(spark, sfDir).collect().head
     val n = Tables.lineitem(spark, sfDir).count()

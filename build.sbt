@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked JVM inherit stdout directly instead of piping through
+// sbt's logger: the logger prefixes every line with "[info] ", which breaks
+// line-oriented JSON consumers of Bench/Verify output (all three recorded
+// bench rounds show `"parsed": null` with the JSON line present but
+// prefixed in the tail).
+run / outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's trailing "[success] Total time" line, so the JSON
+// emitted by Bench is the LAST stdout line of the whole invocation.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

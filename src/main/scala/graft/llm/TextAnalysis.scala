@@ -761,7 +761,117 @@ object TextAnalysis {
        |FROM chunks c JOIN base b USING (doc_id)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- retrieval: BM25 ranking + boolean keyword search -------------------
+
+  /** Fixed 3-term query for the retrieval operators (all present in the
+    * synthetic vocabulary at every SF, with slightly different df). */
+  private val QueryTerms = Seq("join", "window", "scan")
+
+  /** Okapi BM25 (Lucene's always-positive `ln(1 + (N-df+0.5)/(df+0.5))` idf)
+    * top-20 ranking of documents for [[QueryTerms]], OR semantics.
+    *
+    * Shape: one token explode → per-(doc,term) tf agg → broadcast of the
+    * 3-row df table and the 1-row corpus stats — the only shuffle that scales
+    * with the corpus is the tf aggregation, which is partial-agg friendly. At
+    * 100 TB the df/avgdl side stays tiny by construction (|query| rows).
+    *
+    * Determinism: the idf is integerized to micro-nats per term BEFORE the
+    * per-doc sum (bigint arithmetic is order-free; a double sum would depend
+    * on Spark's partition order), and the tf-normalization chain is written
+    * with identical literals/parenthesization in both engines so every IEEE
+    * step is bit-identical; the final per-term contribution is rounded to an
+    * integer micro-score.
+    */
+  val bm25: Q = (s, d) => {
+    val tf = toks(s, d).where(col("w").isin(QueryTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = toks(s, d).groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+                       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        round(log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+                             (col("df").cast("double") + lit(0.5))) * 1e6, 0).cast("bigint"))
+    val tfnorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+       lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "w")
+      .withColumn("contrib_micro",
+        round(col("idf_micro").cast("double") * tfnorm, 0).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib_micro")).as("score_micro"),
+           count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25Sql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $toksSqlCte,
+       |tf AS (
+       |  SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN ($terms) GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         cast(sum(dl) as double) / count(*) AS avgdl
+       |  FROM dl),
+       |dfreq AS (
+       |  SELECT w, cast(round(ln(1.0 + (cast(n_docs as double) - cast(df as double) + 0.5)
+       |                              / (cast(df as double) + 0.5)) * 1e6, 0) as bigint) AS idf_micro
+       |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) CROSS JOIN stats),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    cast(round(cast(idf_micro as double) *
+       |      ((cast(tf as double) * 2.2) /
+       |       (cast(tf as double) +
+       |        1.2 * (0.25 + 0.75 * (cast(dl as double) / (SELECT avgdl FROM stats))))), 0) as bigint)
+       |      AS contrib_micro
+       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfreq ON tf.w = dfreq.w)
+       |SELECT doc_id, cast(sum(contrib_micro) as bigint) AS score_micro,
+       |       count(*) AS n_terms_hit
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** Boolean keyword retrieval over inverted-index semantics: documents
+    * containing ALL of [[QueryTerms]] (conjunctive AND via a distinct
+    * (doc,term) agg + HAVING full hit count) and NOT containing 'slow'.
+    * One explode → one partial-agg shuffle; the NOT side is a left-anti
+    * join on doc_id, which Spark plans map-side when the excluded-doc set
+    * broadcasts. */
+  val keywordSearch: Q = (s, d) => {
+    val hits = toks(s, d).where(col("w").isin(QueryTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("w")).as("hits"))
+      .where(col("hits") === QueryTerms.size)
+    val excluded = toks(s, d).where(col("w") === "slow")
+      .select("doc_id").distinct()
+    hits.join(excluded, Seq("doc_id"), "left_anti")
+      .join(Tables.documents(s, d).select("doc_id", "source", "n_chars"), "doc_id")
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val keywordSearchSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $toksSqlCte,
+       |hits AS (
+       |  SELECT doc_id FROM toks WHERE w IN ($terms)
+       |  GROUP BY doc_id HAVING count(DISTINCT w) = ${QueryTerms.size}),
+       |excluded AS (SELECT DISTINCT doc_id FROM toks WHERE w = 'slow')
+       |SELECT d.doc_id, d.source, d.n_chars
+       |FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+       |WHERE h.doc_id NOT IN (SELECT doc_id FROM excluded)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_bm25" -> bm25,
+    "llm_keyword_search" -> keywordSearch,
     "llm_pii_scrub" -> piiScrub,
     "llm_doc_chunks" -> docChunks,
     "llm_dsir_weights" -> dsirWeights,
@@ -784,6 +894,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_bm25" -> bm25Sql,
+    "llm_keyword_search" -> keywordSearchSql,
     "llm_pii_scrub" -> piiScrubSql,
     "llm_doc_chunks" -> docChunksSql,
     "llm_dsir_weights" -> dsirWeightsSql,

@@ -189,4 +189,52 @@ class LlmSpec extends SparkSpec {
     assert(rows(0).getLong(2) == rows(2).getLong(2))
     assert(rows(0).getLong(1) != rows(1).getLong(1))
   }
+
+  /** In-memory tokenization matching the engine's `\s+`-split discipline. */
+  private def memToks(): Map[Long, Seq[String]] =
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\s+").toSeq.filter(_.nonEmpty)).toMap
+
+  test("bm25: ranking matches an independent in-memory recompute") {
+    val got = TextAnalysis.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20 || got.length == memToks().size)
+    // scores already sorted descending with doc_id tiebreak
+    assert(got.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // independent recompute of the full BM25 score per doc
+    val toks = memToks()
+    val terms = Seq("join", "window", "scan")
+    val dl = toks.map { case (id, t) => id -> t.size.toLong }
+    val n = toks.size.toDouble
+    val avgdl = dl.values.sum.toDouble / n
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    val idfMicro = dfm.map { case (t, df) =>
+      t -> math.round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) }
+    val expected = toks.map { case (id, tk) =>
+      val s = terms.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else math.round(idfMicro(t).toDouble *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))))
+      }.sum
+      id -> s
+    }.filter(_._2 > 0).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(got.length)
+    assert(got.map(r => (r._1, r._2)).toSeq == expected)
+    got.foreach { case (id, _, hit) =>
+      assert(hit == terms.count(toks(id).contains)) }
+  }
+
+  test("keyword search: AND + NOT semantics are exhaustive (no missed doc)") {
+    val got = TextAnalysis.keywordSearch(spark, sfDir).collect()
+      .map(_.getLong(0)).toSeq
+    val terms = Seq("join", "window", "scan")
+    val expected = memToks().collect {
+      case (id, tk) if terms.forall(tk.contains) && !tk.contains("slow") => id
+    }.toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture yields no conjunctive match — test is vacuous")
+  }
 }

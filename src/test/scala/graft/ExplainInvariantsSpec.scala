@@ -80,6 +80,13 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("bm25 broadcasts the df/avgdl side; tf agg is partial+final") {
+    val p = plan(graft.llm.TextAnalysis.bm25(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term df table must broadcast, not shuffle the corpus")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("null-safe join stays an equi hash join, not a theta join") {
     val p = plan(Relational.joinNullSafe(spark, sfDir))
     // EqualNullSafe keys hash-partition like any value; BNLJ/Cartesian

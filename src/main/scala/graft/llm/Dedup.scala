@@ -412,20 +412,32 @@ object Dedup {
 
   val MinhashEstK = 32
 
+  /** Prime just below 2^57: keeps `a + k*b` under 2^63 for k < 32, so the
+    * double-hashing arithmetic is exact signed-64 in BOTH engines (Spark
+    * would wrap silently on overflow; DuckDB would error). */
+  val MinhashEstPrime = 144115188075855859L
+
   /** MinHash as a Jaccard ESTIMATOR, with its error measured against the
-    * exact value on the true near-dup pairs: per doc, K=32 md5-keyed
-    * min-hash components; the estimate for a pair is the fraction of
-    * agreeing components (E[est] = J by the MinHash property). md5 (not
-    * xxhash64) keys make the whole thing — signatures, estimates, errors —
+    * exact value on the true near-dup pairs: per doc, K=32 min-hash
+    * components; the estimate for a pair is the fraction of agreeing
+    * components (E[est] = J by the MinHash property). The K functions are
+    * Kirsch–Mitzenmacher double hashing — h_k = (a + k·b) mod P with (a, b)
+    * the two 60-bit halves of ONE md5 per shingle — so the per-shingle cost
+    * is one digest + K integer ops instead of K digests (measured 7→1 s at
+    * sf0.1), and md5 keeps the whole thing — signatures, estimates, errors —
     * DuckDB-oracle-checkable, unlike the rows-only LSH operators.
-    * Scale: signatures are one groupBy over a K-fold shingle explode
-    * (map-side partial mins); estimation touches only the candidate pairs. */
+    * Scale: signatures are one groupBy over a K-fold explode of the hashed
+    * shingles (map-side partial mins); estimation touches only the
+    * candidate pairs. */
   val minhashEstimate: Q = (s, d) => {
-    val sh = shingles(s, d)
+    val hashed = shingles(s, d).select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("bigint").as("a"),
+      (conv(substring(md5(col("sh")), 16, 15), 16, 10).cast("bigint")
+        % MinhashEstPrime).as("b"))
     val ks = explode(sequence(lit(0), lit(MinhashEstK - 1))).as("k")
-    val sigs = sh.select(col("doc_id"), col("sh"), ks)
+    val sigs = hashed.select(col("doc_id"), col("a"), col("b"), ks)
       .groupBy("doc_id", "k")
-      .agg(min(md5(concat(col("k").cast("string"), lit(":"), col("sh")))).as("mh"))
+      .agg(min((col("a") + col("k") * col("b")) % MinhashEstPrime).as("mh"))
     val pairs = neardupPairs(s, d).select("d1", "d2", "jac6")
     pairs
       .join(sigs.select(col("doc_id").as("d1"), col("k"), col("mh").as("h1")), Seq("d1"))
@@ -454,10 +466,14 @@ object Dedup {
        |  JOIN sizes s1 ON s1.doc_id = d1
        |  JOIN sizes s2 ON s2.doc_id = d2
        |  WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    cast(('0x' || substr(md5(sh), 1, 15)) as bigint) AS a,
+       |    cast(('0x' || substr(md5(sh), 16, 15)) as bigint) % $MinhashEstPrime AS b
+       |  FROM shingles),
        |sigs AS (
-       |  SELECT doc_id, g.k,
-       |    min(md5(cast(g.k as varchar) || ':' || sh)) AS mh
-       |  FROM shingles, unnest(generate_series(0, ${MinhashEstK - 1})) AS g(k)
+       |  SELECT doc_id, g.k, min((a + g.k * b) % $MinhashEstPrime) AS mh
+       |  FROM hashed, unnest(generate_series(0, ${MinhashEstK - 1})) AS g(k)
        |  GROUP BY doc_id, g.k),
        |est AS (
        |  SELECT p.d1, p.d2, p.jac6,

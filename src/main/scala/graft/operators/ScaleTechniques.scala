@@ -23,9 +23,12 @@ object ScaleTechniques {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val SaltFactor = 8
+  /** 4-way salt: enough fan-out to demonstrate (and test) the skew split
+    * while keeping the replicated-dim overhead at bench scale proportionate;
+    * a production job sizes this to its hottest key's share. */
+  val SaltFactor = 4
 
-  /** lineitem ⨝ orders with an 8-way salted key, aggregated per priority —
+  /** lineitem ⨝ orders with a salted key, aggregated per priority —
     * identical result to the unsalted join (that's the oracle). */
   val skewSaltedJoin: Q = (s, d) => {
     val li = Tables.lineitem(s, d)

@@ -120,7 +120,11 @@ object Curation {
     * one star per component. Registered with the SAME oracle as the
     * propagation operator: both must produce the identical clustering. */
   val dedupClustersStar: Q = (s, d) => {
-    val pairs = Dedup.neardupPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))
+    // checkpoint the pair generation FIRST: both `nodes` and the initial
+    // edge set read it, and without this the whole PPJoin pipeline ran
+    // twice (once per downstream localCheckpoint)
+    val pairs = Dedup.neardupPairs(s, d)
+      .select(col("d1").as("a"), col("d2").as("b")).localCheckpoint()
     val nodes = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct()
       .localCheckpoint()
@@ -444,7 +448,13 @@ object Curation {
     // the repetition gate already tokenized every doc — reuse its n_toks
     // instead of re-splitting text, and derive the shard hash straight from
     // doc_id (no documents join: the hash input is 'shuf:'||doc_id)
-    val repKeep = TextAnalysis.repetitionFilter(s, d)
+    // localCheckpoint is an optimizer BARRIER, not just lineage truncation:
+    // pushing `keep = 1` into the stats plan duplicates the interpreted
+    // higher-order bigram expressions into the filter (no common-subexpr
+    // elimination across Filter/Project for HOFs) — measured 1.1 s for the
+    // full stats vs 6.8 s for the filtered-pruned plan at sf0.1. Materialize
+    // the doc-sized stats once, then filter.
+    val repKeep = TextAnalysis.repetitionFilter(s, d).localCheckpoint(false)
       .where(col("keep") === 1).select("doc_id", "n_toks")
     val kept = exactKeep
       .join(nearDupDrop, Seq("doc_id"), "left_anti")

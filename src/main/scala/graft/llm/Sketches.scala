@@ -37,6 +37,15 @@ object Sketches {
       s"${nib(p + 3)} * 16 + ${nib(p + 4)}) % $CmsWidth)"
   }
 
+  /** Same bucket arithmetic over a pre-computed digest column `h`: the hot
+    * path projects md5(w) ONCE per token and takes the hex value of the
+    * j-th 4-char slice in one `conv` (the nibble fold nib1·4096 + nib2·256 +
+    * nib3·16 + nib4 IS that value), rather than re-evaluating md5 inside
+    * all 16 nibble expressions. The SQL-text twin above is kept for the
+    * oracle, where DuckDB's optimizer does its own CSE. */
+  private def bucketCol(j: Int, h: Column): Column =
+    conv(substring(h, j * 4 + 1, 4), 16, 10).cast("int") % CmsWidth
+
   private def toks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
@@ -51,22 +60,23 @@ object Sketches {
     * trusting the sketch for the long tail. */
   val heavyHittersCms: Q = (s, d) => {
     val t = toks(s, d)
-    // the sketch: one explode into (j, bucket) per hash row, then the
-    // constant-size counter aggregation — this is ALL that shuffles
-    val rows = (0 until CmsDepth).map { j =>
-      struct(lit(j).as("j"), expr(bucketSql(j)).as("bucket"))
+    // the sketch: project the digest once, explode into (j, bucket) per
+    // hash row, then the constant-size counter aggregation — this is ALL
+    // that shuffles
+    def jbRows(h: Column) = (0 until CmsDepth).map { j =>
+      struct(lit(j).as("j"), bucketCol(j, h).as("bucket"))
     }
-    val sketch = t.select(explode(array(rows: _*)).as("jb"))
+    val sketch = t.withColumn("h", md5(col("w")))
+      .select(explode(array(jbRows(col("h")): _*)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
     // candidates: exact top-20 (the oracle-checkable ground truth)
     val top = t.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("w")).limit(20)
     // estimate = min over the candidate's d buckets
-    val cand = top.select(col("w"), col("exact_cnt"),
-        explode(array((0 until CmsDepth).map { j =>
-          struct(lit(j).as("j"), expr(bucketSql(j)).as("bucket"))
-        }: _*)).as("jb"))
+    val cand = top.withColumn("h", md5(col("w")))
+      .select(col("w"), col("exact_cnt"),
+        explode(array(jbRows(col("h")): _*)).as("jb"))
       .select(col("w"), col("exact_cnt"),
               col("jb.j").as("j"), col("jb.bucket").as("bucket"))
     cand.join(broadcast(sketch), Seq("j", "bucket"))

@@ -869,8 +869,97 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Dataset card: the per-source corpus report a curation pipeline
+    * publishes with a released training set — doc/language counts, token
+    * and char totals, length distribution, exact-dup rate, dominant
+    * language. All statistics are engineered for the bit-exact oracle:
+    * ratios of exact integers, and the median/p90 are defined by RANK (the
+    * (⌊(n+1)/2⌋)-th / (⌈0.9·n⌉)-th value ordered by (n_chars, doc_id)),
+    * not by an engine's interpolating percentile.
+    *
+    * Scale: two hash aggregations over the corpus (per-source stats, token
+    * counts), one doc-sized window for the rank statistics, and a tiny
+    * per-source join — nothing shuffles more than once. */
+  val datasetCard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("lang")).as("n_langs"),
+           sum(col("n_chars")).as("sum_chars"),
+           countDistinct(sha2(col("text"), 256)).as("n_uniq"))
+    val tokCnt = toks(s, d).groupBy("source")
+      .agg(count(lit(1)).as("total_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+    val med = ranked.join(base.select("source", "n_docs"), "source")
+      .where(col("rn") === floor((col("n_docs") + 1) / 2))
+      .select(col("source"), col("n_chars").as("median_chars"))
+    val p90 = ranked.join(base.select("source", "n_docs"), "source")
+      .where(col("rn") === ceil(col("n_docs") * 0.9))
+      .select(col("source"), col("n_chars").as("p90_chars"))
+    val langW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("lang"))
+    val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(langW))
+      .where(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(tokCnt, "source").join(med, "source")
+      .join(p90, "source").join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+              col("total_toks"), col("sum_chars"),
+              (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+              col("median_chars"), col("p90_chars"), col("n_uniq"),
+              (lit(1.0) - col("n_uniq").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  val datasetCardSql: String =
+    s"""WITH $toksSqlCte,
+       |base AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    count(DISTINCT lang) AS n_langs,
+       |    cast(sum(n_chars) as bigint) AS sum_chars,
+       |    count(DISTINCT sha256(text)) AS n_uniq
+       |  FROM documents GROUP BY source),
+       |tok_cnt AS (SELECT source, count(*) AS total_toks FROM toks GROUP BY source),
+       |ranked AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+       |  FROM documents),
+       |med AS (
+       |  SELECT r.source, r.n_chars AS median_chars
+       |  FROM ranked r JOIN base b ON r.source = b.source
+       |  WHERE r.rn = floor((b.n_docs + 1) / 2)),
+       |p90 AS (
+       |  SELECT r.source, r.n_chars AS p90_chars
+       |  FROM ranked r JOIN base b ON r.source = b.source
+       |  WHERE r.rn = ceil(b.n_docs * 0.9)),
+       |top_lang AS (
+       |  SELECT source, lang AS top_lang
+       |  FROM (
+       |    SELECT source, lang,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY count(*) DESC, lang) AS rk
+       |    FROM documents GROUP BY source, lang)
+       |  WHERE rk = 1)
+       |SELECT b.source, b.n_docs, b.n_langs, t.top_lang,
+       |  k.total_toks, b.sum_chars,
+       |  cast(b.sum_chars as double) / b.n_docs AS mean_chars,
+       |  m.median_chars, p.p90_chars, b.n_uniq,
+       |  1.0 - cast(b.n_uniq as double) / b.n_docs AS dup_rate
+       |FROM base b
+       |JOIN tok_cnt k ON b.source = k.source
+       |JOIN med m ON b.source = m.source
+       |JOIN p90 p ON b.source = p.source
+       |JOIN top_lang t ON b.source = t.source
+       |ORDER BY b.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_bm25" -> bm25,
+    "llm_dataset_card" -> datasetCard,
     "llm_keyword_search" -> keywordSearch,
     "llm_pii_scrub" -> piiScrub,
     "llm_doc_chunks" -> docChunks,
@@ -895,6 +984,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "llm_bm25" -> bm25Sql,
+    "llm_dataset_card" -> datasetCardSql,
     "llm_keyword_search" -> keywordSearchSql,
     "llm_pii_scrub" -> piiScrubSql,
     "llm_doc_chunks" -> docChunksSql,

@@ -227,6 +227,31 @@ class LlmSpec extends SparkSpec {
       assert(hit == terms.count(toks(id).contains)) }
   }
 
+  test("dataset card: rank statistics and dup rate match an in-memory recompute") {
+    val rows = TextAnalysis.datasetCard(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val bySource = docs.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val g = bySource(r.getString(0))
+      val n = g.length
+      assert(r.getLong(1) == n)
+      // median/p90 by the rank definition, ordered by (n_chars, doc_id)
+      val sorted = g.sortBy(x => (x._4, x._1)).map(_._4)
+      assert(r.getLong(7) == sorted((n + 1) / 2 - 1), "median rank value")
+      assert(r.getLong(8) == sorted(math.ceil(n * 0.9).toInt - 1), "p90 rank value")
+      val uniq = g.map(_._5).distinct.length
+      assert(r.getLong(9) == uniq)
+      assert(r.getDouble(10) == 1.0 - uniq.toDouble / n)
+      // dominant language with min-lang tiebreak
+      val langCounts = g.groupBy(_._3).map { case (l, xs) => (l, xs.length) }
+      val best = langCounts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      assert(r.getString(3) == best)
+    }
+  }
+
   test("keyword search: AND + NOT semantics are exhaustive (no missed doc)") {
     val got = TextAnalysis.keywordSearch(spark, sfDir).collect()
       .map(_.getLong(0)).toSeq

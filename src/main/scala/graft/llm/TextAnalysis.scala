@@ -957,8 +957,117 @@ object TextAnalysis {
        |JOIN top_lang t ON b.source = t.source
        |ORDER BY b.source""".stripMargin
 
+  // ---- BPE tokenizer training ---------------------------------------------
+
+  val BpeRounds = 3
+
+  /** Classic BPE tokenizer TRAINING (Sennrich-style) as a distributed
+    * dataflow, 3 unrolled merge rounds: the corpus reduces to the
+    * word-frequency table (the ONE corpus-sized shuffle — at 100 TB this
+    * vocabulary table is the working set, millions of rows not billions of
+    * tokens), each word becomes its space-separated character sequence, and
+    * each round (a) counts adjacent symbol pairs weighted by word frequency,
+    * (b) picks the top pair with a pinned (count desc, symbol asc)
+    * tiebreak, (c) applies the merge with literal string replace.
+    *
+    * Merge application note: both engines' `replace` scans left-to-right
+    * and resumes AFTER the inserted text, so of two occurrences sharing a
+    * separator space (" a b a b ") only the first merges in a round —
+    * deterministic and identical cross-engine, which is what the oracle
+    * checks (reference BPE merges all non-overlapping occurrences; the
+    * difference only affects immediately-adjacent repeats within a round).
+    *
+    * Output: one row per round — the merged pair, its weighted count, and
+    * the post-merge corpus symbol total + distinct-symbol vocabulary (the
+    * compression curve a tokenizer trainer reports). */
+  val bpeTrain: Q = (s, d) => {
+    val wc0 = toks(s, d).groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .select(concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+                .as("repr"),
+              col("wcnt"))
+      // barrier: the vocab table is tiny relative to the corpus; without it
+      // every round's three consumers re-run the corpus tokenization
+      .localCheckpoint(false)
+    def topPair(df: DataFrame): DataFrame = {
+      // guard single-symbol words: Spark's sequence(1, 0) REVERSES ([1,0])
+      // rather than returning empty, and ANSI element_at(tk, 2) then throws
+      df.where(size(split(trim(col("repr")), " ")) >= 2)
+        .select(col("wcnt"),
+          explode(expr("transform(sequence(1, size(split(trim(repr), ' ')) - 1), " +
+            "i -> struct(element_at(split(trim(repr), ' '), i) as s1, " +
+            "element_at(split(trim(repr), ' '), i + 1) as s2))")).as("pr"))
+        .select(col("wcnt"), col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+        .groupBy("s1", "s2").agg(sum("wcnt").as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("s1"), col("s2")).limit(1)
+    }
+    def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
+      df.crossJoin(broadcast(top))
+        .withColumn("repr",
+          expr("replace(repr, ' ' || s1 || ' ' || s2 || ' ', ' ' || s1 || s2 || ' ')"))
+        .select("repr", "wcnt")
+    def summary(r: Int, top: DataFrame, after: DataFrame): DataFrame = {
+      val tot = after
+        .agg(sum(col("wcnt") * size(split(trim(col("repr")), " ")))
+               .cast("bigint").as("total_syms"))
+      val voc = after
+        .select(explode(split(trim(col("repr")), " ")).as("sym"))
+        .agg(countDistinct("sym").as("vocab"))
+      top.select(lit(r).as("round"), col("s1"), col("s2"), col("pair_cnt"))
+        .crossJoin(tot).crossJoin(voc)
+    }
+    val rows = (1 to BpeRounds).foldLeft(
+        (wc0, Seq.empty[DataFrame])) { case ((cur, acc), r) =>
+      val top = topPair(cur).localCheckpoint(false)
+      val next = applyMerge(cur, top).localCheckpoint(false)
+      (next, acc :+ summary(r, top, next))
+    }._2
+    rows.reduce(_.unionAll(_)).orderBy("round")
+  }
+
+  val bpeTrainSql: String = {
+    def pairCte(src: String, p: String): String =
+      s"""$p AS (
+         |  SELECT s1, s2, cast(sum(wcnt) as bigint) AS pair_cnt FROM (
+         |    SELECT tk[g.i] AS s1, tk[g.i + 1] AS s2, wcnt
+         |    FROM (SELECT string_split(trim(repr), ' ') AS tk, wcnt FROM $src),
+         |         unnest(generate_series(1, len(tk) - 1)) AS g(i))
+         |  GROUP BY s1, s2 ORDER BY pair_cnt DESC, s1, s2 LIMIT 1)""".stripMargin
+    def mergeCte(src: String, p: String, r: String): String =
+      s"""$r AS (
+         |  SELECT replace(repr, ' ' || s1 || ' ' || s2 || ' ',
+         |                 ' ' || s1 || s2 || ' ') AS repr, wcnt
+         |  FROM $src, $p)""".stripMargin
+    def sumCte(n: Int, p: String, r: String): String =
+      s"""sum$n AS (
+         |  SELECT $n AS round, s1, s2, pair_cnt,
+         |    (SELECT cast(sum(wcnt * len(string_split(trim(repr), ' '))) as bigint)
+         |     FROM $r) AS total_syms,
+         |    (SELECT count(DISTINCT sym) FROM
+         |      (SELECT unnest(string_split(trim(repr), ' ')) AS sym FROM $r)) AS vocab
+         |  FROM $p)""".stripMargin
+    s"""WITH $toksSqlCte,
+       |wc AS (SELECT w, count(*) AS wcnt FROM toks GROUP BY w),
+       |r0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS repr, wcnt
+       |  FROM wc),
+       |${pairCte("r0", "p1")},
+       |${mergeCte("r0", "p1", "r1")},
+       |${sumCte(1, "p1", "r1")},
+       |${pairCte("r1", "p2")},
+       |${mergeCte("r1", "p2", "r2")},
+       |${sumCte(2, "p2", "r2")},
+       |${pairCte("r2", "p3")},
+       |${mergeCte("r2", "p3", "r3")},
+       |${sumCte(3, "p3", "r3")}
+       |SELECT round, s1, s2, pair_cnt, total_syms, vocab FROM sum1
+       |UNION ALL SELECT round, s1, s2, pair_cnt, total_syms, vocab FROM sum2
+       |UNION ALL SELECT round, s1, s2, pair_cnt, total_syms, vocab FROM sum3
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_bm25" -> bm25,
+    "llm_bpe_train" -> bpeTrain,
     "llm_dataset_card" -> datasetCard,
     "llm_keyword_search" -> keywordSearch,
     "llm_pii_scrub" -> piiScrub,
@@ -984,6 +1093,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "llm_bm25" -> bm25Sql,
+    "llm_bpe_train" -> bpeTrainSql,
     "llm_dataset_card" -> datasetCardSql,
     "llm_keyword_search" -> keywordSearchSql,
     "llm_pii_scrub" -> piiScrubSql,

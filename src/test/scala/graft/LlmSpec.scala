@@ -227,6 +227,34 @@ class LlmSpec extends SparkSpec {
       assert(hit == terms.count(toks(id).contains)) }
   }
 
+  test("bpe training: merges and compression curve match an in-memory recompute") {
+    val got = TextAnalysis.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    // recompute with java.lang.String.replace — the same literal
+    // left-to-right resume-after-replacement semantics both engines use
+    var reprs: Map[String, Long] = memToks().values.flatten
+      .groupBy(identity).map { case (w, xs) =>
+        (" " + w.toCharArray.mkString(" ") + " ") -> xs.size.toLong }
+    val expected = (1 to TextAnalysis.BpeRounds).map { r =>
+      val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((repr, cnt) <- reprs) {
+        val tk = repr.trim.split(" ")
+        for (i <- 0 until tk.length - 1)
+          pairCnt((tk(i), tk(i + 1))) = pairCnt.getOrElse((tk(i), tk(i + 1)), 0L) + cnt
+      }
+      val ((s1, s2), cnt) = pairCnt.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      reprs = reprs.groupBy { case (repr, _) =>
+        repr.replace(s" $s1 $s2 ", s" $s1$s2 ") }
+        .map { case (repr, xs) => repr -> xs.values.sum }
+      val totalSyms = reprs.map { case (repr, c) => repr.trim.split(" ").length * c }.sum
+      val vocab = reprs.keys.flatMap(_.trim.split(" ")).toSet.size.toLong
+      (r, s1, s2, cnt, totalSyms, vocab)
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("dataset card: rank statistics and dup rate match an in-memory recompute") {
     val rows = TextAnalysis.datasetCard(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)

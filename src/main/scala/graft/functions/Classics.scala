@@ -164,6 +164,13 @@ object Classics {
       |FROM seq""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // §2.9 alias rows: the reference's example JARs by their own names —
+    // TeraSort IS the range-partitioned global sort, SecondarySort IS the
+    // composite-key window sort, the join example IS the shuffled equi
+    // join. Registered under both names so the inventory row keys resolve.
+    "mr_terasort" -> ((s, d) => graft.operators.Windows.sortGlobal(s, d)),
+    "mr_secondarysort" -> ((s, d) => graft.operators.Windows.sortSecondary(s, d)),
+    "mr_join" -> ((s, d) => graft.operators.Relational.joinInnerHash(s, d)),
     "mr_teravalidate" -> mrTeravalidate,
     "mr_wordcount" -> mrWordcount,
     "mr_multifilewc" -> mrMultifilewc,
@@ -182,6 +189,9 @@ object Classics {
       |FROM lineitem""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mr_terasort" -> graft.operators.Windows.sortGlobalSql,
+    "mr_secondarysort" -> graft.operators.Windows.sortSecondarySql,
+    "mr_join" -> graft.operators.Relational.joinInnerHashSql,
     "mr_teravalidate" -> mrTeravalidateSql,
     "mr_counters" -> mrCountersSql,
     "mr_wordcount" -> mrWordcountSql,

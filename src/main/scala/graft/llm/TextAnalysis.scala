@@ -980,9 +980,14 @@ object TextAnalysis {
     * Output: one row per round — the merged pair, its weighted count, and
     * the post-merge corpus symbol total + distinct-symbol vocabulary (the
     * compression curve a tokenizer trainer reports). */
-  val bpeTrain: Q = (s, d) => {
+  /** The shared merge chain: word-frequency table → char reprs → BpeRounds
+    * of (top pair, merged table). Returns the per-round (top, after) frames
+    * and the final merged vocabulary (w kept throughout, so the encoder can
+    * join it back to the corpus). */
+  private def bpeChain(s: SparkSession, d: String): (Seq[(DataFrame, DataFrame)], DataFrame) = {
     val wc0 = toks(s, d).groupBy("w").agg(count(lit(1)).as("wcnt"))
-      .select(concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+      .select(col("w"),
+              concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
                 .as("repr"),
               col("wcnt"))
       // barrier: the vocab table is tiny relative to the corpus; without it
@@ -1004,7 +1009,17 @@ object TextAnalysis {
       df.crossJoin(broadcast(top))
         .withColumn("repr",
           expr("replace(repr, ' ' || s1 || ' ' || s2 || ' ', ' ' || s1 || s2 || ' ')"))
-        .select("repr", "wcnt")
+        .select("w", "repr", "wcnt")
+    val (lastRev, stepsRev) = (1 to BpeRounds).foldLeft(
+        (wc0, List.empty[(DataFrame, DataFrame)])) { case ((cur, acc), _) =>
+      val top = topPair(cur).localCheckpoint(false)
+      val next = applyMerge(cur, top).localCheckpoint(false)
+      (next, (top, next) :: acc)
+    }
+    (stepsRev.reverse, lastRev)
+  }
+
+  val bpeTrain: Q = (s, d) => {
     def summary(r: Int, top: DataFrame, after: DataFrame): DataFrame = {
       val tot = after
         .agg(sum(col("wcnt") * size(split(trim(col("repr")), " ")))
@@ -1015,28 +1030,60 @@ object TextAnalysis {
       top.select(lit(r).as("round"), col("s1"), col("s2"), col("pair_cnt"))
         .crossJoin(tot).crossJoin(voc)
     }
-    val rows = (1 to BpeRounds).foldLeft(
-        (wc0, Seq.empty[DataFrame])) { case ((cur, acc), r) =>
-      val top = topPair(cur).localCheckpoint(false)
-      val next = applyMerge(cur, top).localCheckpoint(false)
-      (next, acc :+ summary(r, top, next))
-    }._2
-    rows.reduce(_.unionAll(_)).orderBy("round")
+    val (steps, _) = bpeChain(s, d)
+    steps.zipWithIndex
+      .map { case ((top, after), i) => summary(i + 1, top, after) }
+      .reduce(_.unionAll(_)).orderBy("round")
   }
 
+  /** Tokenizer APPLICATION: encode the corpus with the vocabulary
+    * [[bpeTrain]] learned — per-document word count, BPE token count, and
+    * chars-per-token compression. The merged vocabulary is word-keyed and
+    * broadcast, so encoding is one map-side join + one aggregation no
+    * matter the corpus size (exactly how a trained tokenizer deploys). */
+  val bpeEncode: Q = (s, d) => {
+    val (_, vocab) = bpeChain(s, d)
+    val syms = vocab.select(col("w"),
+      size(split(trim(col("repr")), " ")).cast("bigint").as("n_syms"))
+    toks(s, d).join(broadcast(syms), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_toks"))
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_bpe_toks"),
+              (col("n_chars").cast("double") / col("n_bpe_toks")).as("chars_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  private def bpePairCte(src: String, p: String): String =
+    s"""$p AS (
+       |  SELECT s1, s2, cast(sum(wcnt) as bigint) AS pair_cnt FROM (
+       |    SELECT tk[g.i] AS s1, tk[g.i + 1] AS s2, wcnt
+       |    FROM (SELECT string_split(trim(repr), ' ') AS tk, wcnt FROM $src),
+       |         unnest(generate_series(1, len(tk) - 1)) AS g(i))
+       |  GROUP BY s1, s2 ORDER BY pair_cnt DESC, s1, s2 LIMIT 1)""".stripMargin
+
+  private def bpeMergeCte(src: String, p: String, r: String): String =
+    s"""$r AS (
+       |  SELECT w, replace(repr, ' ' || s1 || ' ' || s2 || ' ',
+       |                 ' ' || s1 || s2 || ' ') AS repr, wcnt
+       |  FROM $src, $p)""".stripMargin
+
+  /** Shared CTE chain for [[bpeTrainSql]] / [[bpeEncodeSql]] — mirrors
+    * [[bpeChain]] (w carried through every merge round). */
+  private val bpeChainCtes: String =
+    s"""$toksSqlCte,
+       |wc AS (SELECT w, count(*) AS wcnt FROM toks GROUP BY w),
+       |r0 AS (
+       |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS repr, wcnt
+       |  FROM wc),
+       |${bpePairCte("r0", "p1")},
+       |${bpeMergeCte("r0", "p1", "r1")},
+       |${bpePairCte("r1", "p2")},
+       |${bpeMergeCte("r1", "p2", "r2")},
+       |${bpePairCte("r2", "p3")},
+       |${bpeMergeCte("r2", "p3", "r3")}""".stripMargin
+
   val bpeTrainSql: String = {
-    def pairCte(src: String, p: String): String =
-      s"""$p AS (
-         |  SELECT s1, s2, cast(sum(wcnt) as bigint) AS pair_cnt FROM (
-         |    SELECT tk[g.i] AS s1, tk[g.i + 1] AS s2, wcnt
-         |    FROM (SELECT string_split(trim(repr), ' ') AS tk, wcnt FROM $src),
-         |         unnest(generate_series(1, len(tk) - 1)) AS g(i))
-         |  GROUP BY s1, s2 ORDER BY pair_cnt DESC, s1, s2 LIMIT 1)""".stripMargin
-    def mergeCte(src: String, p: String, r: String): String =
-      s"""$r AS (
-         |  SELECT replace(repr, ' ' || s1 || ' ' || s2 || ' ',
-         |                 ' ' || s1 || s2 || ' ') AS repr, wcnt
-         |  FROM $src, $p)""".stripMargin
     def sumCte(n: Int, p: String, r: String): String =
       s"""sum$n AS (
          |  SELECT $n AS round, s1, s2, pair_cnt,
@@ -1045,19 +1092,9 @@ object TextAnalysis {
          |    (SELECT count(DISTINCT sym) FROM
          |      (SELECT unnest(string_split(trim(repr), ' ')) AS sym FROM $r)) AS vocab
          |  FROM $p)""".stripMargin
-    s"""WITH $toksSqlCte,
-       |wc AS (SELECT w, count(*) AS wcnt FROM toks GROUP BY w),
-       |r0 AS (
-       |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS repr, wcnt
-       |  FROM wc),
-       |${pairCte("r0", "p1")},
-       |${mergeCte("r0", "p1", "r1")},
+    s"""WITH $bpeChainCtes,
        |${sumCte(1, "p1", "r1")},
-       |${pairCte("r1", "p2")},
-       |${mergeCte("r1", "p2", "r2")},
        |${sumCte(2, "p2", "r2")},
-       |${pairCte("r2", "p3")},
-       |${mergeCte("r2", "p3", "r3")},
        |${sumCte(3, "p3", "r3")}
        |SELECT round, s1, s2, pair_cnt, total_syms, vocab FROM sum1
        |UNION ALL SELECT round, s1, s2, pair_cnt, total_syms, vocab FROM sum2
@@ -1065,9 +1102,23 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  val bpeEncodeSql: String =
+    s"""WITH $bpeChainCtes,
+       |syms AS (
+       |  SELECT w, cast(len(string_split(trim(repr), ' ')) as bigint) AS n_syms
+       |  FROM r3),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_words, cast(sum(n_syms) as bigint) AS n_bpe_toks
+       |  FROM toks JOIN syms USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, p.n_words, p.n_bpe_toks,
+       |  cast(d.n_chars as double) / p.n_bpe_toks AS chars_per_tok
+       |FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_bm25" -> bm25,
     "llm_bpe_train" -> bpeTrain,
+    "llm_bpe_encode" -> bpeEncode,
     "llm_dataset_card" -> datasetCard,
     "llm_keyword_search" -> keywordSearch,
     "llm_pii_scrub" -> piiScrub,
@@ -1094,6 +1145,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "llm_bm25" -> bm25Sql,
     "llm_bpe_train" -> bpeTrainSql,
+    "llm_bpe_encode" -> bpeEncodeSql,
     "llm_dataset_card" -> datasetCardSql,
     "llm_keyword_search" -> keywordSearchSql,
     "llm_pii_scrub" -> piiScrubSql,

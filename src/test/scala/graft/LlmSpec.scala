@@ -253,6 +253,18 @@ class LlmSpec extends SparkSpec {
       (r, s1, s2, cnt, totalSyms, vocab)
     }
     assert(got.toSeq == expected)
+    // encoder: per-doc BPE token counts under the final merged vocabulary
+    val symCount: Map[String, Long] = reprs.keys
+      .map(repr => repr.trim.replace(" ", "") -> repr.trim.split(" ").length.toLong)
+      .toMap // merged chars reassemble the original word
+    val encoded = TextAnalysis.bpeEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docToks = memToks()
+    assert(encoded.keySet == docToks.keySet)
+    for ((id, ws) <- docToks) {
+      assert(encoded(id)._1 == ws.size.toLong)
+      assert(encoded(id)._2 == ws.map(symCount).sum)
+    }
   }
 
   test("dataset card: rank statistics and dup rate match an in-memory recompute") {

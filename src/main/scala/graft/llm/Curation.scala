@@ -264,6 +264,86 @@ object Curation {
        |WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= ${Dedup.JaccardThreshold}
        |ORDER BY train_id, bench_id""".stripMargin
 
+  /** Incremental-ingest dedup: the production daily-batch admission check.
+    * The incoming batch (docs with doc_id % 10 = 7 — a deterministic ~10%
+    * slice at every SF) is checked against the EXISTING corpus: exact
+    * content-hash match first, then cross-set 5-gram Jaccard ≥ 0.8; verdict
+    * per new doc is exact_dup / near_dup / new with the minimum matching
+    * corpus doc_id (−1 for admitted docs).
+    *
+    * Scale: the batch is small by construction, so its shingle set
+    * BROADCASTS into one map-side pass over the corpus shingles (the same
+    * asymmetry [[decontaminate]] exploits), and the exact check is a hash
+    * join on 32-byte digests — the corpus is never re-paired with itself,
+    * which is what makes daily ingest O(batch · corpus-overlap), not
+    * O(corpus²). */
+  val ingestDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 10 === 7
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val exact = hashed.where(isNew).as("n")
+      .join(hashed.where(!isNew).as("c"), col("n.h") === col("c.h"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("exact_match"))
+    val sh = Dedup.shingles(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val near = sh.where(!(col("doc_id") % 10 === 7))
+      .select(col("doc_id").as("corpus_id"), col("sh"))
+      .join(broadcast(sh.where(col("doc_id") % 10 === 7)
+                        .select(col("doc_id").as("new_id"), col("sh"))),
+            Seq("sh"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("new_id"), col("n_sh").as("n1")), "new_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n_sh").as("n2")), "corpus_id")
+      .where(col("inter").cast("double") /
+             (col("n1") + col("n2") - col("inter")) >= Dedup.JaccardThreshold)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("corpus_id")).as("near_match"))
+    docs.where(isNew).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  val ingestDedupSql: String =
+    s"""WITH ${Dedup.shinglesSqlCte},
+       |hashed AS (SELECT doc_id, sha256(text) AS h FROM documents),
+       |exact AS (
+       |  SELECT n.doc_id, min(c.doc_id) AS exact_match
+       |  FROM hashed n JOIN hashed c ON n.h = c.h
+       |  WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+       |  GROUP BY n.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS new_id, y.doc_id AS corpus_id, count(*) AS inter
+       |  FROM shingles x JOIN shingles y ON x.sh = y.sh
+       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT new_id AS doc_id, min(corpus_id) AS near_match
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = new_id
+       |  JOIN sizes s2 ON s2.doc_id = corpus_id
+       |  WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter)
+       |        >= ${Dedup.JaccardThreshold}
+       |  GROUP BY new_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_match IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(e.exact_match, n.near_match, -1) AS match_id
+       |FROM documents d
+       |LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |LEFT JOIN near n ON d.doc_id = n.doc_id
+       |WHERE d.doc_id % 10 = 7
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- deterministic corpus shuffle + sharding ----------------------------
 
   val NumShards = 8
@@ -517,6 +597,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "llm_curation_e2e" -> curationE2e,
+    "llm_ingest_dedup" -> ingestDedup,
     "llm_decontaminate" -> decontaminate,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_clusters_star" -> dedupClustersStar,
@@ -528,6 +609,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "llm_curation_e2e" -> curationE2eSql,
+    "llm_ingest_dedup" -> ingestDedupSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     // the star formulation declares identical semantics — one oracle text

@@ -130,4 +130,34 @@ class CurationSpec extends SparkSpec {
     assert(allDocs == Tables.documents(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("ingest dedup: verdicts match an independent cross-set recompute") {
+    val rows = Curation.ingestDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (batch, corpus) = docs.keys.toSeq.sorted.partition(_ % 10 == 7)
+    assert(rows.map(_._1).toSeq == batch)
+    def shingles(t: String): Set[Seq[String]] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tk.sliding(5).filter(_.size == 5).toSet
+    }
+    val corpusSh = corpus.map(id => id -> shingles(docs(id)))
+    for ((id, verdict, matchId) <- rows) {
+      val exact = corpus.filter(c => docs(c) == docs(id))
+      val near = corpusSh.filter { case (_, cs) =>
+        val ns = shingles(docs(id))
+        val inter = (ns & cs).size
+        inter.toDouble / (ns.size + cs.size - inter) >= 0.8
+      }.map(_._1)
+      if (exact.nonEmpty) {
+        assert(verdict == "exact_dup" && matchId == exact.min)
+      } else if (near.nonEmpty) {
+        assert(verdict == "near_dup" && matchId == near.min)
+      } else {
+        assert(verdict == "new" && matchId == -1L)
+      }
+    }
+    assert(rows.exists(_._2 != "new"), "fixture has no cross-set dup — vacuous")
+  }
 }

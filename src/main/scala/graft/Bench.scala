@@ -38,6 +38,8 @@ object Bench {
     "llm_dedup_clusters",// connected-component dedup cluster resolution
     "llm_corpus_shuffle",// deterministic shuffle + shard assignment
     "llm_simsearch_topk",// brute-force cosine top-k (codegen DotProduct)
+    "llm_bm25",          // retrieval ranking: broadcast df + integer scores
+    "llm_ingest_dedup",  // incremental batch admission vs corpus
     "llm_tfidf",         // two-agg + broadcast weighting
     "llm_pipeline_e2e",  // dedup→quality-gate→stats composite
     "stream_session",    // session_window aggregation (batch mode)

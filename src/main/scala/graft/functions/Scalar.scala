@@ -217,6 +217,38 @@ object Scalar {
     """SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** URL function family: synthesize a deterministic URL per document from
+    * fixture columns, then parse it back — scheme/host/path/query and a
+    * single query parameter. Spark's `parse_url` (the Hive UDF surface) vs
+    * a regexp twin in DuckDB; values must agree exactly. */
+  val fnUrl: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/d/"),
+               col("doc_id").cast("string"), lit("?lang="), col("lang"),
+               lit("&n="), col("n_chars").cast("string")).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+      .orderBy("doc_id")
+
+  val fnUrlSql: String =
+    """SELECT doc_id, url,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '\?(.*)$', 1) AS query,
+      |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+      |FROM (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.com/d/' || cast(doc_id as varchar)
+      |      || '?lang=' || lang || '&n=' || cast(n_chars as varchar) AS url
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Bitwise scalar family: and/or/xor/not, shifts, popcount — the bit-mask
     * manipulation a Writable-packing Hadoop job does by hand. Spark spells
     * xor `^` and shifts as functions; DuckDB spells power `^`, xor `xor()`
@@ -302,6 +334,7 @@ object Scalar {
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "fn_hash" -> fnHash,
+    "fn_url" -> fnUrl,
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,5 +350,6 @@ object Scalar {
     "fn_map" -> fnMapSql,
     "fn_json" -> fnJsonSql,
     "fn_hash" -> fnHashSql,
+    "fn_url" -> fnUrlSql,
   )
 }

@@ -761,6 +761,57 @@ object TextAnalysis {
        |FROM chunks c JOIN base b USING (doc_id)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Model-based quality scoring (the DCLM / FineWeb-Edu curation step): a
+    * DEPLOYED linear classifier over hashed bag-of-words — 64 md5-derived
+    * buckets, fixed integer milli-weights (themselves md5-derived, so the
+    * whole model is reproducible from code), per-token-normalized logit and
+    * sigmoid score with a keep flag at 0.5.
+    *
+    * Determinism: bucket counts × integer milli-weights accumulate in exact
+    * bigint (order-free under any partitioning); only the final
+    * normalization and sigmoid are float — identical IEEE division and a
+    * 6dp-rounded exp (the fnMath discipline). At 100 TB this is one
+    * wordcount-shaped aggregation; the "model" never shuffles at all since
+    * the weight is an expression of the bucket id. */
+  val qualityClassifier: Q = (s, d) => {
+    val bucketed = toks(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("bigint") % 64).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val wm = conv(substring(md5(concat(lit("wt:"), col("b").cast("string"))), 1, 4), 16, 10)
+      .cast("bigint") % 2001 - 1000
+    bucketed.withColumn("wm", wm)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("wm")).as("dot_milli"),
+           sum(col("cnt")).as("n_toks"))
+      .withColumn("logit",
+        col("dot_milli").cast("double") / (col("n_toks") * 1000))
+      .withColumn("score6", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .withColumn("keep", (col("score6") >= 0.5).cast("int"))
+      .select("doc_id", "n_toks", "dot_milli", "logit", "score6", "keep")
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH $toksSqlCte,
+       |bucketed AS (
+       |  SELECT doc_id,
+       |    cast(('0x' || substr(md5(w), 1, 2)) as bigint) % 64 AS b,
+       |    count(*) AS cnt
+       |  FROM toks GROUP BY doc_id, b),
+       |scored AS (
+       |  SELECT doc_id,
+       |    cast(sum(cnt * (cast(('0x' || substr(md5('wt:' || cast(b as varchar)), 1, 4)) as bigint)
+       |                    % 2001 - 1000)) as bigint) AS dot_milli,
+       |    cast(sum(cnt) as bigint) AS n_toks
+       |  FROM bucketed GROUP BY doc_id)
+       |SELECT doc_id, n_toks, dot_milli,
+       |  cast(dot_milli as double) / (n_toks * 1000) AS logit,
+       |  round(1.0 / (1.0 + exp(-(cast(dot_milli as double) / (n_toks * 1000)))), 6) AS score6,
+       |  cast(round(1.0 / (1.0 + exp(-(cast(dot_milli as double) / (n_toks * 1000)))), 6) >= 0.5 as int) AS keep
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
   // ---- retrieval: BM25 ranking + boolean keyword search -------------------
 
   /** Fixed 3-term query for the retrieval operators (all present in the
@@ -1136,6 +1187,7 @@ object TextAnalysis {
     "llm_lang_filter" -> langFilter,
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
+    "llm_quality_classifier" -> qualityClassifier,
     "llm_tfidf" -> tfidf,
     "llm_ngrams" -> ngrams,
     "llm_sentiment_lexicon" -> sentiment,
@@ -1163,6 +1215,7 @@ object TextAnalysis {
     "llm_lang_filter" -> langFilterSql,
     "llm_lang_id" -> langIdSql,
     "llm_quality_score" -> qualityScoreSql,
+    "llm_quality_classifier" -> qualityClassifierSql,
     "llm_tfidf" -> tfidfSql,
     "llm_ngrams" -> ngramsSql,
     "llm_sentiment_lexicon" -> sentimentSql,

@@ -267,6 +267,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: hashed-BoW linear score matches an in-memory recompute") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextAnalysis.qualityClassifier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4), r.getInt(5)))
+    val toks = memToks()
+    assert(got.map(_._1).toSeq == toks.keys.toSeq.sorted)
+    got.foreach { case (id, nToks, dotMilli, score6, keep) =>
+      val ws = toks(id)
+      assert(nToks == ws.size.toLong)
+      val expectedDot = ws.map { w =>
+        val b = java.lang.Long.parseLong(md5hex(w).substring(0, 2), 16) % 64
+        java.lang.Long.parseLong(md5hex(s"wt:$b").substring(0, 4), 16) % 2001 - 1000
+      }.sum
+      assert(dotMilli == expectedDot)
+      val logit = dotMilli.toDouble / (nToks * 1000)
+      val sig = BigDecimal(1.0 / (1.0 + math.exp(-logit)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score6 == sig)
+      assert(keep == (if (score6 >= 0.5) 1 else 0))
+    }
+  }
+
   test("dataset card: rank statistics and dup rate match an in-memory recompute") {
     val rows = TextAnalysis.datasetCard(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)

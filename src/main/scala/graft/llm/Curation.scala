@@ -447,6 +447,53 @@ object Curation {
     * Scale: a pure map-side explode — output size = sum(tier), no shuffle at
     * all until whatever consumes it.
     */
+  /** Temperature-based mixture sampling (the multi-source reweighting step
+    * of multilingual / multi-domain training recipes): per source, raw share
+    * p_i = n_i/N is flattened to p_i^T / Σ p_j^T at T = 0.7, reported with
+    * the effective upsampling factor and the expected docs per epoch of
+    * size N. Tiny aggregation (|sources| rows); at 100 TB the weight table
+    * is what the sampler broadcasts. Determinism: shares are exact integer
+    * ratios; pow/exp go through the 6dp-rounding discipline (fnMath). */
+  val MixTemperature = 0.7
+
+  val mixTemperature: Q = (s, d) => {
+    val counts = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n_total"))
+    // pw integerized to nano-units BEFORE the normalizer sum: Σ of doubles
+    // is partition-order-dependent, Σ of bigints is exact (and the 1e-9
+    // rounding absorbs libm pow ulp differences, the micro-nat discipline)
+    val powed = counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("pw9",
+        round(pow(col("share"), MixTemperature) * 1e9, 0).cast("bigint"))
+    val z = powed.agg(sum("pw9").as("z9"))
+    powed.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("share"),
+        round(col("pw9").cast("double") / col("z9"), 6).as("weight6"),
+        round((col("pw9").cast("double") / col("z9")) / col("share"), 6).as("upsample6"),
+        round((col("pw9").cast("double") / col("z9")) * col("n_total"), 1).as("docs_per_epoch"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |tot AS (SELECT cast(sum(n_docs) as bigint) AS n_total FROM counts),
+       |powed AS (
+       |  SELECT source, n_docs,
+       |    cast(n_docs as double) / n_total AS share,
+       |    cast(round(pow(cast(n_docs as double) / n_total, $MixTemperature) * 1e9, 0) as bigint) AS pw9,
+       |    n_total
+       |  FROM counts CROSS JOIN tot),
+       |z AS (SELECT cast(sum(pw9) as bigint) AS z9 FROM powed)
+       |SELECT source, n_docs, share,
+       |  round(cast(pw9 as double) / z9, 6) AS weight6,
+       |  round((cast(pw9 as double) / z9) / share, 6) AS upsample6,
+       |  round((cast(pw9 as double) / z9) * n_total, 1) AS docs_per_epoch
+       |FROM powed CROSS JOIN z
+       |ORDER BY source""".stripMargin
+
   val mixRebalance: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -598,6 +645,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "llm_curation_e2e" -> curationE2e,
     "llm_ingest_dedup" -> ingestDedup,
+    "llm_mix_temperature" -> mixTemperature,
     "llm_decontaminate" -> decontaminate,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_clusters_star" -> dedupClustersStar,
@@ -610,6 +658,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "llm_curation_e2e" -> curationE2eSql,
     "llm_ingest_dedup" -> ingestDedupSql,
+    "llm_mix_temperature" -> mixTemperatureSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     // the star formulation declares identical semantics — one oracle text

@@ -131,6 +131,20 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mix temperature: weights normalize and flatten toward the mean") {
+    val rows = Curation.mixTemperature(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_._4).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // temperature < 1 flattens: below-mean sources upsample, above-mean downsample
+    val meanShare = 1.0 / rows.length
+    rows.foreach { case (src, _, share, _, upsample) =>
+      if (share < meanShare * 0.95) assert(upsample > 1.0, s"$src should upsample")
+      if (share > meanShare * 1.05) assert(upsample < 1.0, s"$src should downsample")
+    }
+  }
+
   test("ingest dedup: verdicts match an independent cross-set recompute") {
     val rows = Curation.ingestDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

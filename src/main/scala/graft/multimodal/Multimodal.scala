@@ -112,11 +112,84 @@ object Multimodal {
       }
   }
 
-  /** Both stages registered with full DuckDB oracles: md5 exists in both
+  /** A "resized" record: the payload-TRANSFORM stage (binary in → binary
+    * out), unlike decode which only extracts features. */
+  case class ResizedRecord(doc_id: Long, out_width: Int, out_height: Int,
+                           out_bytes: Int, out_checksum: String)
+
+  /** Resize stage: the one→one payload transform. The stub scales the byte
+    * budget with the clamped output dims (out_w·out_h/64, never more than
+    * the input) and "re-encodes" by truncation; a real build swaps the
+    * truncation for a codec call. What the oracle checks: the byte-budget
+    * arithmetic (pure ints), the transform running per partition batch, and
+    * the digest of the TRANSFORMED payload — i.e. the new binary really was
+    * produced, not just described. Payloads are dropped from the output
+    * row, so only small features leave the stage (the shuffle-width rule
+    * every media pipeline lives by at 100 TB). */
+  def resizePayloads(media: Dataset[MediaRecord]): Dataset[ResizedRecord] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("doc_id"))
+      .mapPartitions { batch =>
+        val md = StubDecoder.newDigest() // per-partition init, once
+        batch.map { r =>
+          val ow = math.min(r.width, StubDecoder.TargetSize)
+          val oh = math.min(r.height, StubDecoder.TargetSize)
+          val budget = math.min(r.media.length, ow * oh / 64)
+          val out = java.util.Arrays.copyOfRange(r.media, 0, budget)
+          md.reset()
+          ResizedRecord(r.doc_id, ow, oh, budget, StubDecoder.hex(md.digest(out)))
+        }
+      }
+  }
+
+  /** One analysis window of an audio payload: exact integer energy (sum of
+    * byte values — order-free, oracle-exact) + stub fingerprint. */
+  case class AudioWindow(doc_id: Long, win_idx: Int, win_bytes: Int,
+                         energy: Long, win_checksum: String)
+
+  val AudioWinBytes = 32 // window size
+  val AudioWinHop = 16   // 50% overlap — the STFT framing idiom
+
+  /** Audio windowing: overlapping fixed-size windows over the `wav` records
+    * only (format pushdown BEFORE the heavy stage), per-window byte-energy
+    * and digest. Same fan-out discipline as frame sampling: the payload is
+    * read once per partition batch and only small per-window rows leave. */
+  def audioWindows(media: Dataset[MediaRecord]): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(col("format") === "wav")
+      .repartition(col("doc_id"))
+      .mapPartitions { batch =>
+        val md = StubDecoder.newDigest() // per-partition init, once
+        batch.flatMap { r =>
+          val starts = 0 to math.max(0, r.media.length - 1) by AudioWinHop
+          starts.iterator.zipWithIndex.map { case (lo, idx) =>
+            val hi = math.min(lo + AudioWinBytes, r.media.length)
+            var energy = 0L
+            var i = lo
+            while (i < hi) { energy += r.media(i) & 0xff; i += 1 }
+            md.reset()
+            md.update(r.media, lo, hi - lo)
+            AudioWindow(r.doc_id, idx, hi - lo, energy, StubDecoder.hex(md.digest()))
+          }
+        }
+      }
+  }
+
+  /** All stages registered with full DuckDB oracles: md5 exists in both
     * engines and the payload is ASCII text bytes, so the fake features are
     * cross-checkable end-to-end — schema, metadata derivation, resize
     * clamping, chunking and striding all verified, not just row counts. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize_stub" -> ((s, d) => {
+      resizePayloads(mediaTable(s, d)).toDF()
+        .orderBy("doc_id")
+    }),
+    "mm_audio_window" -> ((s, d) => {
+      audioWindows(mediaTable(s, d)).toDF()
+        .orderBy("doc_id", "win_idx")
+    }),
     "mm_decode_stub" -> ((s, d) => {
       decodeFeatures(mediaTable(s, d)).toDF()
         .select("doc_id", "n_bytes", "format", "out_width", "out_height", "checksum")
@@ -129,6 +202,31 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_resize_stub" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, strlen(text) AS n, text,
+         |    cast(least(n_chars % 1000 + 32, ${StubDecoder.TargetSize}) as int) AS out_width,
+         |    cast(least(n_chars % 500 + 32, ${StubDecoder.TargetSize}) as int) AS out_height
+         |  FROM documents)
+         |SELECT doc_id, out_width, out_height,
+         |  cast(least(n, (out_width * out_height) // 64) as int) AS out_bytes,
+         |  md5(substr(text, 1, cast(least(n, (out_width * out_height) // 64) as int)))
+         |    AS out_checksum
+         |FROM dims ORDER BY doc_id""".stripMargin,
+    "mm_audio_window" ->
+      s"""WITH wav AS (
+         |  SELECT doc_id, text, strlen(text) AS n FROM documents
+         |  WHERE doc_id % 3 = 2),
+         |win AS (
+         |  SELECT doc_id, text, n, g.lo,
+         |    cast((g.lo / $AudioWinHop) as int) AS win_idx,
+         |    cast(least(g.lo + $AudioWinBytes, n) - g.lo as int) AS win_bytes
+         |  FROM wav, unnest(generate_series(0, greatest(0, n - 1), $AudioWinHop)) AS g(lo))
+         |SELECT doc_id, win_idx, win_bytes,
+         |  cast(list_sum(list_transform(range(1, win_bytes + 1),
+         |    i -> ord(substr(text, cast(lo + i as int), 1)))) as bigint) AS energy,
+         |  md5(substr(text, cast(lo + 1 as int), $AudioWinBytes)) AS win_checksum
+         |FROM win ORDER BY doc_id, win_idx""".stripMargin,
     "mm_decode_stub" ->
       s"""SELECT doc_id, cast(strlen(text) as int) AS n_bytes,
          |  CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -61,6 +61,7 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+
   test("exact decimal money sums are order-independent (the Dsl guarantee)") {
     val cents = Seq.fill(1000)(BigDecimal(rnd.nextInt(2000000)) / 100)
     val shuffled = rnd.shuffle(cents)

@@ -152,4 +152,30 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
   }
+
+  test("multimodal resize/audio stages: budgets, overlap, and energies are exact") {
+    import graft.multimodal.Multimodal._
+    val media = mediaTable(spark, sfDir)
+    val resized = resizePayloads(media).collect()
+    val src = media.collect().map(r => r.doc_id -> r).toMap
+    assert(resized.length == src.size)
+    resized.foreach { r =>
+      assert(r.out_width <= StubDecoder.TargetSize && r.out_height <= StubDecoder.TargetSize)
+      assert(r.out_bytes ==
+        math.min(src(r.doc_id).media.length, r.out_width * r.out_height / 64))
+    }
+    val wins = audioWindows(media).collect()
+    val wavs = src.values.filter(_.format == "wav")
+    assert(wins.map(_.doc_id).toSet == wavs.map(_.doc_id).toSet)
+    wins.groupBy(_.doc_id).foreach { case (id, ws) =>
+      val bytes = src(id).media
+      assert(ws.map(_.win_idx).sorted.toSeq == (0 until ws.length))
+      val expected = ws.sortBy(_.win_idx).map { w =>
+        val lo = w.win_idx * AudioWinHop
+        bytes.slice(lo, math.min(lo + AudioWinBytes, bytes.length))
+          .map(_ & 0xff).map(_.toLong).sum
+      }
+      assert(ws.sortBy(_.win_idx).map(_.energy).toSeq == expected.toSeq)
+    }
+  }
 }

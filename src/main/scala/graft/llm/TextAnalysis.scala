@@ -812,6 +812,91 @@ object TextAnalysis {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  /** Span-corruption preprocessing (T5/UL2 denoising objective): positions
+    * are span STARTS when an md5-keyed draw hits 1-in-20 (≈5%), each span
+    * masks [[SpanLen]] tokens, overlapping spans merge via the distinct
+    * union. Per doc: token/span/masked counts, corruption rate, and an md5
+    * of the in-order masked tokens — the digest proves the actual tokens
+    * were extracted, not just counted.
+    *
+    * Determinism: the "randomness" is md5(doc_id:pos) — reproducible across
+    * engines, reruns, and cluster sizes (a production pipeline needs
+    * exactly this property so retries don't produce different corpora).
+    * Scale: one posexplode → span explode (×[[SpanLen]]) → distinct →
+    * self-join on (doc, pos) — all hash-partitioned on doc_id. */
+  val SpanRate = 20 // 1-in-20 positions start a span
+  val SpanLen = 3
+
+  val spanCorruption: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val n = tk.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val isStart =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+                                col("pos").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint") % SpanRate === 0
+    val starts = tk.where(isStart).select(col("doc_id"), col("pos"))
+    val masked = starts.join(n, "doc_id")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"),
+                         least(col("pos") + (SpanLen - 1), col("n_toks")))).as("mpos"))
+      .distinct()
+    val maskedToks = masked
+      .join(tk.select(col("doc_id"), col("pos").as("mpos"), col("tok")),
+            Seq("doc_id", "mpos"))
+    val perDoc = maskedToks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+           md5(array_join(transform(
+             array_sort(collect_list(struct(col("mpos"), col("tok")))),
+             x => x.getField("tok")), " ")).as("masked_md5"))
+    val nSpans = starts.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    n.join(nSpans, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        (coalesce(col("n_masked"), lit(0L)).cast("double") / col("n_toks"))
+          .as("corruption_rate"),
+        coalesce(col("masked_md5"), lit("")).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
+  val spanCorruptionSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, g.i AS pos, t[g.i] AS tok
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |        FROM documents),
+       |       unnest(generate_series(1, len(t))) AS g(i)),
+       |n AS (SELECT doc_id, count(*) AS n_toks FROM tk GROUP BY doc_id),
+       |starts AS (
+       |  SELECT doc_id, pos FROM tk
+       |  WHERE cast(('0x' || substr(md5(cast(doc_id as varchar) || ':' ||
+       |                             cast(pos as varchar)), 1, 4)) as bigint)
+       |        % $SpanRate = 0),
+       |masked AS (
+       |  SELECT DISTINCT s.doc_id, g.mp AS mpos
+       |  FROM starts s JOIN n USING (doc_id),
+       |       unnest(generate_series(s.pos,
+       |         least(s.pos + ${SpanLen - 1}, n.n_toks))) AS g(mp)),
+       |per_doc AS (
+       |  SELECT m.doc_id, count(*) AS n_masked,
+       |    md5(string_agg(t.tok, ' ' ORDER BY m.mpos)) AS masked_md5
+       |  FROM masked m JOIN tk t ON m.doc_id = t.doc_id AND m.mpos = t.pos
+       |  GROUP BY m.doc_id),
+       |spans AS (SELECT doc_id, count(*) AS n_spans FROM starts GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_toks,
+       |  coalesce(s.n_spans, 0) AS n_spans,
+       |  coalesce(p.n_masked, 0) AS n_masked,
+       |  cast(coalesce(p.n_masked, 0) as double) / n.n_toks AS corruption_rate,
+       |  coalesce(p.masked_md5, '') AS masked_md5
+       |FROM n
+       |LEFT JOIN spans s ON n.doc_id = s.doc_id
+       |LEFT JOIN per_doc p ON n.doc_id = p.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   // ---- retrieval: BM25 ranking + boolean keyword search -------------------
 
   /** Fixed 3-term query for the retrieval operators (all present in the
@@ -1188,6 +1273,7 @@ object TextAnalysis {
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
     "llm_quality_classifier" -> qualityClassifier,
+    "llm_span_corruption" -> spanCorruption,
     "llm_tfidf" -> tfidf,
     "llm_ngrams" -> ngrams,
     "llm_sentiment_lexicon" -> sentiment,
@@ -1216,6 +1302,7 @@ object TextAnalysis {
     "llm_lang_id" -> langIdSql,
     "llm_quality_score" -> qualityScoreSql,
     "llm_quality_classifier" -> qualityClassifierSql,
+    "llm_span_corruption" -> spanCorruptionSql,
     "llm_tfidf" -> tfidfSql,
     "llm_ngrams" -> ngramsSql,
     "llm_sentiment_lexicon" -> sentimentSql,

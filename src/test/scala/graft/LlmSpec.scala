@@ -267,6 +267,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("span corruption: masked spans match an in-memory recompute") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextAnalysis.spanCorruption(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5)))
+    val toks = memToks()
+    assert(got.map(_._1).toSeq == toks.keys.toSeq.sorted)
+    got.foreach { case (id, nToks, nSpans, nMasked, maskedMd5) =>
+      val ws = toks(id)
+      assert(nToks == ws.size.toLong)
+      val starts = (1 to ws.size).filter { pos =>
+        java.lang.Long.parseLong(md5hex(s"$id:$pos").substring(0, 4), 16) % 20 == 0 }
+      assert(nSpans == starts.size.toLong)
+      val masked = starts.flatMap(p => p to math.min(p + 2, ws.size)).distinct.sorted
+      assert(nMasked == masked.size.toLong)
+      val expMd5 = if (masked.isEmpty) "" else md5hex(masked.map(p => ws(p - 1)).mkString(" "))
+      assert(maskedMd5 == expMd5)
+    }
+    assert(got.exists(_._3 > 0), "no spans drawn anywhere — vacuous fixture")
+  }
+
   test("quality classifier: hashed-BoW linear score matches an in-memory recompute") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -203,15 +203,89 @@ object Similarity {
        |FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
        |ORDER BY e.src, e.rk""".stripMargin
 
+  /** Triangle counting + clustering coefficient over the MUTUAL kNN edges —
+    * the classic MapReduce-era graph analytic (Cohen's MR triangles), the
+    * community-structure diagnostic run on similarity graphs before
+    * clustering-based dedup. The ordered-triple join (a<b<c, each edge kept
+    * once as lo<hi) counts every triangle exactly once.
+    *
+    * Scale: the standard trick IS the ordering — joining ordered edges
+    * bounds the candidate wedges by the lower-degree endpoint, and each
+    * stage is a hash-partitioned equi join on a node id. Per-node counts
+    * come from one explode + agg. */
+  val knnTriangles: Q = (s, d) => {
+    val mutual = knnGraph(s, d).where(col("mutual"))
+      .select(least(col("src"), col("dst")).as("lo"),
+              greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+    val deg = mutual.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = mutual.as("e1")
+      .join(mutual.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(mutual.as("e3"),
+            col("e1.lo") === col("e3.lo") && col("e2.hi") === col("e3.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+                     (col("degree") * (col("degree") - 1)))
+          .as("clustering_coeff"))
+      .orderBy("node")
+  }
+
+  val knnTrianglesSql: String =
+    s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS score
+       |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+       |edges AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
+       |  FROM scored QUALIFY rk <= $KnnGraphK),
+       |und AS (
+       |  SELECT least(e.src, e.dst) AS lo, greatest(e.src, e.dst) AS hi
+       |  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+       |  GROUP BY 1, 2),
+       |deg AS (
+       |  SELECT node, count(*) AS degree FROM (
+       |    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+       |  GROUP BY node),
+       |tri AS (
+       |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e1.hi = e2.lo
+       |  JOIN und e3 ON e1.lo = e3.lo AND e2.hi = e3.hi),
+       |per_node AS (
+       |  SELECT node, count(*) AS triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY node)
+       |SELECT d.node, d.degree,
+       |  coalesce(t.triangles, 0) AS triangles,
+       |  CASE WHEN d.degree < 2 THEN 0.0
+       |       ELSE cast(coalesce(t.triangles, 0) as double) * 2
+       |            / (d.degree * (d.degree - 1)) END AS clustering_coeff
+       |FROM deg d LEFT JOIN per_node t ON d.node = t.node
+       |ORDER BY d.node""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simjoin_threshold" -> simjoinThreshold,
     "llm_neardup_embedding" -> neardupEmbedding,
     "llm_knn_graph" -> knnGraph,
+    "llm_knn_triangles" -> knnTriangles,
   )
 
   val oracle: Map[String, String] = Map(
     "llm_simsearch_topk" -> simsearchTopkSql,
+    "llm_knn_triangles" -> knnTrianglesSql,
     "llm_simjoin_threshold" -> simjoinThresholdSql,
     "llm_neardup_embedding" -> neardupEmbeddingSql,
     "llm_knn_graph" -> knnGraphSql,

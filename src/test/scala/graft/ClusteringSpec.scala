@@ -141,6 +141,27 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("knn triangles: counts match a brute-force recompute of the mutual graph") {
+    import graft.llm.Similarity
+    val mutual = Similarity.knnGraph(spark, sfDir).where(col("mutual"))
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).toSet
+    val got = Similarity.knnTriangles(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nodes = mutual.flatMap(e => Seq(e._1, e._2))
+    assert(got.map(_._1).toSet == nodes)
+    def adjacent(x: Long, y: Long) = mutual((math.min(x, y), math.max(x, y)))
+    got.foreach { case (n, deg, tri, coeff) =>
+      assert(deg == nodes.count(m => m != n && adjacent(n, m)).toLong)
+      val nbrs = nodes.filter(m => m != n && adjacent(n, m)).toSeq.sorted
+      val expTri = nbrs.combinations(2).count { case Seq(x, y) => adjacent(x, y) }
+      assert(tri == expTri.toLong)
+      val expCoeff = if (deg < 2) 0.0 else tri.toDouble * 2 / (deg * (deg - 1))
+      assert(coeff == expCoeff)
+    }
+  }
+
   test("minhash estimate tracks exact jaccard within the K=32 binomial bound") {
     val rows = graft.llm.Dedup.minhashEstimate(spark, sfDir).collect()
     assert(rows.nonEmpty)

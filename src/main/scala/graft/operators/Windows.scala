@@ -178,6 +178,52 @@ object Windows {
     * both engines produce bit-identical doubles UNROUNDED — while round(_, 6)
     * would break on rounding-mode ties (Spark half-up vs DuckDB half-even
     * flipped 0.0640625 at sf0.1). Ties on c_acctbal rank identically. */
+  /** Batch sessionization as gaps-and-islands: a session breaks when the
+    * gap to the user's previous event exceeds 30 minutes; the session index
+    * is a running sum of break flags. The WINDOW-FUNCTION twin of the
+    * streaming `session_window` operator — same semantic (both oracled),
+    * different machinery: one sort-partitioned exchange per user serves the
+    * lag AND the running sum (Spark plans a single Window node), where the
+    * streaming path merges sessions in the state store. Determinism: events
+    * are ordered by (ts, event_id) so equal timestamps cannot reorder. */
+  val windowSessionGap: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runing = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(runing))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("s_start"),
+           max(col("ts")).as("s_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val windowSessionGapSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts) AS s_start, max(ts) AS s_end
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val windowDistribution: Q = (s, d) => {
     val byBal = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal"))
     val byBalKey = Window.partitionBy(col("n_name"))
@@ -263,6 +309,7 @@ object Windows {
     "window_range_frame" -> windowRangeFrame,
     "window_first_last" -> windowFirstLast,
     "window_distribution" -> windowDistribution,
+    "window_session_gap" -> windowSessionGap,
     "topk_per_group" -> topkPerGroup,
     "sort_global" -> sortGlobal,
     "sort_topk" -> sortTopk,
@@ -278,6 +325,7 @@ object Windows {
     "window_range_frame" -> windowRangeFrameSql,
     "window_first_last" -> windowFirstLastSql,
     "window_distribution" -> windowDistributionSql,
+    "window_session_gap" -> windowSessionGapSql,
     "topk_per_group" -> topkPerGroupSql,
     "sort_global" -> sortGlobalSql,
     "sort_topk" -> sortTopkSql,

@@ -75,6 +75,32 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Sketch MERGEABILITY — the property that makes sketches matter at shard
+    * scale: per-source HLL sketches (Spark 4's DataSketches `hll_sketch_agg`)
+    * unioned with `hll_union_agg` estimate the global distinct count from
+    * shard-local state, never re-scanning the data. Both paths are
+    * DETERMINISTIC functions of the data (no RNG), but merged and
+    * single-pass estimates may differ by a few counts when sketches merge
+    * out of the exact sparse mode (observed 502 vs 504 at sf0.01, true
+    * count 500) — the spec pins BOTH within the HLL error envelope of the
+    * exact distinct count. Registered rows-only (no DuckDB twin of the
+    * DataSketches encoding). At 100 TB this is the pattern every per-shard
+    * stats job relies on: sketch per partition of work, union the KB-sized
+    * states. */
+  val aggHllMerge: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""SELECT 'merged_per_source' AS method,
+            |  hll_sketch_estimate(hll_union_agg(sk)) AS distinct_users
+            |FROM (
+            |  SELECT source AS grp, hll_sketch_agg(cast(doc_id % 2000 as string)) AS sk
+            |  FROM documents GROUP BY source)
+            |UNION ALL
+            |SELECT 'single_pass',
+            |  hll_sketch_estimate(hll_sketch_agg(cast(doc_id % 2000 as string)))
+            |FROM documents
+            |ORDER BY method""".stripMargin)
+  }
+
   /** Sort-agg fallback path: collect_list goes through ObjectHashAggregate
     * with sort-based fallback; rows-only check + EXPLAIN unit test. */
   val aggSortFallback: Q = (s, d) =>
@@ -431,6 +457,7 @@ object Aggregates {
     "agg_hash_group" -> aggHashGroup,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_hll_merge" -> aggHllMerge,
     "agg_sort_fallback" -> aggSortFallback,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,

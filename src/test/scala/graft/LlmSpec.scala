@@ -146,6 +146,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch merge: shard-merged and single-pass estimates within HLL error of exact") {
+    val rows = graft.operators.Aggregates.aggHllMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("merged_per_source", "single_pass"))
+    val exact = Tables.documents(spark, sfDir)
+      .selectExpr("count(distinct doc_id % 2000)").collect().head.getLong(0)
+    rows.values.foreach { est =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"estimate $est vs exact $exact exceeds 5%")
+    }
+    // determinism: same data, same estimates on a re-run
+    val again = graft.operators.Aggregates.aggHllMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == rows)
+  }
+
   test("approx_count_distinct within 5% of exact per group") {
     val approx = Aggregates.aggApproxDistinct(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

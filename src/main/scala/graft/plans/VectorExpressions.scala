@@ -99,12 +99,63 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
 }
 
+/** Optimizer rule (§4.3 extension layer (c)): rewrite the declarative
+  * higher-order dot product — `aggregate(zip_with(a, b, (x,y) -> double(x) *
+  * double(y)), 0.0d, (acc,v) -> acc + v)` — into the codegen'd
+  * [[DotProduct]] kernel. The HOF chain evaluates through a lambda
+  * interpreter per element; the kernel is one inline loop in whole-stage
+  * codegen. Semantics are bit-identical by construction (same sequential
+  * fold, same float→double widening; pinned by a spec), so the rewrite is
+  * safe anywhere the pattern appears. The match is deliberately
+  * conservative: exact shape, double accumulator literal 0.0, identity
+  * finish — anything else passes through untouched. */
+object DotProductRewrite
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, Cast, LambdaFunction, Literal, Multiply, NamedLambdaVariable}
+  import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ZipWith}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private object DoubleCastOf {
+    def unapply(e: Expression): Option[NamedLambdaVariable] = e match {
+      case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(DoubleCastOf(x), DoubleCastOf(y), _),
+                             Seq(ex1: NamedLambdaVariable, ex2: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(acc1: NamedLambdaVariable, v1: NamedLambdaVariable, _),
+                           Seq(acc2: NamedLambdaVariable, v2: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(fin2: NamedLambdaVariable), _))
+          if isFloatArray(a) && isFloatArray(b) &&
+             x.exprId == ex1.exprId && y.exprId == ex2.exprId &&
+             acc1.exprId == acc2.exprId && v1.exprId == v2.exprId &&
+             fin.exprId == fin2.exprId =>
+        DotProduct(a, b)
+    }
+}
+
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires the vector
-  * kernel into every session at startup — the idiomatic deployment path. */
+  * kernel into every session at startup — the idiomatic deployment path:
+  * the function for explicit calls, and the optimizer rule that upgrades
+  * the declarative HOF spelling to the same kernel automatically. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.dotName),
         new ExpressionInfo(classOf[DotProduct].getName, VectorFunctions.dotName),
         { case Seq(a, b) => DotProduct(a, b) }))
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }

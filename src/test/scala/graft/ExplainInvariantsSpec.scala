@@ -87,6 +87,18 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("ingest dedup broadcasts the batch shingle side (corpus never self-pairs)") {
+    val p = plan(graft.llm.Curation.ingestDedup(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "the small incoming-batch side must broadcast into the corpus pass")
+  }
+
+  test("bpe encode deploys the merged vocabulary as a broadcast join") {
+    val p = plan(graft.llm.TextAnalysis.bpeEncode(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "the word-keyed vocabulary must broadcast — encoding is map-side")
+  }
+
   test("null-safe join stays an equi hash join, not a theta join") {
     val p = plan(Relational.joinNullSafe(spark, sfDir))
     // EqualNullSafe keys hash-partition like any value; BNLJ/Cartesian

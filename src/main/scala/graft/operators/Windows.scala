@@ -224,6 +224,68 @@ object Windows {
       |FROM sess GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Time-series resampling: regularize each user's event stream onto an
+    * hourly grid between their first and last event, then forward-fill the
+    * last observed value across the gaps — the upsample+ffill idiom every
+    * metrics pipeline runs before windowed models. Deterministic: the
+    * per-hour representative is the LAST event by (ts, event_id) (no double
+    * summing), the grid is a pure sequence, and the fill is
+    * last-ignore-nulls over a rows frame.
+    *
+    * Scale: the grid explode is map-side (one row per user → span hours);
+    * the only shuffles are the per-hour aggregation and the per-user
+    * fill window — both hash-partitioned on user_id. */
+  val windowGapFill: Q = (s, d) => {
+    val byHour = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val perHour = Tables.events(s, d)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(byHour))
+      .groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n_events"),
+           max(when(col("rn") === 1, col("value"))).as("last_value"))
+    val grid = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+           date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+                         expr("INTERVAL 1 HOUR"))).as("hr"))
+    val fillW = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perHour, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_value"), ignoreNulls = true).over(fillW).as("filled_value"),
+        (col("n_events").isNull).cast("int").as("is_gap"))
+      .orderBy("user_id", "hr")
+  }
+
+  val windowGapFillSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |per_hour AS (
+      |  SELECT user_id, hr, count(*) AS n_events,
+      |    max(CASE WHEN rn = 1 THEN value END) AS last_value
+      |  FROM ranked GROUP BY user_id, hr),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(
+      |    date_trunc('hour', mn), date_trunc('hour', mx), INTERVAL 1 HOUR)) AS hr
+      |  FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx
+      |        FROM events GROUP BY user_id))
+      |SELECT g.user_id, g.hr,
+      |  coalesce(p.n_events, 0) AS n_events,
+      |  last_value(p.last_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  cast(p.n_events IS NULL as int) AS is_gap
+      |FROM grid g
+      |LEFT JOIN per_hour p ON g.user_id = p.user_id AND g.hr = p.hr
+      |ORDER BY g.user_id, g.hr""".stripMargin
+
   val windowDistribution: Q = (s, d) => {
     val byBal = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal"))
     val byBalKey = Window.partitionBy(col("n_name"))
@@ -310,6 +372,7 @@ object Windows {
     "window_first_last" -> windowFirstLast,
     "window_distribution" -> windowDistribution,
     "window_session_gap" -> windowSessionGap,
+    "window_gap_fill" -> windowGapFill,
     "topk_per_group" -> topkPerGroup,
     "sort_global" -> sortGlobal,
     "sort_topk" -> sortTopk,
@@ -326,6 +389,7 @@ object Windows {
     "window_first_last" -> windowFirstLastSql,
     "window_distribution" -> windowDistributionSql,
     "window_session_gap" -> windowSessionGapSql,
+    "window_gap_fill" -> windowGapFillSql,
     "topk_per_group" -> topkPerGroupSql,
     "sort_global" -> sortGlobalSql,
     "sort_topk" -> sortTopkSql,

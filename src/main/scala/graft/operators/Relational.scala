@@ -184,6 +184,29 @@ object Relational {
       |  ON c_custkey = o_custkey
       |ORDER BY ck, ok""".stripMargin
 
+  /** Right outer: every big order kept, matching high-balance customer or
+    * null — the mirror of left outer (Spark plans it as the flipped left
+    * outer; registered so every ANSI join type runs by name). */
+  val joinRightOuter: Q = (s, d) => {
+    val hiCust = Tables.customer(s, d).where(col("c_acctbal") > 9000)
+      .select("c_custkey", "c_acctbal")
+    val hiOrd = Tables.orders(s, d).where(col("o_totalprice") > 280000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    hiCust.join(hiOrd, col("c_custkey") === col("o_custkey"), "right")
+      .select(coalesce(col("c_custkey"), lit(-1)).as("ck"),
+              col("o_orderkey").as("ok"),
+              col("c_acctbal"), col("o_totalprice"))
+      .orderBy("ck", "ok")
+  }
+
+  val joinRightOuterSql: String =
+    """SELECT coalesce(c_custkey, -1) AS ck, o_orderkey AS ok,
+      |       c_acctbal, o_totalprice
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+      |RIGHT JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 280000) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY ck, ok""".stripMargin
+
   /** Semi join: customers having at least one big order (EXISTS). */
   val joinLeftSemi: Q = (s, d) =>
     Tables.customer(s, d)
@@ -321,6 +344,7 @@ object Relational {
     "join_sort_merge" -> joinSortMerge,
     "join_left_outer" -> joinLeftOuter,
     "join_full_outer" -> joinFullOuter,
+    "join_right_outer" -> joinRightOuter,
     "join_left_semi" -> joinLeftSemi,
     "join_left_anti" -> joinLeftAnti,
     "join_cross" -> joinCross,
@@ -340,6 +364,7 @@ object Relational {
     "join_sort_merge" -> joinSortMergeSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
+    "join_right_outer" -> joinRightOuterSql,
     "join_left_semi" -> joinLeftSemiSql,
     "join_left_anti" -> joinLeftAntiSql,
     "join_cross" -> joinCrossSql,

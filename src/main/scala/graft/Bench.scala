@@ -52,8 +52,24 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-code cache holds 100 compiled units by default; a full
+      // headline pass generates more than that, so round-robin passes would
+      // re-run janino on every query. Plenty of heap — keep them all.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pre-touch the fixture files into the OS page cache before any timing:
+    // on a shared VM the first scan of a cold file pays disk latency that has
+    // nothing to do with the engine, and WHICH query pays it depends on run
+    // order — warming the pages up front makes all runs measure compute.
+    Tables.names.foreach { n =>
+      try {
+        val dir = java.nio.file.Paths.get(s"$sfDir/$n.parquet")
+        val it = java.nio.file.Files.walk(dir).iterator()
+        while (it.hasNext) { val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.readAllBytes(p) }
+      } catch { case _: Throwable => () }
+    }
     // Untimed warmup: JIT the scan/shuffle/agg machinery once so the first
     // measured query doesn't pay the whole session's compilation bill.
     try SparkEntry.flagship(spark, sfDir)
@@ -63,26 +79,36 @@ object Bench {
     val names =
       if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
-    val attempts = if (all) 2 else 3
+    val attempts = if (all) 2 else 4
     // noop sink forces full materialization of every output column — count()
     // would let Catalyst prune the query down to a row count and flatter us.
     // Best-of-N per query: one-shot numbers on a shared VM mix engine time
     // with environmental noise (observed 40x spikes on random queries across
     // otherwise-identical runs); the minimum of N runs is the engine.
-    val results: Seq[(String, Option[Double])] = names.map { name =>
+    // The attempts run ROUND-ROBIN (pass 1 of every query, then pass 2, ...)
+    // rather than back-to-back: a multi-second contention spike from a
+    // neighbouring process then inflates at most one sample per query instead
+    // of swallowing all of a query's attempts inside one spike window (this
+    // is exactly what produced the 4x llm_pipeline_e2e outlier in BENCH_r04 —
+    // min of 3 consecutive attempts, all inside the same spike).
+    val rr = sys.env.getOrElse("SPARK_GRAFT_BENCH_RR", "1") != "0"
+    val schedule: Seq[(Int, String)] =
+      if (rr) for (pass <- 1 to attempts; name <- names) yield (pass, name)
+      else for (name <- names; pass <- 1 to attempts) yield (pass, name)
+    val timed = scala.collection.mutable.Map.empty[String, List[Double]]
+    for ((pass, name) <- schedule) {
       val fn = SparkEntry.queries(name)
-      val times = (1 to attempts).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None // a thrown query contributes NO time — it must not look fast
-        }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        timed(name) = ((System.nanoTime() - t0) / 1e9) :: timed.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        // a thrown query contributes NO time for this pass — it must not look fast
+        if (pass == 1) System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (if (times.isEmpty) None else Some(times.min))
     }
+    val results: Seq[(String, Option[Double])] =
+      names.map(n => n -> timed.get(n).map(_.min))
     // Failed queries are reported as -1 (sentinel) and excluded from the
     // total, so a broken operator cannot make the benchmark look faster.
     val qs = results.map { case (k, v) =>

@@ -32,13 +32,13 @@ object SparkEntry {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(decSum(discPrice).as("revenue"))
+      .agg(discPriceSum.as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val flagshipSql: String =
-    s"""SELECT l_orderkey, o_orderdate, cast(sum($discPriceSql) as double) AS revenue
+    s"""SELECT l_orderkey, o_orderdate, $discPriceSumSql AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey

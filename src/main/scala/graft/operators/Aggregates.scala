@@ -34,8 +34,8 @@ object Aggregates {
       .agg(
         sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
         moneySum(col("l_extendedprice")).as("sum_base_price"),
-        decSum(discPrice).as("sum_disc_price"),
-        decSum(charge).as("sum_charge"),
+        discPriceSum.as("sum_disc_price"),
+        chargeSum.as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -45,8 +45,8 @@ object Aggregates {
     s"""SELECT l_returnflag, l_linestatus,
        |  sum(l_quantity) AS sum_qty,
        |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
-       |  cast(sum($discPriceSql) as double) AS sum_disc_price,
-       |  cast(sum($chargeSql) as double) AS sum_charge,
+       |  $discPriceSumSql AS sum_disc_price,
+       |  $chargeSumSql AS sum_charge,
        |  sum(l_quantity) / count(*) AS avg_qty,
        |  ${moneySumSql("l_extendedprice")} / count(*) AS avg_price,
        |  count(*) AS count_order
@@ -135,19 +135,19 @@ object Aggregates {
        |ORDER BY g_s, g_p, seg, prio""".stripMargin
 
   /** Same result as the shared SQL text, but pre-aggregated: the join output
-    * is first reduced to one partial (count, decimal sum) per (seg, prio)
+    * is first reduced to one partial (count, long cents sum) per (seg, prio)
     * base cell, and CUBE's Expand runs over those ≤|seg|×|prio| partials
     * instead of every joined row. Sum/count re-aggregate losslessly
-    * (decimals are exact), so the oracle is unchanged; at 100 TB this turns
+    * (integer cents are exact), so the oracle is unchanged; at 100 TB this turns
     * the 4× Expand blow-up of the fact table into a no-op (measured
     * 1.6 → 0.45 s at sf0.1). */
   val aggCube: Q = (s, d) =>
     Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .groupBy("c_mktsegment", "o_orderpriority")
-      .agg(count(lit(1)).as("pn"), sum(dec2(col("o_totalprice"))).as("ps"))
+      .agg(count(lit(1)).as("pn"), sum(cents(col("o_totalprice"))).as("ps"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(sum("pn").as("n"), sum("ps").cast("double").as("sum_price"),
+      .agg(sum("pn").as("n"), (sum("ps") / 100.0).as("sum_price"),
            grouping(col("c_mktsegment")).as("g_s"),
            grouping(col("o_orderpriority")).as("g_p"))
       .select(col("g_s"), col("g_p"),

@@ -44,19 +44,20 @@ object Relational {
       |  AND l_quantity < 10
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
-  /** Map-only derived-column projection (disc price / charge, exact decimal). */
+  /** Map-only derived-column projection (disc price / charge, exact
+    * scaled-long arithmetic divided once to double). */
   val projectSelect: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
               col("l_partkey"), col("l_suppkey"),
-              discPrice.cast("double").as("disc_price"),
-              charge.cast("double").as("charge"))
+              discPrice.as("disc_price"),
+              charge.as("charge"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val projectSelectSql: String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-       |  cast($discPriceSql as double) AS disc_price,
-       |  cast($chargeSql as double) AS charge
+       |  $discPriceSql AS disc_price,
+       |  $chargeSql AS charge
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
@@ -67,16 +68,16 @@ object Relational {
              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
              col("l_discount").between(0.05, 0.07) &&
              col("l_quantity") < 24)
-      .agg(decSum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("revenue"),
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0).as("revenue"),
            count(lit(1)).as("n"))
 
   val filterPredicateSql: String =
-    """SELECT
-      |  cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(12,2))) as double) AS revenue,
-      |  count(*) AS n
-      |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+    s"""SELECT
+       |  cast(sum(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}) as double) / 10000.0 AS revenue,
+       |  count(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
   /** Regex grep over the document corpus (Hadoop Grep example, map side). */
   val filterRegexGrep: Q = (s, d) =>
@@ -270,7 +271,7 @@ object Relational {
   /** Six-table multiway join (TPC-H Q5 shape: local supplier volume) — the
     * end-to-end join-planning proof. region/nation broadcast, the colocation
     * predicate (customer's nation = supplier's nation) rides the fact join,
-    * and revenue uses exact decimal sums. At 100 TB this is the shape where
+    * and revenue uses exact scaled-long sums. At 100 TB this is the shape where
     * Catalyst's join reorder + broadcast chain replaces the hand-sequenced
     * multi-stage MapReduce pipeline a Hadoop author would write. */
   val joinMultiway: Q = (s, d) =>
@@ -284,11 +285,11 @@ object Relational {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(decSum(discPrice).as("revenue"), count(lit(1)).as("n_lines"))
+      .agg(discPriceSum.as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   val joinMultiwaySql: String =
-    s"""SELECT n_name, cast(sum($discPriceSql) as double) AS revenue,
+    s"""SELECT n_name, $discPriceSumSql AS revenue,
        |  count(*) AS n_lines
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey

@@ -35,7 +35,7 @@ object ScaleTechniques {
       .withColumn("salt",
         pmod(xxhash64(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
              lit(SaltFactor)))
-    // replicate only the join key + the one payload column: the 8-way
+    // replicate only the join key + the one payload column: the SaltFactor-way
     // explode then multiplies ~17 bytes/row, not the whole orders record
     val ord = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
@@ -43,13 +43,13 @@ object ScaleTechniques {
     li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"),
-           decSum(discPrice).as("revenue"))
+           discPriceSum.as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val skewSaltedJoinSql: String =
     s"""SELECT o_orderpriority, count(*) AS line_cnt,
-       |  cast(sum($discPriceSql) as double) AS revenue
+       |  $discPriceSumSql AS revenue
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin

@@ -85,26 +85,26 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
-  /** Running ROWS-frame aggregates (exact decimal accumulation). */
+  /** Running ROWS-frame aggregates (exact long-cents accumulation). */
   val windowRunningRows: Q = (s, d) => {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-              sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"),
+              (sum(cents(col("o_totalprice"))).over(w) / 100.0).as("running_spend"),
               count(lit(1)).over(w).as("running_orders"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
   val windowRunningRowsSql: String =
-    """SELECT o_custkey, o_orderkey,
-      |  cast(sum(cast(o_totalprice as decimal(12,2))) OVER w as double) AS running_spend,
-      |  count(*) OVER w AS running_orders
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin
+    s"""SELECT o_custkey, o_orderkey,
+       |  cast(sum(${centsSql("o_totalprice")}) OVER w as double) / 100.0 AS running_spend,
+       |  count(*) OVER w AS running_orders
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** RANGE-frame aggregate over a numeric ordering (value-neighborhood sum).
     * Frame membership depends only on the ORDER BY value, so ties are safe.

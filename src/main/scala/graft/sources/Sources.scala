@@ -167,7 +167,7 @@ object Sources {
   val sinkMergeUpsertSql: String =
     """WITH src AS (
       |  SELECT c_nationkey, count(*) AS n_custs,
-      |         cast(sum(cast(c_acctbal as decimal(12,2))) as double) AS acct_sum
+      |         cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0 AS acct_sum
       |  FROM customer GROUP BY c_nationkey
       |  UNION ALL SELECT 990, 7, 0.0),
       |t AS (SELECT n_nationkey, n_name FROM nation)

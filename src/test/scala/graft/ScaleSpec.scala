@@ -13,7 +13,7 @@ class ScaleSpec extends SparkSpec {
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"),
-           Dsl.decSum(Dsl.discPrice).as("revenue"))
+           Dsl.discPriceSum.as("revenue"))
       .orderBy("o_orderpriority")
       .collect().toSeq
     assert(salted == plain)

@@ -1141,10 +1141,17 @@ object TextAnalysis {
         .groupBy("s1", "s2").agg(sum("wcnt").as("pair_cnt"))
         .orderBy(col("pair_cnt").desc, col("s1"), col("s2")).limit(1)
     }
+    // LEFT join against the (0-or-1)-row top table, not a crossJoin: if a
+    // round finds no adjacent pair left (pair-free corpus), the empty top
+    // frame must leave the vocabulary untouched rather than wipe it — the
+    // cross product with an empty frame would silently empty every
+    // downstream round and the encoder.
     def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
-      df.crossJoin(broadcast(top))
+      df.join(broadcast(top), lit(true), "left")
         .withColumn("repr",
-          expr("replace(repr, ' ' || s1 || ' ' || s2 || ' ', ' ' || s1 || s2 || ' ')"))
+          when(col("s1").isNotNull,
+            expr("replace(repr, ' ' || s1 || ' ' || s2 || ' ', ' ' || s1 || s2 || ' ')"))
+          .otherwise(col("repr")))
         .select("w", "repr", "wcnt")
     val (lastRev, stepsRev) = (1 to BpeRounds).foldLeft(
         (wc0, List.empty[(DataFrame, DataFrame)])) { case ((cur, acc), _) =>

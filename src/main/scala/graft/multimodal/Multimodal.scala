@@ -223,8 +223,8 @@ object Multimodal {
          |    cast(least(g.lo + $AudioWinBytes, n) - g.lo as int) AS win_bytes
          |  FROM wav, unnest(generate_series(0, greatest(0, n - 1), $AudioWinHop)) AS g(lo))
          |SELECT doc_id, win_idx, win_bytes,
-         |  cast(list_sum(list_transform(range(1, win_bytes + 1),
-         |    i -> ord(substr(text, cast(lo + i as int), 1)))) as bigint) AS energy,
+         |  cast(coalesce(list_sum(list_transform(range(1, win_bytes + 1),
+         |    i -> ord(substr(text, cast(lo + i as int), 1)))), 0) as bigint) AS energy,
          |  md5(substr(text, cast(lo + 1 as int), $AudioWinBytes)) AS win_checksum
          |FROM win ORDER BY doc_id, win_idx""".stripMargin,
     "mm_decode_stub" ->

@@ -181,11 +181,15 @@ object Windows {
   /** Batch sessionization as gaps-and-islands: a session breaks when the
     * gap to the user's previous event exceeds 30 minutes; the session index
     * is a running sum of break flags. The WINDOW-FUNCTION twin of the
-    * streaming `session_window` operator — same semantic (both oracled),
-    * different machinery: one sort-partitioned exchange per user serves the
-    * lag AND the running sum (Spark plans a single Window node), where the
-    * streaming path merges sessions in the state store. Determinism: events
-    * are ordered by (ts, event_id) so equal timestamps cannot reorder. */
+    * streaming `session_window` operator (both oracled), with one boundary
+    * difference: here a gap of EXACTLY 30 minutes stays in-session (strict
+    * `>`), while `session_window`'s half-open [start, start+gap) frame
+    * starts a new session on the exact boundary — an event landing
+    * precisely on it diverges between the two. Different machinery too:
+    * one sort-partitioned exchange per user serves the lag AND the running
+    * sum (Spark plans a single Window node), where the streaming path
+    * merges sessions in the state store. Determinism: events are ordered
+    * by (ts, event_id) so equal timestamps cannot reorder. */
   val windowSessionGap: Q = (s, d) => {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions.call_function
   * builder-prompt custom-operator preference (b): a codegen'd Expression
   * beats a Scala UDF beats an interpreted higher-order function).
   *
-  * Semantics: sequential left fold `0.0 + a(0)*b(0) + a(1)*b(1) + …` with
-  * each float widened to double before multiplying — BIT-IDENTICAL to the
-  * `aggregate(zip_with(...))` reference formulation in [[graft.llm.Similarity]]
-  * and to the DuckDB list_reduce oracle, so swapping it into an oracle-checked
-  * query changes nothing but speed. Nulls: inputs with null elements are not
-  * produced by any fixture; elements are read as primitive floats.
+  * Semantics: EXACTLY the `aggregate(zip_with(a, b, (x,y) -> double(x) *
+  * double(y)), 0.0d, (acc,v) -> acc + v)` chain it replaces, for every
+  * input, not just the fixtures:
+  *  - equal-length, null-free arrays: sequential left fold
+  *    `0.0 + a(0)*b(0) + …` with float→double widening per element —
+  *    bit-identical to the HOF formulation in [[graft.llm.Similarity]] and
+  *    the DuckDB list_reduce oracle;
+  *  - unequal lengths: NULL (zip_with pads the shorter side with nulls, the
+  *    null product poisons the whole fold);
+  *  - a null element anywhere: NULL (same poisoning).
+  * This equivalence is what makes [[DotProductRewrite]] safe to inject
+  * globally. The null-element scan is only emitted when the input type says
+  * containsNull — null-free schemas keep the pure primitive loop.
   *
   * At 100 TB this is the kernel of every similarity scan — whole-stage
   * codegen emits the loop inline in the join stage, no lambda interpreter,
@@ -41,13 +48,22 @@ case class DotProduct(left: Expression, right: Expression)
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  override def nullable: Boolean = true
+
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with null-padding poisons the fold
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -59,13 +75,23 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // emit the per-element null scan only when the schema allows nulls
+      val nullScan =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullScan
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -104,11 +130,12 @@ object VectorFunctions {
   * double(y)), 0.0d, (acc,v) -> acc + v)` — into the codegen'd
   * [[DotProduct]] kernel. The HOF chain evaluates through a lambda
   * interpreter per element; the kernel is one inline loop in whole-stage
-  * codegen. Semantics are bit-identical by construction (same sequential
-  * fold, same float→double widening; pinned by a spec), so the rewrite is
-  * safe anywhere the pattern appears. The match is deliberately
-  * conservative: exact shape, double accumulator literal 0.0, identity
-  * finish — anything else passes through untouched. */
+  * codegen. Semantics are identical by construction for EVERY input — same
+  * sequential fold and float→double widening, and [[DotProduct]] reproduces
+  * the HOF's null behavior (null on length mismatch or null element; pinned
+  * by a spec) — so the rewrite is safe anywhere the pattern appears. The
+  * match is deliberately conservative: exact shape, double accumulator
+  * literal 0.0, identity finish — anything else passes through untouched. */
 object DotProductRewrite
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {

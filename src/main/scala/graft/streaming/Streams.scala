@@ -175,8 +175,11 @@ object Streams {
     * MemoryStream; this batch twin is oracle-checked. */
   val streamWatermarkLate: Q = (s, d) => {
     val ev = Tables.events(s, d)
+    // the 1-row horizon aggregate is explicitly broadcast (scalar-subquery
+    // lowering): pins the plan to a broadcast loop join over one row rather
+    // than leaving the join strategy to size estimation
     val horizon = ev.agg((max(col("ts")) - expr("INTERVAL 1 DAY")).as("h"))
-    tumblingCounts(ev.crossJoin(horizon).where(col("ts") >= col("h")))
+    tumblingCounts(ev.crossJoin(broadcast(horizon)).where(col("ts") >= col("h")))
       .orderBy("w_start", "event_type")
   }
 

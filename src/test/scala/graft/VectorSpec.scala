@@ -18,6 +18,31 @@ class VectorSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("DotProduct matches the HOF on nulls: length mismatch and null elements") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // (a, b) pairs: equal clean, unequal lengths, null element, both empty
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f, 5.0f), Seq[java.lang.Float](3.0f, 4.0f)),
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f)),
+      (Seq.empty[java.lang.Float], Seq.empty[java.lang.Float]))
+      .toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val both = df.select(
+      Similarity.dotHof(col("a"), col("b")).as("hof"),
+      VectorFunctions.dot(col("a"), col("b")).as("native")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null disagreement: hof=${r.get(0)} native=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    // the expected shape: row 0 = 11.0, rows 1-2 = null, row 3 = 0.0
+    assert(!both(0).isNullAt(1) && both(0).getDouble(1) == 11.0)
+    assert(both(1).isNullAt(1) && both(2).isNullAt(1))
+    assert(!both(3).isNullAt(1) && both(3).getDouble(1) == 0.0)
+  }
+
   test("DotProductRewrite upgrades the HOF fold to the codegen kernel, same values") {
     import graft.plans.{DotProduct, DotProductRewrite}
     val e = Tables.embeddings(spark, sfDir)

@@ -207,7 +207,47 @@ object SqlSurface {
       |  ORDER BY n_name LIMIT 2) AS top2
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** Catalog/DDL lifecycle — the Hive-style CREATE TABLE + partitioned
+    * INSERT OVERWRITE + catalog read-back a Hadoop-SQL user runs daily.
+    * The table is external (tmp LOCATION) and re-created per run (DROP →
+    * CREATE → INSERT OVERWRITE is idempotent, so bench repeats are safe).
+    * The read-back goes through the session catalog BY NAME and filters on
+    * the partition column — partition pruning on a catalog table, the
+    * layout every 100 TB warehouse query relies on. The oracle recomputes
+    * the same relation straight from the parquet fixture. */
+  val sqlCreateInsert: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    val loc = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    s.sql("DROP TABLE IF EXISTS graft_orders_ddl")
+    s.sql(
+      s"""CREATE TABLE graft_orders_ddl (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING parquet
+         |PARTITIONED BY (o_orderpriority)
+         |LOCATION '$loc'""".stripMargin)
+    s.sql(
+      """INSERT OVERWRITE TABLE graft_orders_ddl PARTITION (o_orderpriority)
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0 AS sum_price
+        |FROM graft_orders_ddl
+        |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlCreateInsertOracleSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0 AS sum_price
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '5-LOW')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_create_insert" -> sqlCreateInsert,
     "sql_lateral_join" -> sharedSql(lateralJoinSql),
     "sql_group_by_all" -> sharedSql(groupByAllSql),
     "sql_window_clause" -> sharedSql(windowClauseSql),
@@ -224,6 +264,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_create_insert" -> sqlCreateInsertOracleSql,
     "sql_lateral_join" -> lateralJoinSql,
     "sql_group_by_all" -> groupByAllSql,
     "sql_window_clause" -> windowClauseSql,

@@ -84,6 +84,63 @@ object Sources {
       .orderBy("s_suppkey")
   }
 
+  /** Avro round-trip — the serialization staple of the Hadoop ecosystem,
+    * written and read through the REAL Avro container format via the
+    * avro-mapred Input/OutputFormats (AvroKeyOutputFormat → .avro container
+    * files with embedded schema → AvroKeyInputFormat). The spark-avro
+    * DataSource module is not on this classpath (offline build), so this is
+    * the classic MapReduce-era Avro path — which is exactly the surface a
+    * Hadoop release ships. The RDD hop is confined to the format boundary;
+    * GenericRecords are built/unpacked per partition with one parsed schema
+    * per task (mapPartitions), the correct codec-amortization shape at
+    * 100 TB. */
+  val scanAvro: Q = (s, d) => {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    val out = tmp("avro") + "/data"
+    val schemaJson =
+      """{"type":"record","name":"part_rec","fields":[
+        |  {"name":"p_partkey","type":"long"},
+        |  {"name":"p_name","type":"string"},
+        |  {"name":"p_retailprice","type":"double"}]}""".stripMargin
+    val wjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(wjob, new Schema.Parser().parse(schemaJson))
+    Tables.part(s, d).select("p_partkey", "p_name", "p_retailprice")
+      .rdd.mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson) // once per task
+        it.map { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("p_partkey", r.getLong(0))
+          rec.put("p_name", r.getString(1))
+          rec.put("p_retailprice", r.getDouble(2))
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        wjob.getConfiguration)
+    val rjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(rjob, new Schema.Parser().parse(schemaJson))
+    val rows = s.sparkContext.newAPIHadoopFile(out,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        rjob.getConfiguration)
+      .map { case (k, _) => // unpack immediately: Hadoop RecordReaders reuse objects
+        val rec = k.datum()
+        (rec.get("p_partkey").asInstanceOf[Long],
+         rec.get("p_name").toString, // avro strings arrive as Utf8
+         rec.get("p_retailprice").asInstanceOf[Double])
+      }
+    import s.implicits._
+    rows.toDF("p_partkey", "p_name", "p_retailprice")
+      .where(col("p_retailprice") > 950)
+      .orderBy("p_partkey")
+  }
+
   /** Parquet sink round-trip (FileOutputFormat commit protocol). */
   val sinkParquet: Q = (s, d) => {
     val out = tmp("parq")
@@ -188,6 +245,7 @@ object Sources {
     "scan_json" -> scanJson,
     "scan_sequencefile" -> scanSequencefile,
     "scan_orc" -> scanOrc,
+    "scan_avro" -> scanAvro,
     "sink_parquet" -> sinkParquet,
     "sink_partitioned" -> sinkPartitioned,
     "compress_codecs" -> compressCodecs,
@@ -216,6 +274,9 @@ object Sources {
     "scan_orc" ->
       """SELECT s_suppkey, s_name, s_acctbal
         |FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+    "scan_avro" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part WHERE p_retailprice > 950 ORDER BY p_partkey""".stripMargin,
     "sink_parquet" ->
       """SELECT l_returnflag, count(*) AS n
         |FROM lineitem WHERE l_quantity > 45

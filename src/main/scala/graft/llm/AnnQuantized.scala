@@ -28,8 +28,10 @@ object AnnQuantized {
   val RerankK = 20 // quantized shortlist size
   val TopK = 5     // final answers per query
 
-  /** int8 code column for an embedding column (same formula as Quantize). */
-  private def codes(emb: Column): Column = {
+  /** int8 code column for an embedding column (same formula as Quantize).
+    * Shared with [[Similarity.knnGraph]], whose candidate generation runs on
+    * these codes. */
+  def codes(emb: Column): Column = {
     val scale = array_max(transform(emb, x => abs(x.cast("double"))))
     transform(emb, x =>
       when(scale === 0, lit(0)).otherwise(

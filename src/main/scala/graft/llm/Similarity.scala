@@ -154,24 +154,32 @@ object Similarity {
     * graph-clustering input). Built on the even-id half of the corpus (a
     * deterministic subset, matching the simjoin convention).
     *
-    * Exact brute-force pairing is the declared semantics; at 100 TB the
-    * pair join is replaced by the int8-quantized shortlist
-    * ([[AnnQuantized]]) or IVF buckets ([[AnnIvf]]) feeding the SAME
-    * window + mutuality join — graph assembly is scale-invariant. */
+    * Candidate generation is the [[AnnQuantized]] int8 shortlist (the swap
+    * SURVEY §2.11 promises): pairs are scored on 4×-smaller integer codes
+    * and only (ids, qscore) ever shuffle through the ranking window
+    * (~24 B/pair, never the float arrays); the exact float cosine then
+    * re-ranks only the R surviving candidates per node through plain equi
+    * joins. Downstream (top-K window + reverse-edge mutuality join) is
+    * IDENTICAL to the exact formulation — graph assembly is
+    * scale-invariant. [[knnGraphExact]] keeps the declared all-pairs
+    * semantics as the specification; ClusteringSpec pins the two equal on
+    * the fixtures, and the oracle SQL states the exact semantics. */
   val KnnGraphK = 3
+  /** Quantized-shortlist width: candidates per node that reach the exact
+    * re-rank. 20× the final K at fixture scale — int8 ranking error on
+    * 64-dim vectors is far below this margin (equality is unit-pinned). */
+  val KnnShortlistR = 60
 
-  val knnGraph: Q = (s, d) => {
-    graft.plans.VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d).where(col("vec_id") % 2 === 0)
-      .select(col("vec_id"), col("embedding"),
-              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("av"),
-                     col("nrm").as("an"))
-    val b = e.select(col("vec_id").as("dst"), col("embedding").as("bv"),
-                     col("nrm").as("bn"))
+  /** Shared graph assembly: exact cosine re-rank of candidate (src, dst)
+    * pairs via equi joins, top-K window, reverse-edge mutuality join. */
+  private def assembleGraph(e: DataFrame, cands: DataFrame): DataFrame = {
+    val av = e.select(col("vec_id").as("src"), col("embedding").as("av"),
+                      col("nrm").as("an"))
+    val bv = e.select(col("vec_id").as("dst"), col("embedding").as("bv"),
+                      col("nrm").as("bn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
-    val edges = a.join(b, col("src") =!= col("dst"))
+    val edges = cands.join(av, "src").join(bv, "dst")
       .select(col("src"), col("dst"),
               (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("score"))
       .withColumn("rk", row_number().over(w))
@@ -186,6 +194,40 @@ object Similarity {
               round(col("score"), 6).as("score6"),
               coalesce(col("m"), lit(false)).as("mutual"))
       .orderBy("src", "rk")
+  }
+
+  private def knnBase(s: SparkSession, d: String): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
+    Tables.embeddings(s, d).where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+  }
+
+  val knnGraph: Q = (s, d) => {
+    val e = knnBase(s, d)
+      .withColumn("qv", AnnQuantized.codes(col("embedding")).cast("array<float>"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val a = e.select(col("vec_id").as("src"), col("qv").as("aq"), col("qn").as("aqn"))
+    val b = e.select(col("vec_id").as("dst"), col("qv").as("bq"), col("qn").as("bqn"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("qscore").desc, col("dst"))
+    val cands = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+              (dot(col("aq"), col("bq")) / (col("aqn") * col("bqn"))).as("qscore"))
+      .withColumn("qrk", row_number().over(wq))
+      .where(col("qrk") <= KnnShortlistR)
+      .select("src", "dst")
+    assembleGraph(e, cands)
+  }
+
+  /** The declared exact semantics: all-pairs float cosine candidates.
+    * Kept as the specification the shortlist path must reproduce
+    * (ClusteringSpec) — not registered. */
+  def knnGraphExact(s: SparkSession, d: String): DataFrame = {
+    val e = knnBase(s, d)
+    val cands = e.select(col("vec_id").as("src"))
+      .join(e.select(col("vec_id").as("dst")), col("src") =!= col("dst"))
+    assembleGraph(e, cands)
   }
 
   val knnGraphSql: String =

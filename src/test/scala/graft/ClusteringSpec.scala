@@ -42,6 +42,15 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("shortlist knn graph equals the exact all-pairs graph (the promised swap)") {
+    // the registered operator generates candidates from the int8-quantized
+    // shortlist; the exact all-pairs formulation is the specification it
+    // must reproduce on the fixtures (and the oracle states)
+    val shortlist = Similarity.knnGraph(spark, sfDir).collect().toSeq
+    val exact = Similarity.knnGraphExact(spark, sfDir).collect().toSeq
+    assert(shortlist == exact)
+  }
+
   test("dsir weights: target-source docs score higher on average") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
     val w = TextAnalysis.dsirWeights(spark, sfDir).join(docs, "doc_id")

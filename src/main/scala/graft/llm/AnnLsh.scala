@@ -72,8 +72,11 @@ object AnnLsh {
   }
 
   /** Registered rows-only query: ANN results for the same query set as the
-    * exact operator; recall is asserted in ScalaTest. */
+    * exact operator, with per-query `recall_at_k` vs brute force surfaced as
+    * a column ([[Similarity.withRecall]]) so the driver's row dump sees a
+    * recall regression; the hard bound is additionally asserted in
+    * ScalaTest. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_simsearch_lsh" -> ((s, d) => annTopk(s, d)),
+    "llm_simsearch_lsh" -> ((s, d) => Similarity.withRecall(annTopk(s, d), s, d)),
   )
 }

@@ -271,10 +271,14 @@ object Dedup {
   }
 
   val SpanTokens = 8
+  /** Second span granularity (VERDICT r4 #7): the same pipeline at paragraph
+    * scale. Both widths run through ONE parameterized builder — the design
+    * generalizes to any width; only the constant changes. */
+  val SpanTokensWide = 16
 
   /** Span-level (substring) dedup analysis, the public "Deduplicating
     * Training Data Makes Language Models Better" shape at token-span
-    * granularity: for every document, how many of its 8-token span positions
+    * granularity: for every document, how many of its w-token span positions
     * also occur verbatim in ANOTHER document, the duplicated fraction, and a
     * keep flag (drop docs that are mostly recycled text). Document-level
     * dedup cannot see this: two distinct documents sharing a boilerplate
@@ -287,14 +291,14 @@ object Dedup {
     * shuffles total: span-digest → distinct-doc count, then the doc_id
     * re-aggregation; both hash-partitioned, no driver materialization.
     */
-  val substringDedup: Q = (s, d) => {
-    val t = tokens(s, d).where(size(col("toks")) >= SpanTokens)
+  def substringDedupAt(w: Int): Q = (s, d) => {
+    val t = tokens(s, d).where(size(col("toks")) >= w)
     // the tokenization + per-position md5 explode is the expensive narrow
     // stage and feeds BOTH the shared-gram aggregation and the join back —
     // materialize it once
     val spans = t.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("toks")) - (SpanTokens - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(SpanTokens)))))).as("g"))
+      explode(transform(sequence(lit(1), size(col("toks")) - (w - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(w)))))).as("g"))
       .cache()
     val shared = spans.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -303,7 +307,7 @@ object Dedup {
     val dup = spans.join(shared, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
     t.select(col("doc_id"),
-        (size(col("toks")) - (SpanTokens - 1)).cast("bigint").as("n_spans"))
+        (size(col("toks")) - (w - 1)).cast("bigint").as("n_spans"))
       .join(dup, Seq("doc_id"), "left")
       .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
       .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
@@ -312,26 +316,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val substringDedupSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
-      |  FROM documents),
-      |spans AS (
-      |  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
-      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS gs(i)
-      |  WHERE len(t) >= 8),
-      |shared AS (SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-      |dup AS (SELECT doc_id, count(*) AS dup_spans
-      |        FROM spans JOIN shared USING (g) GROUP BY doc_id),
-      |base AS (SELECT doc_id, cast(len(t) - 7 as bigint) AS n_spans
-      |         FROM toks WHERE len(t) >= 8)
-      |SELECT b.doc_id, b.n_spans,
-      |  cast(coalesce(dup_spans, 0) as bigint) AS dup_spans,
-      |  cast(coalesce(dup_spans, 0) as double) / n_spans AS dup_frac,
-      |  cast(CASE WHEN cast(coalesce(dup_spans, 0) as double) / n_spans <= 0.5
-      |       THEN 1 ELSE 0 END as int) AS keep
-      |FROM base b LEFT JOIN dup USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+  val substringDedup: Q = substringDedupAt(SpanTokens)
+
+  def substringDedupSqlAt(w: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id, md5(array_to_string(t[i:i+${w - 1}], ' ')) AS g
+       |  FROM toks, unnest(generate_series(1, len(t) - ${w - 1})) AS gs(i)
+       |  WHERE len(t) >= $w),
+       |shared AS (SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |dup AS (SELECT doc_id, count(*) AS dup_spans
+       |        FROM spans JOIN shared USING (g) GROUP BY doc_id),
+       |base AS (SELECT doc_id, cast(len(t) - ${w - 1} as bigint) AS n_spans
+       |         FROM toks WHERE len(t) >= $w)
+       |SELECT b.doc_id, b.n_spans,
+       |  cast(coalesce(dup_spans, 0) as bigint) AS dup_spans,
+       |  cast(coalesce(dup_spans, 0) as double) / n_spans AS dup_frac,
+       |  cast(CASE WHEN cast(coalesce(dup_spans, 0) as double) / n_spans <= 0.5
+       |       THEN 1 ELSE 0 END as int) AS keep
+       |FROM base b LEFT JOIN dup USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  val substringDedupSql: String = substringDedupSqlAt(SpanTokens)
 
   val WinnowWindow = 4
 
@@ -494,6 +502,7 @@ object Dedup {
     "llm_neardup_minhash" -> neardupMinhashLsh,
     "llm_simhash" -> simhash,
     "llm_substring_dedup" -> substringDedup,
+    "llm_substring_dedup_w16" -> substringDedupAt(SpanTokensWide),
     "llm_winnow_fingerprint" -> winnowFingerprint,
     "llm_fingerprint" -> fingerprint,
   )
@@ -524,6 +533,7 @@ object Dedup {
     "llm_neardup_pairs" -> neardupPairsSql,
     "llm_neardup_minhash" -> neardupMinhashSql,
     "llm_substring_dedup" -> substringDedupSql,
+    "llm_substring_dedup_w16" -> substringDedupSqlAt(SpanTokensWide),
     "llm_winnow_fingerprint" -> winnowFingerprintSql,
     "llm_fingerprint" -> fingerprintSql,
   )

@@ -317,6 +317,23 @@ object Similarity {
        |FROM deg d LEFT JOIN per_node t ON d.node = t.node
        |ORDER BY d.node""".stripMargin
 
+  /** Recall audit for the ANN paths: per-query recall@k vs the exact
+    * brute-force top-k, emitted as a COLUMN of the registered ANN rows so a
+    * recall regression is visible to the driver's row dump, not only to the
+    * unit bound. At 100 TB this is the standard index-QA job — run on a
+    * query SAMPLE (here the fixture's whole query set), never the corpus:
+    * the exact pass costs what one brute-force scan costs, amortized over
+    * every index rebuild. */
+  def withRecall(ann: DataFrame, s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val exact = simsearchTopk(s, d)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    val perQuery = ann.select("q_id", "c_id")
+      .join(exact, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall_at_k"))
+    ann.join(perQuery, "q_id").orderBy("q_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simjoin_threshold" -> simjoinThreshold,

@@ -72,6 +72,15 @@ class VectorSpec extends SparkSpec {
     val recall = ann.intersect(exact).size.toDouble / exact.size
     assert(recall > 0.05, s"recall=$recall")
     ann.foreach { case (q, c) => assert(q != c) }
+    // the registered row's surfaced recall_at_k column agrees EXACTLY with
+    // the set-computed per-query recall (the driver-visible audit signal)
+    val emitted = AnnLsh.queries("llm_simsearch_lsh")(spark, sfDir)
+      .select("q_id", "recall_at_k").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    emitted.foreach { case (q, rc) =>
+      val expected = ann.count { case (aq, c) => aq == q && exact((q, c)) } / 5.0
+      assert(rc == expected, s"q=$q emitted=$rc expected=$expected")
+    }
   }
 
   test("LSH bucket join examines far fewer pairs than brute force") {
@@ -97,6 +106,15 @@ class VectorSpec extends SparkSpec {
     val recall = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
       .intersect(exact).size.toDouble / exact.size
     assert(recall > 0.05, s"recall=$recall")
+    // surfaced recall column agrees with the set-computed per-query recall
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val emitted = AnnIvf.queries("llm_simsearch_ivf")(spark, sfDir)
+      .select("q_id", "recall_at_k").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    emitted.foreach { case (q, rc) =>
+      val expected = ivfPairs.count { case (aq, c) => aq == q && exact((q, c)) } / 5.0
+      assert(rc == expected, s"q=$q emitted=$rc expected=$expected")
+    }
     // candidate volume: NumProbe cells per query, not the whole corpus
     val cells = AnnIvf.cellAssignments(spark, sfDir)
     val total = cells.count()

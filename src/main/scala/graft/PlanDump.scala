@@ -49,8 +49,12 @@ object PlanDump {
       "llm_neardup_embedding" -> ("min-id-leader cosine dedup: pair join " +
         "feeds a distinct drop-set, resolved by a left join back to the " +
         "corpus"),
-      "llm_pipeline_e2e" -> ("dedup agg joined back to the corpus, fused " +
-        "with the quality filter and final rollup in one pipelined plan"),
+      "llm_pipeline_e2e" -> ("dedup agg joined back to the corpus via an " +
+        "equi join on doc_id (Spark MAY broadcast the survivor keys at " +
+        "fixture scale, but the keys are corpus-sized at 100 TB — the " +
+        "invariant is the equi join, which degrades to a hash-partitioned " +
+        "shuffle join, never a cross), fused with the quality filter and " +
+        "final rollup in one pipelined plan"),
       "llm_dedup_clusters" -> ("connected-component resolution: the final " +
         "round's label join + size aggregation (per-round plans are " +
         "truncated by localCheckpoint, so this shows the converged state)"),

@@ -56,6 +56,8 @@ object Bench {
       // headline pass generates more than that, so round-robin passes would
       // re-run janino on every query. Plenty of heap — keep them all.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pre-touch the fixture files into the OS page cache before any timing:

@@ -105,9 +105,13 @@ object Dedup {
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val prefix = sh.join(freq, "sh").join(sizes, "doc_id")
+    // n_sh rides the SAME doc_id-partitioned window pass as the prefix
+    // position (count over the unbounded frame) — one exchange serves both,
+    // instead of a separate per-doc aggregation joined back
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(freq, "sh")
       .withColumn("pos", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(wAll))
       .where(col("pos") <= col("n_sh") - ceil(col("n_sh") * JaccardThreshold) + 1)
       .select("doc_id", "sh", "n_sh")
     // length filter (lossless, standard PPJoin companion): J >= 4/5 forces

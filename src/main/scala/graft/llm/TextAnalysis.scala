@@ -155,7 +155,11 @@ object TextAnalysis {
   /** TF-IDF: top-5 terms per doc by tf * (ln(N/df) + 1), ranked on the
     * 6dp-rounded weight (absorbs any libm last-ulp delta in ln). */
   val tfidf: Q = (s, d) => {
+    // tf feeds BOTH the document-frequency aggregation and the weighted
+    // join; without materialization the tokenize+explode+count pipeline
+    // runs twice (Catalyst does not dedupe shared subplans)
     val tf = toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val weighted = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(n))
@@ -919,9 +923,14 @@ object TextAnalysis {
     * integer micro-score.
     */
   val bm25: Q = (s, d) => {
+    // tf and dl each feed two consumers (their stats aggregate and the final
+    // scoring join); materialize them so the tokenize+explode pipeline runs
+    // once per table instead of once per consumer
     val tf = toks(s, d).where(col("w").isin(QueryTerms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .cache()
     val dl = toks(s, d).groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .cache()
     val stats = dl.agg(count(lit(1)).as("n_docs"),
                        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))

@@ -31,10 +31,14 @@ object ScaleTechniques {
   /** lineitem ⨝ orders with a salted key, aggregated per priority —
     * identical result to the unsalted join (that's the oracle). */
   val skewSaltedJoin: Q = (s, d) => {
+    // project the fact side to (join key, salt, payload) BEFORE the shuffle:
+    // the revenue product is computed map-side so the exchange carries three
+    // longs per row instead of the six pruned source columns
     val li = Tables.lineitem(s, d)
-      .withColumn("salt",
+      .select(col("l_orderkey"),
         pmod(xxhash64(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-             lit(SaltFactor)))
+             lit(SaltFactor)).as("salt"),
+        Dsl.discPriceMicro.as("dp_micro"))
     // replicate only the join key + the one payload column: the SaltFactor-way
     // explode then multiplies ~17 bytes/row, not the whole orders record
     val ord = Tables.orders(s, d)
@@ -43,7 +47,7 @@ object ScaleTechniques {
     li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"),
-           discPriceSum.as("revenue"))
+           (sum(col("dp_micro")) / 10000.0).as("revenue"))
       .orderBy("o_orderpriority")
   }
 

@@ -30,6 +30,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("catalog DDL round-trip: partition filter prunes the catalog scan") {
+    // run the operator once so the table exists in the session catalog
+    val result = SqlSurface.queries("sql_create_insert")(spark, sfDir)
+    assert(result.count() == 2)
+    // the read-back's partition-column filter must reach the scan as a
+    // PartitionFilters entry (pruned directory listing), not a row filter
+    val p = spark.table("graft_orders_ddl")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("1-URGENT"), p)
+    // partitioned layout on disk: one directory per priority value
+    val catalogRows = spark.table("graft_orders_ddl").count()
+    val sourceRows = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F").count()
+    assert(catalogRows == sourceRows)
+  }
+
   test("GROUP BY ALL expands to the explicit grouping") {
     val viaAll = SqlSurface.queries("sql_group_by_all")(spark, sfDir).collect().toSeq
     Tables.registerViews(spark, sfDir)

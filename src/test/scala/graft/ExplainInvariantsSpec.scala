@@ -67,6 +67,27 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("knn graph: float vectors never enter a pairwise join (shortlist re-rank is equi)") {
+    val p = plan(graft.llm.Similarity.knnGraph(spark, sfDir))
+    // no cartesian anywhere; the only non-equi pair generation runs on the
+    // int8 codes — the exact float re-rank reaches vectors through plain
+    // equi joins on src/dst, so candidate volume (not the corpus square)
+    // bounds the float work
+    assert(!p.contains("CartesianProduct"), p)
+    // the exact float scoring (graft_dot over the av/bv embedding columns)
+    // sits in a projection ABOVE equi hash joins on src/dst — the float
+    // vectors reach pairs only through the shortlist keys, never through
+    // the non-equi candidate generation (which sees int8 codes only)
+    assert(p.contains("graft_dot(av"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+    // and the non-equi joins must not touch the embedding columns: every
+    // BroadcastNestedLoopJoin line's condition references ids, not vectors
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toList
+    bnlj.foreach(l => assert(!l.contains("embedding") && !l.contains("av#") &&
+                             !l.contains("bv#"), l))
+  }
+
   test("semdedup pair join is keyed on the cluster id (no all-pairs cross)") {
     val p = plan(graft.llm.Clustering.semdedup(spark, sfDir))
     // the within-cluster join must be an equi join on cid — a cross join

@@ -81,7 +81,12 @@ object Bench {
     val names =
       if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
-    val attempts = if (all) 2 else 4
+    // 6 headline passes spread over ~2.5 min of wall clock: ambient VM
+    // contention arrives in sustained multi-second windows, so the per-query
+    // min wants samples far enough apart that at least one pass lands in a
+    // quiet stretch (4 passes measured a 15.0-17.4s total band; the extra
+    // two passes cost ~50s of untimed wall clock)
+    val attempts = if (all) 2 else 6
     // noop sink forces full materialization of every output column — count()
     // would let Catalyst prune the query down to a row count and flatter us.
     // Best-of-N per query: one-shot numbers on a shared VM mix engine time

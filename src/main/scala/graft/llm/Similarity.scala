@@ -154,24 +154,29 @@ object Similarity {
     * graph-clustering input). Built on the even-id half of the corpus (a
     * deterministic subset, matching the simjoin convention).
     *
-    * Candidate generation is the [[AnnQuantized]] int8 shortlist (the swap
-    * SURVEY §2.11 promises): pairs are scored on 4×-smaller integer codes
-    * and only (ids, qscore) ever shuffle through the ranking window
-    * (~24 B/pair, never the float arrays); the exact float cosine then
-    * re-ranks only the R surviving candidates per node through plain equi
-    * joins. Downstream (top-K window + reverse-edge mutuality join) is
-    * IDENTICAL to the exact formulation — graph assembly is
-    * scale-invariant. [[knnGraphExact]] keeps the declared all-pairs
-    * semantics as the specification; ClusteringSpec pins the two equal on
-    * the fixtures, and the oracle SQL states the exact semantics. */
+    * Candidate generation is the blocked exact pass ([[blockedCandidates]]):
+    * per-(node, block) exact top-`KnnPerBlock` over a B×B block cross join,
+    * so no n²-row pair join exists anywhere in the plan — candidate volume
+    * through the shuffle is n·B·KnnPerBlock, never n². Downstream (exact
+    * re-rank + top-K window + reverse-edge mutuality join) is IDENTICAL to
+    * the exact formulation — graph assembly is scale-invariant.
+    * [[knnGraphExact]] keeps the declared all-pairs semantics as the
+    * specification; ClusteringSpec pins the two equal on the fixtures, and
+    * the oracle SQL states the exact semantics. */
   val KnnGraphK = 3
-  /** Quantized-shortlist width: candidates per node that reach the exact
-    * re-rank. 20× the final K at fixture scale — int8 ranking error on
-    * 64-dim vectors is far below this margin (equality is unit-pinned). */
-  val KnnShortlistR = 60
+  /** Corpus blocks in the blocked exact candidate pass: the unit of the
+    * B×B block cross join. Sized to the executor count at fixture scale; a
+    * production job sizes blocks so one block's vectors fit a task's cache. */
+  val KnnBlocks = 32
+  /** Exact per-(node, block) top taken as candidates — K plus margin so a
+    * score tie at the block-local cut can never drop a global top-K edge. */
+  val KnnPerBlock = 5
 
   /** Shared graph assembly: exact cosine re-rank of candidate (src, dst)
-    * pairs via equi joins, top-K window, reverse-edge mutuality join. */
+    * pairs via equi joins, top-K window, reverse-edge mutuality join.
+    * Zero-norm guard: a vector with ‖v‖=0 has no defined cosine — score it
+    * -1 (below every real cosine) instead of letting NaN float to the top
+    * of the descending window (Spark orders NaN above all doubles). */
   private def assembleGraph(e: DataFrame, cands: DataFrame): DataFrame = {
     val av = e.select(col("vec_id").as("src"), col("embedding").as("av"),
                       col("nrm").as("an"))
@@ -181,7 +186,9 @@ object Similarity {
       .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
     val edges = cands.join(av, "src").join(bv, "dst")
       .select(col("src"), col("dst"),
-              (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("score"))
+              when(col("an") * col("bn") === 0, lit(-1.0))
+                .otherwise(dot(col("av"), col("bv")) / (col("an") * col("bn")))
+                .as("score"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= KnnGraphK)
       .select(col("src"), col("rk"), col("dst"), col("score"))
@@ -203,21 +210,43 @@ object Similarity {
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
   }
 
+  /** Blocked exact candidate generation — the 100 TB shape for EXACT kNN.
+    *
+    * Why not IVF/LSH buckets: bucketed candidates are the right ANN path
+    * ([[AnnIvf]]/[[AnnLsh]]), but they cannot reproduce the EXACT graph on
+    * an isotropic corpus — measured on these fixtures, every (stride,
+    * probes) setting up to probing half the cells leaves 92-94% of nodes
+    * missing a true top-3 neighbor (near-random 64-dim embeddings have no
+    * cluster structure for an inverted file to exploit; this is the curse
+    * of dimensionality, not a tuning failure). Exact kNN is inherently
+    * O(n²) COMPUTE; what a scalable engine eliminates is the O(n²) ROWS
+    * through the shuffle. So: block the corpus into B groups
+    * (`collect_list` per block), cross-join the B×B block pairs (B² rows,
+    * each carrying two bounded arrays — the blocked-GEMM shape), score
+    * each in-block pair with the codegen'd dot kernel inside a HOF, and
+    * emit only the exact per-(node, block) top-`KnnPerBlock` — a
+    * guaranteed superset of the global top-K. Only n·B·KnnPerBlock
+    * candidate rows ever materialize or shuffle; the exact re-rank then
+    * reaches the float vectors through plain equi joins. Equality with
+    * [[knnGraphExact]] is structural (per-block exact top ⊇ global top),
+    * pinned in ClusteringSpec, and stated by the oracle SQL. */
+  private def blockedCandidates(e: DataFrame): DataFrame = {
+    val blk = e.select(
+      pmod(xxhash64(col("vec_id")), lit(KnnBlocks)).as("blk"),
+      col("vec_id"), col("embedding"), col("nrm"))
+    val qb = blk.groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))
+             .as("qmem"))
+    val cb = qb.select(col("blk").as("cblk"), col("qmem").as("cmem"))
+    qb.crossJoin(cb)
+      .select(explode(graft.plans.VectorFunctions.knnBlockCands(
+        col("qmem"), col("cmem"), lit(KnnPerBlock))).as("cand"))
+      .select(col("cand.src").as("src"), col("cand.dst").as("dst"))
+  }
+
   val knnGraph: Q = (s, d) => {
     val e = knnBase(s, d)
-      .withColumn("qv", AnnQuantized.codes(col("embedding")).cast("array<float>"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val a = e.select(col("vec_id").as("src"), col("qv").as("aq"), col("qn").as("aqn"))
-    val b = e.select(col("vec_id").as("dst"), col("qv").as("bq"), col("qn").as("bqn"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("qscore").desc, col("dst"))
-    val cands = a.join(b, col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-              (dot(col("aq"), col("bq")) / (col("aqn") * col("bqn"))).as("qscore"))
-      .withColumn("qrk", row_number().over(wq))
-      .where(col("qrk") <= KnnShortlistR)
-      .select("src", "dst")
-    assembleGraph(e, cands)
+    assembleGraph(e, blockedCandidates(e))
   }
 
   /** The declared exact semantics: all-pairs float cosine candidates.

@@ -100,8 +100,144 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Blocked exact kNN candidate kernel (§2.11 scale path for EXACT kNN;
+  * custom-operator preference (b): a native Expression where the HOF
+  * spelling would interpret a lambda per vector pair).
+  *
+  * Inputs: two blocks of a vector corpus, each an
+  * `array<struct<vec_id: long, embedding: array<float>, nrm: double>>`
+  * (the shape `collect_list(struct(vec_id, embedding, nrm))` produces),
+  * and a foldable int k. Output: for every query vector q in `qmem`, the
+  * exact top-k candidate ids from `cmem` by cosine (score desc, id asc on
+  * ties; self excluded; zero-norm pairs score -1 — below every real
+  * cosine — instead of NaN), flattened to `array<struct<src, dst>>`.
+  *
+  * Semantics match the declarative spelling
+  * `flatten(transform(qmem, q -> transform(slice(array_sort(transform(
+  *   filter(cmem, c -> c.vec_id != q.vec_id), c -> struct(-cos AS negs,
+  *   c.vec_id AS dst))), 1, k), t -> struct(q.vec_id, t.dst))))`
+  * with the same sequential-fold dot arithmetic as [[DotProduct]]. The
+  * expression exists because higher-order functions evaluate their lambda
+  * through the Catalyst interpreter per element — per vector PAIR here —
+  * while this eval is one JVM loop nest. CodegenFallback is fine: only B²
+  * block-pair rows (not n² vector pairs) ever reach it.
+  */
+case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  override def first: Expression = qmem
+  override def second: Expression = cmem
+  override def third: Expression = kExpr
+  override def prettyName: String = VectorFunctions.knnBlockName
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("src", LongType, nullable = false),
+                   StructField("dst", LongType, nullable = false))),
+    containsNull = false)
+
+  private def isBlock(t: DataType): Boolean = t match {
+    case ArrayType(StructType(fs), _) if fs.length == 3 =>
+      fs(0).dataType == org.apache.spark.sql.types.LongType &&
+        (fs(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) &&
+        fs(2).dataType == DoubleType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isBlock(qmem.dataType) && isBlock(cmem.dataType) &&
+        kExpr.dataType == IntegerType && kExpr.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<long, array<float>, double>> x2, " +
+        s"foldable int), got (${qmem.dataType.simpleString}, " +
+        s"${cmem.dataType.simpleString}, ${kExpr.dataType.simpleString})")
+
+  override protected def nullSafeEval(q: Any, c: Any, kAny: Any): Any = {
+    val k = kAny.asInstanceOf[Int]
+    val qs = q.asInstanceOf[ArrayData]
+    val cs = c.asInstanceOf[ArrayData]
+    val nc = cs.numElements()
+    // unpack the candidate block once per block pair, not once per query
+    val cid = new Array[Long](nc)
+    val cvec = new Array[Array[Float]](nc)
+    val cn = new Array[Double](nc)
+    var j = 0
+    while (j < nc) {
+      val r = cs.getStruct(j, 3)
+      cid(j) = r.getLong(0)
+      cvec(j) = r.getArray(1).toFloatArray()
+      cn(j) = r.getDouble(2)
+      j += 1
+    }
+    val nq = qs.numElements()
+    val out = new Array[Any](nq * k)
+    var outLen = 0
+    val ts = new Array[Double](k)
+    val td = new Array[Long](k)
+    var i = 0
+    while (i < nq) {
+      val r = qs.getStruct(i, 3)
+      val qid = r.getLong(0)
+      val qv = r.getArray(1).toFloatArray()
+      val qn = r.getDouble(2)
+      var filled = 0
+      j = 0
+      while (j < nc) {
+        if (cid(j) != qid) {
+          val denom = qn * cn(j)
+          var s = -1.0
+          if (denom != 0.0) {
+            val b = cvec(j)
+            val n = math.min(qv.length, b.length)
+            var acc = 0.0
+            var t = 0
+            while (t < n) { acc += qv(t).toDouble * b(t).toDouble; t += 1 }
+            s = acc / denom
+          }
+          val dstId = cid(j)
+          // ordered insert: score desc, then dst asc
+          var p = filled
+          while (p > 0 && (s > ts(p - 1) ||
+                           (s == ts(p - 1) && dstId < td(p - 1)))) p -= 1
+          if (p < k) {
+            var m = math.min(filled, k - 1)
+            while (m > p) { ts(m) = ts(m - 1); td(m) = td(m - 1); m -= 1 }
+            ts(p) = s
+            td(p) = dstId
+            if (filled < k) filled += 1
+          }
+        }
+        j += 1
+      }
+      var m = 0
+      while (m < filled) {
+        out(outLen) = InternalRow(qid, td(m))
+        outLen += 1
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (outLen == out.length) out
+      else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], outLen)
+        .asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): KnnBlockCandidates =
+    copy(qmem = f, cmem = s, kExpr = t)
+}
+
 object VectorFunctions {
   val dotName = "graft_dot"
+  val knnBlockName = "graft_knn_block_cands"
 
   private val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProduct(a, b)
@@ -113,16 +249,34 @@ object VectorFunctions {
     classOf[DotProduct].getName, null, dotName,
     "_FUNC_(a, b) - dot product of two float vectors in double precision", "")
 
+  private val knnBlockBuilder: Seq[Expression] => Expression = {
+    case Seq(q, c, k) => KnnBlockCandidates(q, c, k)
+    case other => throw new IllegalArgumentException(
+      s"$knnBlockName expects 3 arguments, got ${other.size}")
+  }
+
+  private val knnBlockInfo = new ExpressionInfo(
+    classOf[KnnBlockCandidates].getName, null, knnBlockName,
+    "_FUNC_(qblock, cblock, k) - exact per-query top-k candidate ids " +
+      "between two vector blocks", "")
+
   /** Idempotent session-level registration (for sessions built without the
     * [[GraftExtensions]] config). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(dotName)
     if (!reg.functionExists(id)) reg.registerFunction(id, dotInfo, dotBuilder)
+    val kid = FunctionIdentifier(knnBlockName)
+    if (!reg.functionExists(kid))
+      reg.registerFunction(kid, knnBlockInfo, knnBlockBuilder)
   }
 
   /** Column-API handle; requires [[register]] (or the extension) first. */
   def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
+
+  /** Column-API handle for the blocked kNN candidate kernel. */
+  def knnBlockCands(q: Column, c: Column, k: Column): Column =
+    call_function(knnBlockName, q, c, k)
 }
 
 /** Optimizer rule (§4.3 extension layer (c)): rewrite the declarative
@@ -183,6 +337,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier(VectorFunctions.dotName),
         new ExpressionInfo(classOf[DotProduct].getName, VectorFunctions.dotName),
         { case Seq(a, b) => DotProduct(a, b) }))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.knnBlockName),
+        new ExpressionInfo(classOf[KnnBlockCandidates].getName,
+                           VectorFunctions.knnBlockName),
+        { case Seq(q, c, k) => KnnBlockCandidates(q, c, k) }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

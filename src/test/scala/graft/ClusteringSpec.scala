@@ -42,13 +42,14 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
-  test("shortlist knn graph equals the exact all-pairs graph (the promised swap)") {
-    // the registered operator generates candidates from the int8-quantized
-    // shortlist; the exact all-pairs formulation is the specification it
-    // must reproduce on the fixtures (and the oracle states)
-    val shortlist = Similarity.knnGraph(spark, sfDir).collect().toSeq
+  test("blocked knn graph equals the exact all-pairs graph (the promised swap)") {
+    // the registered operator generates candidates from the blocked exact
+    // per-(node, block) top-k pass; the all-pairs formulation is the
+    // specification it must reproduce — structurally guaranteed (block-local
+    // exact top ⊇ global top), and pinned here against implementation bugs
+    val blocked = Similarity.knnGraph(spark, sfDir).collect().toSeq
     val exact = Similarity.knnGraphExact(spark, sfDir).collect().toSeq
-    assert(shortlist == exact)
+    assert(blocked == exact)
   }
 
   test("dsir weights: target-source docs score higher on average") {

@@ -67,25 +67,21 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("knn graph: float vectors never enter a pairwise join (shortlist re-rank is equi)") {
+  test("knn graph: no n²-row pair join — candidates come from the B×B block cross") {
     val p = plan(graft.llm.Similarity.knnGraph(spark, sfDir))
-    // no cartesian anywhere; the only non-equi pair generation runs on the
-    // int8 codes — the exact float re-rank reaches vectors through plain
-    // equi joins on src/dst, so candidate volume (not the corpus square)
-    // bounds the float work
-    assert(!p.contains("CartesianProduct"), p)
-    // the exact float scoring (graft_dot over the av/bv embedding columns)
-    // sits in a projection ABOVE equi hash joins on src/dst — the float
-    // vectors reach pairs only through the shortlist keys, never through
-    // the non-equi candidate generation (which sees int8 codes only)
+    // candidate generation is the blocked exact kernel over collect_list'd
+    // block arrays: the only cross join pairs the B-row BLOCK relations
+    // (B² bounded rows), never the n-row corpus with itself
+    assert(p.contains("graft_knn_block_cands"), p)
+    assert(p.contains("collect_list"), p)
+    // the former n² candidate join was a non-equi self join on vector ids —
+    // its `NOT (src = dst)` / `NOT (vec_id = vec_id)` condition must be gone
+    assert(!p.contains("NOT (src"), p)
+    assert(!p.contains("NOT (vec_id"), p)
+    // the exact float re-rank reaches the vectors through plain equi joins
     assert(p.contains("graft_dot(av"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
            p.contains("ShuffledHashJoin"), p)
-    // and the non-equi joins must not touch the embedding columns: every
-    // BroadcastNestedLoopJoin line's condition references ids, not vectors
-    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toList
-    bnlj.foreach(l => assert(!l.contains("embedding") && !l.contains("av#") &&
-                             !l.contains("bv#"), l))
   }
 
   test("semdedup pair join is keyed on the cluster id (no all-pairs cross)") {

@@ -95,6 +95,6 @@ object AnnIvf {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_simsearch_ivf" -> ((s, d) => Similarity.withRecall(ivfTopk(s, d), s, d)),
+    "llm_simsearch_ivf" -> ((s, d) => Similarity.maybeWithRecall(ivfTopk(s, d), s, d)),
   )
 }

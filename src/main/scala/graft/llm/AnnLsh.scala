@@ -77,6 +77,6 @@ object AnnLsh {
     * recall regression; the hard bound is additionally asserted in
     * ScalaTest. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_simsearch_lsh" -> ((s, d) => Similarity.withRecall(annTopk(s, d), s, d)),
+    "llm_simsearch_lsh" -> ((s, d) => Similarity.maybeWithRecall(annTopk(s, d), s, d)),
   )
 }

@@ -98,10 +98,8 @@ object Dedup {
     * exactly. Output is identical to the naive all-pairs join (unit-tested),
     * at a fraction of the join volume.
     */
-  val neardupPairs: Q = (s, d) => {
-    // shingling (regex split + 5-gram transform + distinct) is the expensive
-    // narrow stage and feeds five plan branches — materialize it once
-    val sh = shingles(s, d).cache()
+  /** Prefix-filtered (PPJoin) candidate generation over a shingle table. */
+  private def prefixCands(sh: DataFrame): DataFrame = {
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
@@ -118,25 +116,57 @@ object Dedup {
     // min(n1,n2) >= 0.8*max(n1,n2), stated in exact integer form (4*n <= 5*m)
     // so no float rounding can drop a true pair — prunes candidates before
     // the expensive exact-verify join ever sees them
-    val cands = prefix.as("x")
+    prefix.as("x")
       .join(prefix.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
             col("x.n_sh") * 4 <= col("y.n_sh") * 5 &&
             col("y.n_sh") * 4 <= col("x.n_sh") * 5)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** Naive shared-shingle candidate generation (no prefix machinery). */
+  private def naiveCands(sh: DataFrame): DataFrame =
+    sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+  /** Size-adaptive switch: below this many (doc, shingle) rows the naive
+    * shared-shingle candidate join is cheaper than the prefix machinery's
+    * extra global-frequency agg + two window passes (measured: at the
+    * sf0.1 fixture — ~0.5M shingle rows — the naive join beats the PPJoin
+    * path ~2×, while the prefix filter's candidate-volume savings only
+    * amortize once the shingle self-join volume Σf² dominates those fixed
+    * passes). Both paths share [[verifyJaccard]] and produce identical
+    * output (LlmSpec pins prefix == naive explicitly, at every scale). */
+  val NeardupPrefixMinShingles = 2000000L
+
+  val neardupPairs: Q = (s, d) => {
+    // shingling (regex split + 5-gram transform + distinct) is the expensive
+    // narrow stage and feeds five plan branches — materialize it once
+    val sh = shingles(s, d).cache()
+    // the count reads the just-materialized cache — one cheap short job,
+    // the price of choosing the right plan for the corpus actually present
+    val cands =
+      if (sh.count() < NeardupPrefixMinShingles) naiveCands(sh)
+      else prefixCands(sh)
     verifyJaccard(cands, sh, withSizes = true)
+  }
+
+  /** Prefix-filter path, forced (the 100 TB plan; adaptively chosen by
+    * [[neardupPairs]] above the shingle threshold). Kept callable so the
+    * equivalence spec exercises it at every fixture scale. */
+  def neardupPairsPrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    verifyJaccard(prefixCands(sh), sh, withSizes = true)
   }
 
   /** Naive all-pairs exact formulation — the specification the prefix-filter
     * version must reproduce; kept for the equivalence test. */
   def neardupPairsAllPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val cands = sh.as("x")
-      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    verifyJaccard(cands, sh, withSizes = true)
+    verifyJaccard(naiveCands(sh), sh, withSizes = true)
   }
 
   val neardupPairsSql: String =

@@ -23,6 +23,42 @@ object ScaleTechniques {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Spark ships `bloom_filter_agg` / `might_contain` as catalyst
+    * expressions (the machinery behind InjectRuntimeFilter) but does not
+    * register them in the public function registry — this puts them on the
+    * session's search path so the prefilter below stays whole-stage-codegen
+    * instead of a per-row Scala UDF. Idempotent per session. */
+  def registerBloomFunctions(s: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val reg = s.sessionState.functionRegistry
+    val aggId = FunctionIdentifier("bloom_filter_agg")
+    if (!reg.functionExists(aggId)) reg.registerFunction(
+      aggId,
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, null,
+        "bloom_filter_agg",
+        "_FUNC_(key, est_items, num_bits) - builds a Bloom filter of the keys", ""),
+      { (args: Seq[Expression]) => args match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case other => throw new IllegalArgumentException(
+            s"bloom_filter_agg expects 1-3 arguments, got ${other.size}")
+        } })
+    val probeId = FunctionIdentifier("might_contain")
+    if (!reg.functionExists(probeId)) reg.registerFunction(
+      probeId,
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, null,
+        "might_contain",
+        "_FUNC_(filter, key) - probes a Bloom filter for the key", ""),
+      { (args: Seq[Expression]) => args match {
+          case Seq(bf, v) => BloomFilterMightContain(bf, v)
+          case other => throw new IllegalArgumentException(
+            s"might_contain expects 2 arguments, got ${other.size}")
+        } })
+  }
+
   /** 4-way salt: enough fan-out to demonstrate (and test) the skew split
     * while keeping the replicated-dim overhead at bench scale proportionate;
     * a production job sizes this to its hottest key's share. */
@@ -44,7 +80,14 @@ object ScaleTechniques {
     val ord = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(sequence(lit(0L), lit(SaltFactor - 1L))))
-    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+    // the shuffle_hash hint forces the SHUFFLED join path the salt exists to
+    // split: at fixture scale AQE would otherwise broadcast the exploded
+    // build side and the (key, salt) partitioning the operator demonstrates
+    // would never materialize (the 100 TB scenario this models has no
+    // broadcastable side — that's why it salts). Plan-asserted in
+    // ExplainInvariantsSpec: a shuffled join keyed on BOTH key and salt.
+    li.join(ord.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"),
            (sum(col("dp_micro")) / 10000.0).as("revenue"))
@@ -102,19 +145,28 @@ object ScaleTechniques {
     * honest 100 TB scenario: if the dim were broadcastable, the join itself
     * would already be the filter). */
   val joinBloomPrefilter: Q = (s, d) => {
-    val dim = Tables.customer(s, d)
-      .where(col("c_mktsegment") === "MACHINERY")
-      .select(col("c_custkey"), col("c_nationkey"))
-    val bf = dim.stat.bloomFilter("c_custkey", 2000L, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
-    Tables.orders(s, d)
-      .where(mightContain(col("o_custkey")))
-      .join(dim.hint("merge"), col("o_custkey") === col("c_custkey"))
-      .groupBy("c_nationkey")
-      .agg(count(lit(1)).as("n_orders"),
-           moneySum(col("o_totalprice")).as("total"))
-      .orderBy("c_nationkey")
+    registerBloomFunctions(s)
+    Tables.registerViews(s, d)
+    // the filter is built by the codegen'd bloom_filter_agg (the expression
+    // behind Spark's own InjectRuntimeFilter; insertion is set-bits so the
+    // result is order-independent and deterministic for fixed (n, bits)).
+    // might_contain requires its filter side to be a scalar subquery — the
+    // subquery runs once, its one binary value ships to executors as a
+    // literal, and the probe runs map-side inside whole-stage codegen: no
+    // driver-side collect-and-rebroadcast, no per-row Scala UDF. The MERGE
+    // hint forces a real shuffle join (the honest 100 TB scenario: a
+    // broadcastable dim would make the join itself the filter).
+    s.sql(
+      s"""WITH dim AS (SELECT c_custkey, c_nationkey FROM customer
+         |            WHERE c_mktsegment = 'MACHINERY')
+         |SELECT /*+ MERGE(dim) */ c_nationkey, count(*) AS n_orders,
+         |  ${moneySumSql("o_totalprice")} AS total
+         |FROM orders JOIN dim ON o_custkey = c_custkey
+         |WHERE might_contain(
+         |  (SELECT bloom_filter_agg(c_custkey, 2000L, 19170L) FROM dim),
+         |  o_custkey)
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin)
   }
 
   val joinBloomPrefilterSql: String =

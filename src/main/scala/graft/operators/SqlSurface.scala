@@ -217,7 +217,12 @@ object SqlSurface {
     * the same relation straight from the parquet fixture. */
   val sqlCreateInsert: Q = (s, d) => {
     Tables.registerViews(s, d)
-    val loc = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    // one fixed scratch location per JVM, overwritten on every run (INSERT
+    // OVERWRITE replaces partition contents in place) — a fresh temp dir per
+    // invocation would leak a full table copy per bench/verify pass, since
+    // DROP TABLE on an external table keeps its files by design
+    val loc = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ddl_scratch").getAbsolutePath
     s.sql("DROP TABLE IF EXISTS graft_orders_ddl")
     s.sql(
       s"""CREATE TABLE graft_orders_ddl (

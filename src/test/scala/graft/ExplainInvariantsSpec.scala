@@ -57,6 +57,36 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert(plan(SparkEntry.flagship(spark, sfDir)).contains("BroadcastHashJoin"))
   }
 
+  test("skew_salted_join takes the SHUFFLED path keyed on (key, salt)") {
+    // the salt only demonstrates anything if the join actually shuffles on
+    // the widened key — at fixture scale AQE would broadcast the exploded
+    // build side and the salt would be dead weight; the shuffle_hash hint
+    // pins the path the operator exists to model (a 100 TB fact join has no
+    // broadcastable side)
+    val p = plan(graft.operators.ScaleTechniques.skewSaltedJoin(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // both join keys — the natural key AND the salt — must reach the join
+    assert(p.contains("l_orderkey") && p.contains("salt"), p)
+  }
+
+  test("join_multiway is one fused broadcast chain + a single fact shuffle") {
+    val p = finalPlan(Relational.joinMultiway(spark, sfDir))
+    // all four dims pre-committed to broadcast: no adaptive re-plan leaves
+    // a stray shuffled dim join behind
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // exactly the orders⨝lineitem fact join may sort-merge/shuffle-hash
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("bloom prefilter probe is the codegen might_contain, not a UDF") {
+    val p = plan(graft.operators.ScaleTechniques.joinBloomPrefilter(spark, sfDir))
+    assert(p.contains("might_contain"), p)
+    // BatchEvalPython never appears (no python) — the Scala equivalent tell
+    // is an opaque UDF node in the filter; the built-in keeps codegen
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
+
   test("IVF ANN broadcasts the centroid codebook and equi-joins on cell id") {
     val p = plan(graft.llm.AnnIvf.ivfTopk(spark, sfDir))
     // codebook joins are broadcast (tiny build side, no shuffle of vectors)

@@ -8,9 +8,15 @@ import graft.operators.Aggregates
 class LlmSpec extends SparkSpec {
 
   test("prefix-filtered near-dup equals the naive all-pairs formulation") {
-    val filtered = Dedup.neardupPairs(spark, sfDir).collect().toSeq
+    // force the prefix path (the registered operator picks naive-vs-prefix
+    // by corpus size; the equivalence must hold for the prefix machinery
+    // itself, at every scale, or the adaptive switch would change answers)
+    val filtered = Dedup.neardupPairsPrefix(spark, sfDir).collect().toSeq
     val naive = Dedup.neardupPairsAllPairs(spark, sfDir).collect().toSeq
     assert(filtered == naive)
+    // and the registered adaptive operator agrees with both
+    val adaptive = Dedup.neardupPairs(spark, sfDir).collect().toSeq
+    assert(adaptive == naive)
   }
 
   test("MinHash-LSH near-dup (scale path) returns exactly the exact pairs") {

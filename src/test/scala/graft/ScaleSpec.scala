@@ -50,12 +50,17 @@ class ScaleSpec extends SparkSpec {
     // superset of the true matches (no false negatives, ever)
     val dim = Tables.customer(spark, sfDir)
       .where(col("c_mktsegment") === "MACHINERY")
-    val bf = dim.stat.bloomFilter("c_custkey", 2000L, 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    ScaleTechniques.registerBloomFunctions(spark)
+    Tables.registerViews(spark, sfDir)
     val total = Tables.orders(spark, sfDir).count()
-    val surviving = Tables.orders(spark, sfDir)
-      .where(mightContain(col("o_custkey"))).count()
+    // might_contain demands a constant/scalar-subquery filter side — same
+    // spelling as the registered operator
+    val surviving = spark.sql(
+      """SELECT count(*) AS n FROM orders
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(c_custkey, 2000L, 19170L) FROM customer
+        |   WHERE c_mktsegment = 'MACHINERY'),
+        |  o_custkey)""".stripMargin).head.getLong(0)
     val trueMatches = Tables.orders(spark, sfDir)
       .join(dim, col("o_custkey") === col("c_custkey")).count()
     assert(surviving >= trueMatches, "bloom filters never false-negative")

@@ -163,4 +163,42 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(vals.forall(v => v >= -127 && v <= 127))
     }
   }
+
+  test("catalog persists across JVM restarts (derby metastore + fixed warehouse)") {
+    // a REAL restart: two separate JVMs over the same metastore path. A
+    // newSession() would share SharedState (and thus the in-memory catalog),
+    // proving nothing about persistence — so each phase is its own process.
+    val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    def launch(phase: String): String = {
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        "-Xmx2g", "-cp", sys.props("java.class.path"),
+        "graft.CatalogRoundtrip", phase, base, sfDir)).toArray
+      val p = new ProcessBuilder(cmd: _*)
+        .directory(new java.io.File(base)) // derby.log lands here, not in cwd
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      assert(p.waitFor() == 0, s"$phase phase failed:\n${out.takeRight(4000)}")
+      out
+    }
+    val expected = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F").count()
+    val urgent = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+      .count()
+    assert(launch("write").contains(s"[roundtrip] wrote $expected rows"))
+    // the second JVM must see the table BY NAME, with partition pruning
+    // reaching the scan, and agree with the fixture on the row count
+    assert(launch("read").contains(s"[roundtrip] read $urgent rows pruned=true"))
+  }
 }

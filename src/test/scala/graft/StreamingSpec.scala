@@ -337,4 +337,38 @@ class StreamingSpec extends SparkSpec {
       assert(byId(0L) == 2L && byId(1L) == 1L, s"got $byId")
     } finally q.stop()
   }
+
+  test("file-directory source: incremental batch over a growing parquet dir") {
+    // the reference's actual streaming idiom (SURVEY §1.1.4): a directory
+    // that accumulates files, processed incrementally — `readStream` over a
+    // parquet dir with files landing MID-stream, folded into the same
+    // watermarked windowed aggregation the MemoryStream tests exercise
+    val dir = java.nio.file.Files.createTempDirectory("graft_fdir").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fdir_ck").toString
+    Seq(Ev(ts("2024-01-01 10:05:00"), "click", 1, 1)).toDF()
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+      .parquet(dir)
+    val q = Streams.tumblingCounts(src)
+      .writeStream.format("memory").queryName("fdir_t")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // two more files land while the query runs — the directory listing
+      // must pick them up and fold them into already-open windows
+      Seq(Ev(ts("2024-01-01 10:20:00"), "click", 2, 2)).toDF()
+        .write.mode("append").parquet(dir)
+      Seq(Ev(ts("2024-01-01 11:05:00"), "view", 3, 3)).toDF()
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("fdir_t")
+        .select("w_start", "event_type", "cnt").collect()
+      assert(rows.exists(r => r.getTimestamp(0) == ts("2024-01-01 10:00:00")
+        && r.getString(1) == "click" && r.getLong(2) == 2), rows.mkString("; "))
+      assert(rows.exists(r => r.getTimestamp(0) == ts("2024-01-01 11:00:00")
+        && r.getString(1) == "view" && r.getLong(2) == 1), rows.mkString("; "))
+    } finally q.stop()
+  }
 }

@@ -53,7 +53,7 @@ object Bench {
     sys.props("graft.ann.recall") = "0"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -61,8 +61,23 @@ object Bench {
       // headline pass generates more than that, so round-robin passes would
       // re-run janino on every query. Plenty of heap — keep them all.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Input-split sizing was A/B'd here (2 MB maxPartitionBytes / 128 KB
+      // openCost to spread the 11 MB lineitem scan over more than the 3
+      // tasks the 4 MB openCost floor yields): the apparent win did not
+      // replicate once run order was controlled — same-JVM later sessions
+      // are JIT-warmer, which masqueraded as a split-size effect — and the
+      // sort-bound queries (project_select, sort_global) consistently pay
+      // for the extra map outputs under a range exchange. Defaults kept;
+      // at a real 100 TB deployment the default 128 MB split IS the right
+      // figure (SURVEY §7.5).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+    // Dev hook: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" for cross-process config
+    // A/B runs (same-JVM A/B is confounded by JIT warmth — see BASELINE.md).
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)
+      .map(_.split(',').foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+      .getOrElse(builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pre-touch the fixture files into the OS page cache before any timing:

@@ -34,15 +34,29 @@ object PlanDump {
         "is an expression of the bucket id — one wordcount-shaped " +
         "aggregation, exact bigint dot product"),
       "join_broadcast" -> "BroadcastHashJoin from explicit broadcast()",
-      "join_multiway" -> ("6-table Q5 shape: broadcast region/nation chain, " +
-        "shuffled customer-orders-lineitem-supplier joins, partial+final agg"),
+      "join_multiway" -> ("6-table Q5 shape, dimension-first: the " +
+        "region-nation-supplier chain collapses to one broadcast that cuts " +
+        "lineitem to the ASIA fraction BEFORE the single shuffled fact join " +
+        "(shuffle_hash, no sort passes); customer-orders is the other " +
+        "broadcast side; partial+final agg on top"),
       "join_asof" -> ("single sort-partitioned window pass over the tagged " +
         "union — no range self-join"),
       "llm_simsearch_topk" -> ("BroadcastNestedLoopJoin streaming candidates " +
         "past the broadcast query set; graft_dot codegen kernel in the projection"),
       "llm_neardup_pairs" -> ("prefix-filtered candidate join (short prefixes " +
         "only) followed by exact verification joins"),
-      "skew_salted_join" -> "join key widened with deterministic salt",
+      "skew_salted_join" -> ("shuffled hash join keyed on BOTH (key, salt) — " +
+        "the shuffle_hash hint keeps AQE from broadcasting the exploded " +
+        "build side, so the salt split actually materializes"),
+      "join_bloom_prefilter" -> ("bloom_filter_agg scalar subquery evaluated " +
+        "once; codegen might_contain probe prunes the fact side before the " +
+        "shuffle — no per-row Scala UDF anywhere in the plan"),
+      "llm_knn_graph" -> ("blocked exact kNN candidates: corpus grouped " +
+        "into B hash blocks (collect_list), B x B block-pair cross join " +
+        "(B^2 bounded rows, the blocked-GEMM shape), per-(node, block) " +
+        "exact top-5 exploded out — candidate volume n*B*5, and no n^2-row " +
+        "pair join (no `src =!= dst` theta join) anywhere; downstream " +
+        "re-rank + mutuality are plain equi joins"),
       "llm_simsearch_ivf" -> ("IVF ANN: broadcast centroid codebook for " +
         "assignment + probe, equi-join on cell id replaces the all-pairs " +
         "cross join"),

@@ -274,24 +274,36 @@ object Relational {
     * and revenue uses exact scaled-long sums. At 100 TB this is the shape where
     * Catalyst's join reorder + broadcast chain replaces the hand-sequenced
     * multi-stage MapReduce pipeline a Hadoop author would write. */
-  val joinMultiway: Q = (s, d) =>
-    // all four dimension sides carry explicit broadcast() hints: they are
-    // guaranteed tiny relative to the fact chain, and pre-committing the
-    // strategy collapses AQE's per-stage re-plans (measured ~7× the DuckDB
-    // cost when each of the 5 join stages re-planned adaptively) — the one
-    // genuine shuffle left is the orders ⨝ lineitem fact join
-    Tables.customer(s, d).hint("broadcast")
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)),
-            col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+  val joinMultiway: Q = (s, d) => {
+    // Dimension-first, filter-before-shuffle: the region→nation→supplier
+    // chain collapses to one tiny broadcast of ASIA suppliers, which cuts
+    // lineitem to the ~1/5 that can contribute BEFORE the fact shuffle —
+    // at 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the selectivity fraction. The one genuine
+    // shuffle left is lineitem ⨝ (customer⨝orders) on l_orderkey; the
+    // shuffle_hash hint skips the sort-merge sorts (both sides hash-build
+    // fine, and neither is pre-sorted). The colocation predicate
+    // (customer's nation = supplier's nation) rides that fact join.
+    val asiaSupp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === "ASIA")
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"), col("n_name"),
+              discPriceMicro.as("dp_micro"))
+    val co = Tables.customer(s, d).hint("broadcast")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    li.join(co.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey") &&
+            col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
-      .agg(discPriceSum.as("revenue"), count(lit(1)).as("n_lines"))
+      .agg((sum(col("dp_micro")) / 10000.0).as("revenue"),
+           count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
 
   val joinMultiwaySql: String =
     s"""SELECT n_name, $discPriceSumSql AS revenue,

@@ -70,13 +70,24 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert(p.contains("l_orderkey") && p.contains("salt"), p)
   }
 
-  test("join_multiway is one fused broadcast chain + a single fact shuffle") {
+  test("join_multiway: dims broadcast, lineitem cut before the one fact shuffle") {
+    // the adaptive plan string prints final + initial sections; count nodes
+    // in the FINAL section only
     val p = finalPlan(Relational.joinMultiway(spark, sfDir))
-    // all four dims pre-committed to broadcast: no adaptive re-plan leaves
-    // a stray shuffled dim join behind
+      .split("== Initial Plan ==").head
+    // all four dim sides broadcast: the region→nation→supplier chain and
+    // customer⨝orders — no adaptive re-plan leaves a stray shuffled dim join
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
-    // exactly the orders⨝lineitem fact join may sort-merge/shuffle-hash
-    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+    // exactly ONE shuffled join — the lineitem ⨝ (customer⨝orders) fact
+    // join — and it hash-builds instead of paying two sort passes
+    assert("ShuffledHashJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // filter-before-shuffle: the supplier broadcast join (which implements
+    // the ASIA cut) must sit BELOW the shuffled fact join in the plan tree,
+    // so only the contributing fraction of lineitem reaches the exchange
+    val shj = p.indexOf("ShuffledHashJoin")
+    val asiaCut = p.indexOf("s_suppkey")
+    assert(shj >= 0 && asiaCut > shj, p)
   }
 
   test("bloom prefilter probe is the codegen might_contain, not a UDF") {

@@ -3,11 +3,17 @@
 
 Usage: python3 tools/baseline.py <sfDir> <oracle_sql.json> [names...]
 
-Times each oracle SQL (median of 3 after one warmup) with threads matching
-SPARK_GRAFT_CPUS. NOT part of the shipped library — dev tooling only.
+SYMMETRIC protocol with graft.Bench (warm-vs-warm, like-for-like): one
+untimed warmup pass (page cache + plan cache), then the SAME best-of-6
+round-robin sampling Spark's bench uses (pass 1 of every query, then pass
+2, ... so a VM contention spike inflates at most one sample per query),
+per-query minimum. Threads match SPARK_GRAFT_CPUS. NOT part of the shipped
+library — dev tooling only.
 """
 import sys, os, json, time
 import duckdb
+
+PASSES = int(os.environ.get("BASELINE_PASSES", "6"))
 
 def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
@@ -18,22 +24,29 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
-    out = {}
-    for name in (names or sorted(oracle)):
-        if name not in oracle:
-            continue
+    run = [n for n in (names or sorted(oracle)) if n in oracle]
+    times = {n: [] for n in run}
+    err = {}
+    for n in run:  # untimed warmup: buffer cache + compiled plan
         try:
-            con.sql(oracle[name]).fetchall()  # warmup (buffer cache, plan)
-            times = []
-            for _ in range(3):
-                t0 = time.time()
-                con.sql(oracle[name]).fetchall()
-                times.append(time.time() - t0)
-            out[name] = round(sorted(times)[1], 3)
+            con.sql(oracle[n]).fetchall()
         except Exception as e:
-            out[name] = f"ERR {str(e).splitlines()[0][:80]}"
+            err[n] = f"ERR {str(e).splitlines()[0][:80]}"
+    for _ in range(PASSES):  # round-robin, same schedule as graft.Bench
+        for n in run:
+            if n in err:
+                continue
+            t0 = time.time()
+            try:
+                con.sql(oracle[n]).fetchall()
+                times[n].append(time.time() - t0)
+            except Exception as e:
+                err[n] = f"ERR {str(e).splitlines()[0][:80]}"
+    out = {n: (err[n] if n in err else round(min(times[n]), 3)) for n in run}
+    total = sum(v for v in out.values() if isinstance(v, float))
     print(json.dumps({"sf": sf_dir, "threads": os.environ.get('SPARK_GRAFT_CPUS','32'),
-                      "queries": out}, indent=1))
+                      "protocol": f"warm best-of-{PASSES} round-robin (symmetric with graft.Bench)",
+                      "total": round(total, 3), "queries": out}, indent=1))
 
 if __name__ == "__main__":
     main()

@@ -52,6 +52,37 @@ class ClusteringSpec extends SparkSpec {
     assert(blocked == exact)
   }
 
+  test("knn graph: a zero-norm vector never floats NaN to the top of a shortlist") {
+    // ‖v‖=0 has no defined cosine; without the guard the score is NaN and
+    // Spark's descending sort puts NaN ABOVE every real double, filling that
+    // node's (and its neighbors') shortlists with arbitrary edges. The guard
+    // scores such pairs -1. The fixtures contain no zero vectors, so this
+    // builds a copy of the corpus with one injected — the graph must stay
+    // NaN-free, keep K edges per node, and rank the zero vector's edges by
+    // the -1 sentinel (ties broken by dst id, deterministically).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zn").toString
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0)
+    val zeroId = 1000000L // even → inside knnGraph's vec_id % 2 = 0 subset
+    val zero = Seq((zeroId, Array.fill(dim)(0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    Tables.embeddings(spark, sfDir).unionByName(zero)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val edges = Similarity.knnGraph(spark, tmp).collect()
+    assert(edges.forall(r => !r.getDouble(3).isNaN), "NaN score leaked")
+    // the zero vector still gets exactly K edges, all at the -1 sentinel,
+    // deterministically the lowest dst ids (window tiebreak)
+    val zn = edges.filter(_.getLong(0) == zeroId)
+    assert(zn.length == Similarity.KnnGraphK)
+    assert(zn.forall(_.getDouble(3) == -1.0), zn.mkString(","))
+    // and no OTHER node lists the zero vector among its top-K real scores
+    val others = edges.filter(r => r.getLong(0) != zeroId && r.getLong(2) == zeroId)
+    assert(others.forall(_.getDouble(3) == -1.0),
+      s"zero vector outranked real neighbors: ${others.mkString(",")}")
+  }
+
   test("dsir weights: target-source docs score higher on average") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
     val w = TextAnalysis.dsirWeights(spark, sfDir).join(docs, "doc_id")

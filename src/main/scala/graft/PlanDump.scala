@@ -60,9 +60,15 @@ object PlanDump {
       "llm_simsearch_ivf" -> ("IVF ANN: broadcast centroid codebook for " +
         "assignment + probe, equi-join on cell id replaces the all-pairs " +
         "cross join"),
-      "llm_neardup_embedding" -> ("min-id-leader cosine dedup: pair join " +
-        "feeds a distinct drop-set, resolved by a left join back to the " +
-        "corpus"),
+      "llm_neardup_embedding" -> ("min-id-leader cosine dedup: candidates " +
+        "from the blocked exact threshold kernel (B x B block-pair cross, " +
+        "graft_cos_thresh_pairs emits only qualifying ordered pairs — no " +
+        "n^2-row theta join), distinct drop-set resolved by a left join " +
+        "back to the corpus"),
+      "llm_simjoin_threshold" -> ("exact cosine-threshold self-join via the " +
+        "blocked kernel: the only cross join pairs the B-row block " +
+        "relations, never the corpus with itself; emitted pairs are " +
+        "already id-ordered and tau-filtered"),
       "llm_pipeline_e2e" -> ("dedup agg joined back to the corpus via an " +
         "equi join on doc_id (Spark MAY broadcast the survivor keys at " +
         "fixture scale, but the keys are corpus-sized at 100 TB — the " +

@@ -79,9 +79,47 @@ object Similarity {
        |FROM ranked WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Blocked exact threshold pairs — the shared 100 TB shape for the exact
+    * similarity self-joins below. The declared semantics is the all-pairs
+    * `a_id < b_id` theta join; this computes the IDENTICAL pair set (same
+    * sequential-fold cosine, same ordering rule, exhaustive over blocks —
+    * nothing probabilistic) while keeping the n²-row join out of the plan:
+    * the corpus is hashed into [[KnnBlocks]] groups, the B×B ordered
+    * block-pair cross join carries B² bounded rows, and the
+    * `graft_cos_thresh_pairs` kernel emits only the qualifying pairs.
+    * Pinned equal to the theta-join spelling in VectorSpec. */
+  private def blockedThresholdPairs(e: DataFrame, tau: Double): DataFrame = {
+    val blk = e.select(
+      pmod(xxhash64(col("vec_id")), lit(KnnBlocks)).as("blk"),
+      col("vec_id"), col("embedding"), col("nrm"))
+    val qb = blk.groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))
+             .as("amem"))
+    val cb = qb.select(col("blk").as("cblk"), col("amem").as("bmem"))
+    qb.crossJoin(cb)
+      .select(explode(graft.plans.VectorFunctions.cosThreshPairs(
+        col("amem"), col("bmem"), lit(tau))).as("pr"))
+      .select(col("pr.a_id").as("a_id"), col("pr.b_id").as("b_id"),
+              col("pr.score").as("score"))
+  }
+
   /** Similarity join: all pairs with cosine >= 0.35 on a deterministic
     * subset (vec_id % 5 = 0). Embedding-cosine near-dup detection shape. */
+  val SimjoinTau = 0.35
+
   val simjoinThreshold: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    blockedThresholdPairs(e, SimjoinTau)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The declared theta-join spelling — kept as the specification the
+    * blocked kernel must reproduce (VectorSpec pin); not registered. */
+  def simjoinThresholdExact(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"),
@@ -93,7 +131,7 @@ object Similarity {
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
               (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("score"))
-      .where(col("score") >= 0.35)
+      .where(col("score") >= SimjoinTau)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
       .orderBy("a_id", "b_id")
   }
@@ -113,12 +151,34 @@ object Similarity {
     * cosine tau of it; survivors are the leaders. tau is corpus-calibrated
     * (the synthetic fixture has no true embedding duplicates — 0.4 marks its
     * "suspiciously similar" tail; a production corpus would use ~0.95+).
-    * Shape: one pair join + left anti join — at 100 TB the pair join is
-    * replaced by LSH/IVF candidate buckets ([[AnnLsh]]/[[AnnIvf]]) feeding
-    * the SAME anti-join, so the dedup resolution step is scale-invariant. */
+    * Shape: blocked exact threshold pairs ([[blockedThresholdPairs]] — no
+    * n²-row join anywhere in the plan) + a left join resolving drops. A
+    * deployment trading exactness for throughput swaps the candidate source
+    * for LSH/IVF buckets ([[AnnLsh]]/[[AnnIvf]]) feeding the SAME
+    * resolution join — the dedup step is scale-invariant either way. */
   val NeardupEmbeddingTau = 0.4
 
   val neardupEmbedding: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // every vector similar to a smaller-id one is a drop; survivors lead.
+    // Candidates come from the blocked exact kernel (no n²-row pair join);
+    // the min-id-leader resolution below is untouched — at 100 TB the same
+    // anti-join accepts LSH/IVF candidates instead.
+    val drops = blockedThresholdPairs(e, NeardupEmbeddingTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    Tables.embeddings(s, d)
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+              coalesce(col("dropped"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** The declared theta-join spelling of the drop set — the specification
+    * the blocked kernel must reproduce (VectorSpec pin); not registered. */
+  def neardupEmbeddingExact(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -127,7 +187,6 @@ object Similarity {
                      col("nrm").as("an"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
                      col("nrm").as("bn"))
-    // every vector similar to a smaller-id one is a drop; survivors lead
     val drops = a.join(b, col("a_id") < col("b_id"))
       .where(dot(col("av"), col("bv")) / (col("an") * col("bn"))
                >= NeardupEmbeddingTau)

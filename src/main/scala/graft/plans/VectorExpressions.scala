@@ -235,9 +235,123 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
     copy(qmem = f, cmem = s, kExpr = t)
 }
 
+/** Blocked cosine-threshold pair kernel (§2.11 scale path for EXACT
+  * similarity self-joins — threshold semantics, where
+  * [[KnnBlockCandidates]] covers top-k semantics).
+  *
+  * Inputs: two blocks of a vector corpus in the same
+  * `array<struct<vec_id: long, embedding: array<float>, nrm: double>>`
+  * shape, and a foldable double tau. Output: every cross pair (a from
+  * `amem`, b from `bmem`) with `a.vec_id < b.vec_id` and
+  * `cos(a, b) >= tau`, as `array<struct<a_id, b_id, score>>` — the id
+  * ordering both dedupes unordered pairs across the B×B block-pair cross
+  * join (each pair is emitted by exactly one ordered block pair) and
+  * matches the `a_id < b_id` theta-join spelling it replaces. Zero-norm
+  * pairs are skipped: the naive join's `dot/(an*bn) >= tau` filter
+  * evaluates NaN >= tau = false, and this kernel reproduces that.
+  *
+  * Scale: an exact threshold self-join is O(n²) COMPUTE by definition;
+  * the kernel keeps the O(n²) ROWS out of the join machinery — only B²
+  * bounded block-pair rows and the qualifying output pairs exist as rows.
+  * Arithmetic is the same sequential double fold as [[DotProduct]], so
+  * scores are bit-identical to the naive spelling and the DuckDB oracle.
+  * CodegenFallback is fine: B² rows reach it, not n² pairs.
+  */
+case class CosineThresholdPairs(amem: Expression, bmem: Expression, tauExpr: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def first: Expression = amem
+  override def second: Expression = bmem
+  override def third: Expression = tauExpr
+  override def prettyName: String = VectorFunctions.cosThreshName
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a_id", LongType, nullable = false),
+                   StructField("b_id", LongType, nullable = false),
+                   StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  private def isBlock(t: DataType): Boolean = t match {
+    case ArrayType(StructType(fs), _) if fs.length == 3 =>
+      fs(0).dataType == LongType &&
+        (fs(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) &&
+        fs(2).dataType == DoubleType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isBlock(amem.dataType) && isBlock(bmem.dataType) &&
+        tauExpr.dataType == DoubleType && tauExpr.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<long, array<float>, double>> x2, " +
+        s"foldable double), got (${amem.dataType.simpleString}, " +
+        s"${bmem.dataType.simpleString}, ${tauExpr.dataType.simpleString})")
+
+  override protected def nullSafeEval(a: Any, b: Any, tauAny: Any): Any = {
+    val tau = tauAny.asInstanceOf[Double]
+    val as = a.asInstanceOf[ArrayData]
+    val bs = b.asInstanceOf[ArrayData]
+    val nb = bs.numElements()
+    // unpack the b block once per block pair, not once per a vector
+    val bid = new Array[Long](nb)
+    val bvec = new Array[Array[Float]](nb)
+    val bn = new Array[Double](nb)
+    var j = 0
+    while (j < nb) {
+      val r = bs.getStruct(j, 3)
+      bid(j) = r.getLong(0)
+      bvec(j) = r.getArray(1).toFloatArray()
+      bn(j) = r.getDouble(2)
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val na = as.numElements()
+    var i = 0
+    while (i < na) {
+      val r = as.getStruct(i, 3)
+      val aid = r.getLong(0)
+      val av = r.getArray(1).toFloatArray()
+      val an = r.getDouble(2)
+      j = 0
+      while (j < nb) {
+        // id check first: the reverse-ordered block pair re-visits every
+        // unordered pair, and this rejects it before paying for the dot
+        if (aid < bid(j)) {
+          val denom = an * bn(j)
+          if (denom != 0.0) {
+            val bv = bvec(j)
+            val n = math.min(av.length, bv.length)
+            var acc = 0.0
+            var t = 0
+            while (t < n) { acc += av(t).toDouble * bv(t).toDouble; t += 1 }
+            val s = acc / denom
+            if (s >= tau) out += InternalRow(aid, bid(j), s)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CosineThresholdPairs =
+    copy(amem = f, bmem = s, tauExpr = t)
+}
+
 object VectorFunctions {
   val dotName = "graft_dot"
   val knnBlockName = "graft_knn_block_cands"
+  val cosThreshName = "graft_cos_thresh_pairs"
 
   private val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProduct(a, b)
@@ -260,6 +374,17 @@ object VectorFunctions {
     "_FUNC_(qblock, cblock, k) - exact per-query top-k candidate ids " +
       "between two vector blocks", "")
 
+  private val cosThreshBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, t) => CosineThresholdPairs(a, b, t)
+    case other => throw new IllegalArgumentException(
+      s"$cosThreshName expects 3 arguments, got ${other.size}")
+  }
+
+  private val cosThreshInfo = new ExpressionInfo(
+    classOf[CosineThresholdPairs].getName, null, cosThreshName,
+    "_FUNC_(ablock, bblock, tau) - ordered (a_id < b_id) cross pairs of " +
+      "two vector blocks with cosine >= tau", "")
+
   /** Idempotent session-level registration (for sessions built without the
     * [[GraftExtensions]] config). */
   def register(spark: SparkSession): Unit = {
@@ -269,6 +394,9 @@ object VectorFunctions {
     val kid = FunctionIdentifier(knnBlockName)
     if (!reg.functionExists(kid))
       reg.registerFunction(kid, knnBlockInfo, knnBlockBuilder)
+    val cid = FunctionIdentifier(cosThreshName)
+    if (!reg.functionExists(cid))
+      reg.registerFunction(cid, cosThreshInfo, cosThreshBuilder)
   }
 
   /** Column-API handle; requires [[register]] (or the extension) first. */
@@ -277,6 +405,10 @@ object VectorFunctions {
   /** Column-API handle for the blocked kNN candidate kernel. */
   def knnBlockCands(q: Column, c: Column, k: Column): Column =
     call_function(knnBlockName, q, c, k)
+
+  /** Column-API handle for the blocked threshold-pair kernel. */
+  def cosThreshPairs(a: Column, b: Column, tau: Column): Column =
+    call_function(cosThreshName, a, b, tau)
 }
 
 /** Optimizer rule (§4.3 extension layer (c)): rewrite the declarative
@@ -342,6 +474,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[KnnBlockCandidates].getName,
                            VectorFunctions.knnBlockName),
         { case Seq(q, c, k) => KnnBlockCandidates(q, c, k) }))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.cosThreshName),
+        new ExpressionInfo(classOf[CosineThresholdPairs].getName,
+                           VectorFunctions.cosThreshName),
+        { case Seq(a, b, t) => CosineThresholdPairs(a, b, t) }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

@@ -149,6 +149,31 @@ class VectorSpec extends SparkSpec {
     assert(flagged == expected)
   }
 
+  test("blocked threshold pairs equal the theta-join spelling (simjoin + neardup)") {
+    // the registered operators generate pairs from the blocked exact kernel;
+    // the a_id < b_id theta join is the specification they must reproduce —
+    // structurally guaranteed (exhaustive ordered block pairs, identical
+    // fold arithmetic), pinned here against implementation bugs
+    val sj = Similarity.simjoinThreshold(spark, sfDir).collect().toSeq
+    val sjExact = Similarity.simjoinThresholdExact(spark, sfDir).collect().toSeq
+    assert(sj == sjExact)
+    val nd = Similarity.neardupEmbedding(spark, sfDir).collect().toSeq
+    val ndExact = Similarity.neardupEmbeddingExact(spark, sfDir).collect().toSeq
+    assert(nd == ndExact)
+  }
+
+  test("threshold self-joins plan no n²-row pair join (blocked kernel only)") {
+    // the only cross join allowed is the B×B block-pair cross (bounded rows);
+    // the n-row corpus must never theta-join itself on vector ids
+    Seq(Similarity.simjoinThreshold(spark, sfDir),
+        Similarity.neardupEmbedding(spark, sfDir)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_cos_thresh_pairs"), p)
+      assert(p.contains("collect_list"), p)
+      assert(!p.contains("< b_id"), p) // the theta condition `a_id < b_id` is gone
+    }
+  }
+
   test("frame sampling keeps every FrameStride-th frame of each payload") {
     val rows = Multimodal.queries("mm_frame_sample")(spark, sfDir).collect()
     // expected fan-out computed independently from the UTF-8 payload sizes

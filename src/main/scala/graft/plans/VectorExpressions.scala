@@ -246,9 +246,13 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
   * `cos(a, b) >= tau`, as `array<struct<a_id, b_id, score>>` — the id
   * ordering both dedupes unordered pairs across the B×B block-pair cross
   * join (each pair is emitted by exactly one ordered block pair) and
-  * matches the `a_id < b_id` theta-join spelling it replaces. Zero-norm
-  * pairs are skipped: the naive join's `dot/(an*bn) >= tau` filter
-  * evaluates NaN >= tau = false, and this kernel reproduces that.
+  * matches the `a_id < b_id` theta-join spelling it replaces. Degenerate
+  * inputs reproduce the theta spelling's null-poisoning EXACTLY, not just
+  * on the fixtures: zero-norm pairs are skipped (NaN >= tau = false),
+  * length-mismatched pairs are skipped (graft_dot returns null there, and
+  * null >= tau excludes the pair), and a vector containing a null element
+  * is skipped entirely (every dot involving it is null in the declared
+  * spelling, so every one of its pairs is excluded).
   *
   * Scale: an exact threshold self-join is O(n²) COMPUTE by definition;
   * the kernel keeps the O(n²) ROWS out of the join machinery — only B²
@@ -295,6 +299,19 @@ case class CosineThresholdPairs(amem: Expression, bmem: Expression, tauExpr: Exp
         s"foldable double), got (${amem.dataType.simpleString}, " +
         s"${bmem.dataType.simpleString}, ${tauExpr.dataType.simpleString})")
 
+  /** Unpacked vector (null when the member must be skipped — null element
+    * anywhere, per the null-poisoning contract in the class doc). The null
+    * scan runs once per vector per block pair, never per pair. */
+  private def unpack(arr: ArrayData): Option[Array[Float]] = {
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (arr.isNullAt(t)) return None
+      t += 1
+    }
+    Some(arr.toFloatArray())
+  }
+
   override protected def nullSafeEval(a: Any, b: Any, tauAny: Any): Any = {
     val tau = tauAny.asInstanceOf[Double]
     val as = a.asInstanceOf[ArrayData]
@@ -308,7 +325,7 @@ case class CosineThresholdPairs(amem: Expression, bmem: Expression, tauExpr: Exp
     while (j < nb) {
       val r = bs.getStruct(j, 3)
       bid(j) = r.getLong(0)
-      bvec(j) = r.getArray(1).toFloatArray()
+      bvec(j) = unpack(r.getArray(1)).orNull
       bn(j) = r.getDouble(2)
       j += 1
     }
@@ -318,25 +335,29 @@ case class CosineThresholdPairs(amem: Expression, bmem: Expression, tauExpr: Exp
     while (i < na) {
       val r = as.getStruct(i, 3)
       val aid = r.getLong(0)
-      val av = r.getArray(1).toFloatArray()
+      val av = unpack(r.getArray(1)).orNull
       val an = r.getDouble(2)
-      j = 0
-      while (j < nb) {
-        // id check first: the reverse-ordered block pair re-visits every
-        // unordered pair, and this rejects it before paying for the dot
-        if (aid < bid(j)) {
-          val denom = an * bn(j)
-          if (denom != 0.0) {
+      if (av != null) {
+        j = 0
+        while (j < nb) {
+          // id check first: the reverse-ordered block pair re-visits every
+          // unordered pair, and this rejects it before paying for the dot
+          if (aid < bid(j)) {
             val bv = bvec(j)
-            val n = math.min(av.length, bv.length)
-            var acc = 0.0
-            var t = 0
-            while (t < n) { acc += av(t).toDouble * bv(t).toDouble; t += 1 }
-            val s = acc / denom
-            if (s >= tau) out += InternalRow(aid, bid(j), s)
+            val denom = an * bn(j)
+            // bv null (null element) or length mismatch → the declared
+            // spelling's dot is null and the pair is excluded; denom 0 →
+            // NaN >= tau = false, same exclusion
+            if (bv != null && bv.length == av.length && denom != 0.0) {
+              var acc = 0.0
+              var t = 0
+              while (t < av.length) { acc += av(t).toDouble * bv(t).toDouble; t += 1 }
+              val s = acc / denom
+              if (s >= tau) out += InternalRow(aid, bid(j), s)
+            }
           }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }

@@ -162,6 +162,36 @@ class VectorSpec extends SparkSpec {
     assert(nd == ndExact)
   }
 
+  test("threshold kernel reproduces theta-join null-poisoning on degenerate vectors") {
+    // zero norm → NaN >= tau = false; length mismatch → graft_dot null →
+    // excluded; null element → every pair with that vector excluded. The
+    // fixtures never exercise these, so build them directly.
+    import spark.implicits._
+    graft.plans.VectorFunctions.register(spark)
+    val rows: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 0.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 0.1f)),        // cos(1,2) ≈ 0.995 → pair
+      (3L, Seq[java.lang.Float](0.0f, 0.0f)),        // zero norm → no pairs
+      (4L, Seq[java.lang.Float](1.0f, 0.0f, 0.0f)),  // len 3 → mismatch vs all
+      (5L, Seq[java.lang.Float](1.0f, null)))        // null element → no pairs
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("nrm",
+        sqrt(coalesce(graft.plans.VectorFunctions.dot(col("embedding"), col("embedding")),
+                      lit(0.0))))
+    val blk = e.select(lit(0L).as("blk"), col("vec_id"), col("embedding"), col("nrm"))
+    val qb = blk.groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("amem"))
+    val pairs = qb.crossJoin(qb.select(col("amem").as("bmem")))
+      .select(explode(graft.plans.VectorFunctions.cosThreshPairs(
+        col("amem"), col("bmem"), lit(0.5))).as("pr"))
+      .select(col("pr.a_id"), col("pr.b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the theta spelling admits exactly the (1,2) pair; every degenerate
+    // vector's pairs null-poison out
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("threshold self-joins plan no n²-row pair join (blocked kernel only)") {
     // the only cross join allowed is the B×B block-pair cross (bounded rows);
     // the n-row corpus must never theta-join itself on vector ids

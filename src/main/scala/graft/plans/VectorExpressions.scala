@@ -159,6 +159,20 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
         s"foldable int), got (${qmem.dataType.simpleString}, " +
         s"${cmem.dataType.simpleString}, ${kExpr.dataType.simpleString})")
 
+  /** Null-element scan, once per vector per block pair (a vector holding a
+    * null element dots to null in the declarative spelling — treat it like
+    * a zero-norm vector: every pair scores the -1 sentinel, never NaN, and
+    * the kernel must not crash on it). */
+  private def unpackOrNull(arr: ArrayData): Array[Float] = {
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (arr.isNullAt(t)) return null
+      t += 1
+    }
+    arr.toFloatArray()
+  }
+
   override protected def nullSafeEval(q: Any, c: Any, kAny: Any): Any = {
     val k = kAny.asInstanceOf[Int]
     val qs = q.asInstanceOf[ArrayData]
@@ -172,7 +186,7 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
     while (j < nc) {
       val r = cs.getStruct(j, 3)
       cid(j) = r.getLong(0)
-      cvec(j) = r.getArray(1).toFloatArray()
+      cvec(j) = unpackOrNull(r.getArray(1))
       cn(j) = r.getDouble(2)
       j += 1
     }
@@ -185,7 +199,7 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
     while (i < nq) {
       val r = qs.getStruct(i, 3)
       val qid = r.getLong(0)
-      val qv = r.getArray(1).toFloatArray()
+      val qv = unpackOrNull(r.getArray(1))
       val qn = r.getDouble(2)
       var filled = 0
       j = 0
@@ -193,12 +207,13 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
         if (cid(j) != qid) {
           val denom = qn * cn(j)
           var s = -1.0
-          if (denom != 0.0) {
-            val b = cvec(j)
-            val n = math.min(qv.length, b.length)
+          val b = cvec(j)
+          // null-element vector or length mismatch → dot is null in the
+          // declarative spelling → -1 sentinel (same as zero norm)
+          if (denom != 0.0 && qv != null && b != null && qv.length == b.length) {
             var acc = 0.0
             var t = 0
-            while (t < n) { acc += qv(t).toDouble * b(t).toDouble; t += 1 }
+            while (t < qv.length) { acc += qv(t).toDouble * b(t).toDouble; t += 1 }
             s = acc / denom
           }
           val dstId = cid(j)

@@ -192,6 +192,58 @@ class VectorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
 
+  test("threshold kernel == scala brute force on 30 seeded random corpora") {
+    // randomized property pin (fixed seed → reproducible): random corpus
+    // sizes, dims, values, plus injected degenerates (zero vectors, ragged
+    // lengths) — the kernel must emit exactly the brute-force pair set with
+    // bit-identical scores under every blocking of the corpus
+    import spark.implicits._
+    graft.plans.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(660066L)
+    for (trial <- 1 to 30) {
+      val n = 2 + rnd.nextInt(40)
+      val dim = 1 + rnd.nextInt(8)
+      val tau = rnd.nextDouble() * 2 - 1 // [-1, 1)
+      val vecs: Seq[(Long, Seq[Float])] = (0 until n).map { i =>
+        val d = rnd.nextInt(10) match {
+          case 0 => dim + 1 + rnd.nextInt(3) // ragged length
+          case _ => dim
+        }
+        val v = rnd.nextInt(10) match {
+          case 0 => Seq.fill(d)(0.0f) // zero vector
+          case _ => Seq.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)
+        }
+        (i.toLong, v)
+      }
+      val nBlocks = 1 + rnd.nextInt(5)
+      val e = vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        .withColumn("nrm",
+          sqrt(graft.plans.VectorFunctions.dot(col("embedding"), col("embedding"))))
+      val blk = e.select(pmod(xxhash64(col("vec_id")), lit(nBlocks)).as("blk"),
+                         col("vec_id"), col("embedding"), col("nrm"))
+      val qb = blk.groupBy("blk")
+        .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("amem"))
+      val got = qb.crossJoin(qb.select(col("amem").as("bmem")))
+        .select(explode(graft.plans.VectorFunctions.cosThreshPairs(
+          col("amem"), col("bmem"), lit(tau))).as("pr"))
+        .select(col("pr.a_id"), col("pr.b_id"), col("pr.score")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force with the same sequential fold
+      val expected = (for {
+        (i, vi) <- vecs; (j, vj) <- vecs
+        if i < j && vi.length == vj.length
+        ni = math.sqrt(vi.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        nj = math.sqrt(vj.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        if ni * nj != 0.0
+        s = vi.lazyZip(vj).foldLeft(0.0) { case (acc, (x, y)) =>
+              acc + x.toDouble * y.toDouble } / (ni * nj)
+        if s >= tau
+      } yield (i, j, s)).toSet
+      assert(got == expected, s"trial $trial (n=$n dim=$dim tau=$tau blocks=$nBlocks)")
+    }
+  }
+
   test("threshold self-joins plan no n²-row pair join (blocked kernel only)") {
     // the only cross join allowed is the B×B block-pair cross (bounded rows);
     // the n-row corpus must never theta-join itself on vector ids

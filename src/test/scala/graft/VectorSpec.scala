@@ -244,6 +244,59 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("knn block kernel == scala brute force top-k on 30 seeded random block pairs") {
+    // randomized pin for graft_knn_block_cands: per query, the kernel's
+    // candidates must be exactly the brute-force top-k of the candidate
+    // block (score desc, id asc ties; self excluded; zero-norm/ragged/null
+    // handled via the -1 sentinel), for random sizes, dims, and k
+    import spark.implicits._
+    graft.plans.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(660067L)
+    for (trial <- 1 to 30) {
+      val nq = 1 + rnd.nextInt(12)
+      val ncand = 1 + rnd.nextInt(20)
+      val dim = 1 + rnd.nextInt(6)
+      val k = 1 + rnd.nextInt(6)
+      def mk(ids: Range): Seq[(Long, Seq[Float])] = ids.map { i =>
+        val d = if (rnd.nextInt(8) == 0) dim + 1 else dim
+        val v = if (rnd.nextInt(8) == 0) Seq.fill(d)(0.0f)
+                else Seq.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)
+        (i.toLong, v)
+      }
+      // overlapping id ranges so self-exclusion triggers
+      val qs = mk(0 until nq)
+      val cs = mk(nq / 2 until (nq / 2 + ncand))
+      def block(vs: Seq[(Long, Seq[Float])]) = vs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        .withColumn("nrm",
+          sqrt(graft.plans.VectorFunctions.dot(col("embedding"), col("embedding"))))
+        .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("m"))
+      val got = block(qs).crossJoin(block(cs).select(col("m").as("cm")))
+        .select(explode(graft.plans.VectorFunctions.knnBlockCands(
+          col("m"), col("cm"), lit(k))).as("cd"))
+        .select(col("cd.src"), col("cd.dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // brute force: same fold, -1 sentinel for zero-norm/ragged pairs
+      def nrm(v: Seq[Float]) =
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val expected = qs.flatMap { case (qid, qv) =>
+        val scored = cs.filter(_._1 != qid).map { case (cid, cv) =>
+          val denom = nrm(qv) * nrm(cv)
+          val s = if (denom != 0.0 && qv.length == cv.length)
+            qv.lazyZip(cv).foldLeft(0.0) { case (a, (x, y)) =>
+              a + x.toDouble * y.toDouble } / denom
+          else -1.0
+          (cid, s)
+        }
+        scored.sortBy { case (cid, s) => (-s, cid) }.take(k)
+          .map { case (cid, _) => (qid, cid) }
+      }
+      assert(got.toSet == expected.toSet,
+        s"trial $trial (nq=$nq ncand=$ncand dim=$dim k=$k)")
+      assert(got.length == expected.length, s"trial $trial cardinality")
+    }
+  }
+
   test("threshold self-joins plan no n²-row pair join (blocked kernel only)") {
     // the only cross join allowed is the B×B block-pair cross (bounded rows);
     // the n-row corpus must never theta-join itself on vector ids

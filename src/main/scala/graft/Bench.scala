@@ -98,8 +98,14 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_.nonEmpty)
+    // comma-separated allowlist for iterating on one query without paying
+    // for the suite (picks from ALL registered queries, not just headline)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     val names =
-      if (all) SparkEntry.queries.keys.toSeq.sorted
+      if (only.nonEmpty)
+        SparkEntry.queries.keys.toSeq.sorted.filter(only.get.contains)
+      else if (all) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
     // 6 headline passes spread over ~2.5 min of wall clock: ambient VM
     // contention arrives in sustained multi-second windows, so the per-query

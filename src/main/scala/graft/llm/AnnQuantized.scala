@@ -38,16 +38,80 @@ object AnnQuantized {
         floor(x.cast("double") * lit(127.0) / scale + lit(0.5)).cast("int")))
   }
 
+  /** Corpus blocks in the blocked quantized scan (same B×B shape as
+    * [[Similarity.knnGraph]]'s candidate pass). */
+  val QBlocks = 16
+
   /** Int8 codes are carried as array<float>: every code is an integer in
     * [-127, 127], every pairwise product (≤ 16129) and every 64-term sum is
-    * exactly representable in the codegen DotProduct's double accumulator —
-    * so the "integer dot product" runs through the SAME codegen kernel as
-    * the float path (one inline loop per pair, no lambda interpreter), while
-    * remaining bit-equal to the oracle's bigint arithmetic. Per-vector norms
-    * (quantized and float) are computed ONCE per vector before the candidate
-    * join — the per-pair work is a single dot + one division. This cut the
-    * full-suite bench time of this query ~10×. */
+    * exactly representable in a double accumulator — so the "integer dot
+    * product" runs through the same sequential fold as the float path while
+    * remaining bit-equal to the oracle's bigint arithmetic.
+    *
+    * The quantized scan is the BLOCKED exact pass (round 6): corpus and
+    * query set hash into [[QBlocks]] groups, the B×B block-pair cross join
+    * carries B² bounded rows, and the `graft_knn_block_cands` kernel emits
+    * the exact per-(query, block) top-[[RerankK]] WITH the quantized score
+    * on the struct — a guaranteed superset of the global quantized top-R,
+    * which one |Q|·B·R-row window then cuts to exactly the declared
+    * shortlist (same score-desc/id-asc order as the theta spelling; kernel
+    * scores are the same fold, so no recompute join is needed). Per-vector
+    * norms are computed ONCE per vector before blocking. The former
+    * spelling — a broadcast q =!= c theta join scoring |Q|·n ROWS through
+    * the join machinery and ranking window — survives as
+    * [[simsearchQuantizedExact]], the unit-pinned specification. */
   val simsearchQuantized: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
+    import Similarity.dot
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              codes(col("embedding")).cast("array<float>").as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("enorm", sqrt(dot(col("embedding"), col("embedding"))))
+    val blk = e.select(
+      pmod(xxhash64(col("vec_id")), lit(QBlocks)).as("blk"),
+      col("vec_id"), col("label"), col("qv"), col("qnorm"))
+    val qb = blk.where(col("label") === 0).groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("qv"), col("qnorm")))
+             .as("qmem"))
+    val cb = blk.groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("qv"), col("qnorm")))
+             .as("cmem"))
+      .select(col("blk").as("cblk"), col("cmem"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qscore").desc, col("c_id"))
+    val shortlist = qb.crossJoin(cb)
+      .select(explode(graft.plans.VectorFunctions.knnBlockCands(
+        col("qmem"), col("cmem"), lit(RerankK))).as("cd"))
+      .select(col("cd.src").as("q_id"), col("cd.dst").as("c_id"),
+              col("cd.score").as("qscore"))
+      .withColumn("qrk", row_number().over(wq))
+      .where(col("qrk") <= RerankK)
+      .select("q_id", "c_id")
+    val q = e.where(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              col("enorm").as("q_enorm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+                     col("enorm").as("c_enorm"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    shortlist
+      .join(broadcast(q), "q_id")
+      .join(c, "c_id")
+      .withColumn("score",
+        dot(col("qe"), col("ce")) / (col("q_enorm") * col("c_enorm")))
+      .withColumn("rk", row_number().over(wr))
+      .where(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("c_id"),
+              round(col("score"), 6).as("score6"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** The declared theta-join spelling — |Q|·n scored rows through a
+    * broadcast non-equi join and one global ranking window. Kept as the
+    * specification the blocked kernel path must reproduce (SqlSurfaceSpec
+    * pin); not registered. */
+  def simsearchQuantizedExact(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     import Similarity.dot
     val e = Tables.embeddings(s, d)
@@ -64,18 +128,11 @@ object AnnQuantized {
                      col("enorm").as("c_enorm"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("qscore").desc, col("c_id"))
-    // project to (ids, qscore) BEFORE the ranking window: the shortlist
-    // shuffle carries ~24 bytes/pair instead of the query+candidate arrays
-    // (4 float vectors/pair ≈ 1 KB; measured 2.3 → 1.9 s at sf0.1 where the
-    // integer dots dominate — at real corpus scale the shuffle-width term is
-    // the one that grows); the float vectors rejoin only for the R surviving
-    // rows per query
-    val scored = broadcast(q.select("q_id", "qq", "q_qnorm"))
+    val shortlist = broadcast(q.select("q_id", "qq", "q_qnorm"))
       .join(c.select("c_id", "cq", "c_qnorm"), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dot(col("qq"), col("cq")) / (col("q_qnorm") * col("c_qnorm")))
           .as("qscore"))
-    val shortlist = scored
       .withColumn("qrk", row_number().over(wq))
       .where(col("qrk") <= RerankK)
       .select("q_id", "c_id")

@@ -41,9 +41,50 @@ object Similarity {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** k-NN: for each query vector (label=0), the top-5 cosine neighbors.
-    * Scale path: broadcast the (small) query set, stream candidates —
-    * a BroadcastNestedLoopJoin that parallelizes over candidate splits. */
+    *
+    * Scale path (round 6): the blocked exact pass — queries and candidates
+    * hash into [[KnnBlocks]] groups, the B×B block-pair cross join carries
+    * B² bounded rows, and the `graft_knn_block_cands` kernel emits the
+    * exact per-(query, block) top-5 with scores (a guaranteed superset of
+    * the global top-5); one |Q|·B·5-row window merges blocks with the same
+    * score-desc/id-asc order. Exact kNN stays O(|Q|·n) COMPUTE, but only
+    * |Q|·B·5 rows ever exist — the former broadcast q =!= c spelling pushed
+    * all |Q|·n scored pairs through BNLJ row machinery and one window.
+    * That spelling survives as [[simsearchTopkExact]], the unit-pinned
+    * specification; kernel scores are the same sequential fold, so the
+    * emitted score6 is bit-identical. */
   val simsearchTopk: Q = (s, d) => {
+    graft.plans.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val blk = e.select(
+      pmod(xxhash64(col("vec_id")), lit(KnnBlocks)).as("blk"),
+      col("vec_id"), col("label"), col("embedding"), col("nrm"))
+    val mem = struct(col("vec_id"), col("embedding"), col("nrm"))
+    val qb = blk.where(col("label") === 0).groupBy("blk")
+      .agg(collect_list(mem).as("qmem"))
+    val cb = blk.groupBy("blk").agg(collect_list(mem).as("cmem"))
+      .select(col("blk").as("cblk"), col("cmem"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    qb.crossJoin(cb)
+      .select(explode(graft.plans.VectorFunctions.knnBlockCands(
+        col("qmem"), col("cmem"), lit(5))).as("cd"))
+      .select(col("cd.src").as("q_id"), col("cd.dst").as("c_id"),
+              col("cd.score").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score6"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** The declared all-pairs spelling — broadcast the query set, stream
+    * candidates through a non-equi join, rank globally. Kept as the
+    * specification the blocked path must reproduce (VectorSpec pin); not
+    * registered. */
+  def simsearchTopkExact(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     // norms are computed ONCE per vector before the pair join (each pair then

@@ -108,9 +108,13 @@ case class DotProduct(left: Expression, right: Expression)
   * `array<struct<vec_id: long, embedding: array<float>, nrm: double>>`
   * (the shape `collect_list(struct(vec_id, embedding, nrm))` produces),
   * and a foldable int k. Output: for every query vector q in `qmem`, the
-  * exact top-k candidate ids from `cmem` by cosine (score desc, id asc on
+  * exact top-k candidates from `cmem` by cosine (score desc, id asc on
   * ties; self excluded; zero-norm pairs score -1 — below every real
-  * cosine — instead of NaN), flattened to `array<struct<src, dst>>`.
+  * cosine — instead of NaN), flattened to `array<struct<src, dst, score>>`.
+  * The score is the same sequential-fold cosine as [[DotProduct]] (bit-equal
+  * to the declarative spelling), so a consumer that needs the block-local
+  * score — e.g. [[graft.llm.AnnQuantized]]'s global shortlist merge — reads
+  * it off the struct instead of re-joining the vectors to recompute it.
   *
   * Semantics match the declarative spelling
   * `flatten(transform(qmem, q -> transform(slice(array_sort(transform(
@@ -136,7 +140,8 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("src", LongType, nullable = false),
-                   StructField("dst", LongType, nullable = false))),
+                   StructField("dst", LongType, nullable = false),
+                   StructField("score", DoubleType, nullable = false))),
     containsNull = false)
 
   private def isBlock(t: DataType): Boolean = t match {
@@ -233,7 +238,7 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
       }
       var m = 0
       while (m < filled) {
-        out(outLen) = InternalRow(qid, td(m))
+        out(outLen) = InternalRow(qid, td(m), ts(m))
         outLen += 1
         m += 1
       }
@@ -407,8 +412,8 @@ object VectorFunctions {
 
   private val knnBlockInfo = new ExpressionInfo(
     classOf[KnnBlockCandidates].getName, null, knnBlockName,
-    "_FUNC_(qblock, cblock, k) - exact per-query top-k candidate ids " +
-      "between two vector blocks", "")
+    "_FUNC_(qblock, cblock, k) - exact per-query top-k (id, score) " +
+      "candidates between two vector blocks", "")
 
   private val cosThreshBuilder: Seq[Expression] => Expression = {
     case Seq(a, b, t) => CosineThresholdPairs(a, b, t)

@@ -125,6 +125,28 @@ class ExplainInvariantsSpec extends SparkSpec {
            p.contains("ShuffledHashJoin"), p)
   }
 
+  test("simsearch topk: no |Q|·n-row theta join — blocked kernel + merge window") {
+    val p = plan(graft.llm.Similarity.simsearchTopk(spark, sfDir))
+    assert(p.contains("graft_knn_block_cands"), p)
+    assert(p.contains("collect_list"), p)
+    assert(!p.contains("NOT (q_id"), p)
+    assert(!p.contains("NOT (vec_id"), p)
+  }
+
+  test("quantized scan: no |Q|·n-row theta join — blocked kernel + equi re-rank") {
+    val p = plan(graft.llm.AnnQuantized.simsearchQuantized(spark, sfDir))
+    // the quantized shortlist comes from the B×B block cross through the
+    // kNN kernel (scores on the struct — no recompute join); the former
+    // broadcast q =!= c theta join over |Q|·n rows must be gone
+    assert(p.contains("graft_knn_block_cands"), p)
+    assert(p.contains("collect_list"), p)
+    assert(!p.contains("NOT (q_id"), p)
+    assert(!p.contains("NOT (vec_id"), p)
+    // the float re-rank reaches the vectors through plain equi joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+  }
+
   test("semdedup pair join is keyed on the cluster id (no all-pairs cross)") {
     val p = plan(graft.llm.Clustering.semdedup(spark, sfDir))
     // the within-cluster join must be an equi join on cid — a cross join

@@ -155,6 +155,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("blocked quantized scan == theta-join spelling, row for row") {
+    // the registered blocked-kernel path must reproduce the declared
+    // |Q|·n theta-join spelling exactly: same shortlist (per-block exact
+    // top-R is a superset of the global top-R; the merge window applies the
+    // same score-desc/id-asc order), same re-rank, same rounding
+    import graft.llm.AnnQuantized
+    val blocked = AnnQuantized.queries("llm_simsearch_quantized")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val exact = AnnQuantized.simsearchQuantizedExact(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked == exact)
+  }
+
   test("quantized vectors stay in int8 range") {
     val qs = Quantize.queries("llm_embedding_quantize")(spark, sfDir)
       .select(col("qstr")).collect()

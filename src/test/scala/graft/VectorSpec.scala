@@ -62,6 +62,18 @@ class VectorSpec extends SparkSpec {
     assert(!untouched.expressions.exists(_.exists(_.isInstanceOf[DotProduct])))
   }
 
+  test("blocked simsearch topk == broadcast theta spelling, row for row") {
+    // the registered blocked-kernel path must reproduce the declared
+    // broadcast |Q|·n spelling exactly: per-block exact top-5 is a superset
+    // of the global top-5, the merge window applies the same
+    // score-desc/id-asc order, and kernel scores are the same fold
+    val blocked = Similarity.simsearchTopk(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val exact = Similarity.simsearchTopkExact(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked == exact)
+  }
+
   test("LSH ANN finds a usable share of the exact top-5 (recall)") {
     val exact = Similarity.simsearchTopk(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -274,9 +286,10 @@ class VectorSpec extends SparkSpec {
       val got = block(qs).crossJoin(block(cs).select(col("m").as("cm")))
         .select(explode(graft.plans.VectorFunctions.knnBlockCands(
           col("m"), col("cm"), lit(k))).as("cd"))
-        .select(col("cd.src"), col("cd.dst")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      // brute force: same fold, -1 sentinel for zero-norm/ragged pairs
+        .select(col("cd.src"), col("cd.dst"), col("cd.score")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // brute force: same fold, -1 sentinel for zero-norm/ragged pairs;
+      // the emitted score must be bit-equal to the sequential fold
       def nrm(v: Seq[Float]) =
         math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       val expected = qs.flatMap { case (qid, qv) =>
@@ -289,7 +302,7 @@ class VectorSpec extends SparkSpec {
           (cid, s)
         }
         scored.sortBy { case (cid, s) => (-s, cid) }.take(k)
-          .map { case (cid, _) => (qid, cid) }
+          .map { case (cid, s) => (qid, cid, s) }
       }
       assert(got.toSet == expected.toSet,
         s"trial $trial (nq=$nq ncand=$ncand dim=$dim k=$k)")

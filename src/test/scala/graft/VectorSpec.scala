@@ -74,6 +74,45 @@ class VectorSpec extends SparkSpec {
     assert(blocked == exact)
   }
 
+  test("blocked topk spellings == theta spellings on random corpora with tied scores") {
+    // end-to-end randomized pin THROUGH the registered query paths: random
+    // corpora drawn from a small vector pool, so exact duplicates produce
+    // equal cosines and the block-local top-k cut + global merge window must
+    // break ties identically (score desc, c_id asc) to the theta spellings —
+    // the case a fixture with distinct vectors can never exercise
+    import spark.implicits._
+    val rnd = new scala.util.Random(660068L)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(120)
+      val dim = 4 + rnd.nextInt(12)
+      val pool = Vector.fill(6 + rnd.nextInt(6))(
+        Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      val rows = (0 until n).map { i =>
+        (i.toLong, pool(rnd.nextInt(pool.size)), rnd.nextInt(4)) }
+      val dir = java.nio.file.Files.createTempDirectory("graft_vec").toString
+      try {
+        rows.toDF("vec_id", "embedding", "label")
+          .select(col("vec_id"),
+                  col("embedding").cast("array<float>").as("embedding"),
+                  col("label"))
+          .coalesce(2).write.mode("overwrite")
+          .parquet(dir + "/embeddings.parquet")
+        val topkB = Similarity.simsearchTopk(spark, dir).collect().map(_.toSeq).toSeq
+        val topkE = Similarity.simsearchTopkExact(spark, dir).collect().map(_.toSeq).toSeq
+        assert(topkB == topkE, s"topk trial $trial n=$n dim=$dim")
+        val qB = graft.llm.AnnQuantized.queries("llm_simsearch_quantized")(spark, dir)
+          .collect().map(_.toSeq).toSeq
+        val qE = graft.llm.AnnQuantized.simsearchQuantizedExact(spark, dir)
+          .collect().map(_.toSeq).toSeq
+        assert(qB == qE, s"quantized trial $trial n=$n dim=$dim")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("LSH ANN finds a usable share of the exact top-5 (recall)") {
     val exact = Similarity.simsearchTopk(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

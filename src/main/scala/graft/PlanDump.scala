@@ -56,7 +56,9 @@ object PlanDump {
         "(B^2 bounded rows, the blocked-GEMM shape), per-(node, block) " +
         "exact top-5 exploded out — candidate volume n*B*5, and no n^2-row " +
         "pair join (no `src =!= dst` theta join) anywhere; downstream " +
-        "re-rank + mutuality are plain equi joins"),
+        "re-rank is plain equi joins, mutuality one count window over the " +
+        "unordered pair key (the former reverse-edge self-join evaluated " +
+        "the whole pipeline twice)"),
       "llm_simsearch_ivf" -> ("IVF ANN: broadcast centroid codebook for " +
         "assignment + probe, equi-join on cell id replaces the all-pairs " +
         "cross join"),

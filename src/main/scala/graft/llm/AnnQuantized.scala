@@ -38,8 +38,9 @@ object AnnQuantized {
         floor(x.cast("double") * lit(127.0) / scale + lit(0.5)).cast("int")))
   }
 
-  /** Corpus blocks in the blocked quantized scan (same B×B shape as
-    * [[Similarity.knnGraph]]'s candidate pass). */
+  /** Default corpus blocks in the blocked quantized scan (same B×B shape as
+    * [[Similarity.knnGraph]]'s candidate pass; override with
+    * `spark.graft.vector.blocks` — [[Similarity.vectorBlocks]]). */
   val QBlocks = 16
 
   /** Int8 codes are carried as array<float>: every code is an integer in
@@ -69,7 +70,8 @@ object AnnQuantized {
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
       .withColumn("enorm", sqrt(dot(col("embedding"), col("embedding"))))
     val blk = e.select(
-      pmod(xxhash64(col("vec_id")), lit(QBlocks)).as("blk"),
+      pmod(xxhash64(col("vec_id")),
+           lit(Similarity.vectorBlocks(s, QBlocks))).as("blk"),
       col("vec_id"), col("label"), col("qv"), col("qnorm"))
     val qb = blk.where(col("label") === 0).groupBy("blk")
       .agg(collect_list(struct(col("vec_id"), col("qv"), col("qnorm")))

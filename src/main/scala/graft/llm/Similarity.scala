@@ -59,7 +59,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val blk = e.select(
-      pmod(xxhash64(col("vec_id")), lit(KnnBlocks)).as("blk"),
+      pmod(xxhash64(col("vec_id")), lit(vectorBlocks(s, KnnBlocks))).as("blk"),
       col("vec_id"), col("label"), col("embedding"), col("nrm"))
     val mem = struct(col("vec_id"), col("embedding"), col("nrm"))
     val qb = blk.where(col("label") === 0).groupBy("blk")
@@ -120,18 +120,27 @@ object Similarity {
        |FROM ranked WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Block count for the B×B blocked exact kernels, overridable per session
+    * via `spark.graft.vector.blocks`. Results are B-INVARIANT (pinned in
+    * VectorSpec — the kernels are exhaustive over blocks, so B only sets the
+    * parallelism/memory trade): a production job sizes B ≈ n / rows-per-block
+    * so one block's `collect_list` fits a task's memory, growing B with the
+    * corpus instead of letting fixed-B blocks grow with it. */
+  def vectorBlocks(s: SparkSession, default: Int): Int =
+    s.conf.getOption("spark.graft.vector.blocks").map(_.toInt).getOrElse(default)
+
   /** Blocked exact threshold pairs — the shared 100 TB shape for the exact
     * similarity self-joins below. The declared semantics is the all-pairs
     * `a_id < b_id` theta join; this computes the IDENTICAL pair set (same
     * sequential-fold cosine, same ordering rule, exhaustive over blocks —
     * nothing probabilistic) while keeping the n²-row join out of the plan:
-    * the corpus is hashed into [[KnnBlocks]] groups, the B×B ordered
-    * block-pair cross join carries B² bounded rows, and the
+    * the corpus is hashed into `blocks` groups ([[vectorBlocks]]), the B×B
+    * ordered block-pair cross join carries B² bounded rows, and the
     * `graft_cos_thresh_pairs` kernel emits only the qualifying pairs.
     * Pinned equal to the theta-join spelling in VectorSpec. */
-  private def blockedThresholdPairs(e: DataFrame, tau: Double): DataFrame = {
+  private def blockedThresholdPairs(e: DataFrame, tau: Double, blocks: Int): DataFrame = {
     val blk = e.select(
-      pmod(xxhash64(col("vec_id")), lit(KnnBlocks)).as("blk"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).as("blk"),
       col("vec_id"), col("embedding"), col("nrm"))
     val qb = blk.groupBy("blk")
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))
@@ -153,7 +162,7 @@ object Similarity {
     val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    blockedThresholdPairs(e, SimjoinTau)
+    blockedThresholdPairs(e, SimjoinTau, vectorBlocks(s, KnnBlocks))
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
       .orderBy("a_id", "b_id")
   }
@@ -208,7 +217,7 @@ object Similarity {
     // Candidates come from the blocked exact kernel (no n²-row pair join);
     // the min-id-leader resolution below is untouched — at 100 TB the same
     // anti-join accepts LSH/IVF candidates instead.
-    val drops = blockedThresholdPairs(e, NeardupEmbeddingTau)
+    val drops = blockedThresholdPairs(e, NeardupEmbeddingTau, vectorBlocks(s, KnnBlocks))
       .select(col("b_id").as("vec_id")).distinct()
     Tables.embeddings(s, d)
       .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
@@ -264,19 +273,29 @@ object Similarity {
     * specification; ClusteringSpec pins the two equal on the fixtures, and
     * the oracle SQL states the exact semantics. */
   val KnnGraphK = 3
-  /** Corpus blocks in the blocked exact candidate pass: the unit of the
-    * B×B block cross join. Sized to the executor count at fixture scale; a
-    * production job sizes blocks so one block's vectors fit a task's cache. */
+  /** Default corpus blocks in the blocked exact passes: the unit of the
+    * B×B block cross join. Sized to the executor count at fixture scale;
+    * override with `spark.graft.vector.blocks` ([[vectorBlocks]]) — a
+    * production job grows B with the corpus so one block's vectors fit a
+    * task's cache. */
   val KnnBlocks = 32
   /** Exact per-(node, block) top taken as candidates — K plus margin so a
     * score tie at the block-local cut can never drop a global top-K edge. */
   val KnnPerBlock = 5
 
   /** Shared graph assembly: exact cosine re-rank of candidate (src, dst)
-    * pairs via equi joins, top-K window, reverse-edge mutuality join.
+    * pairs via equi joins, top-K window, then the mutuality flag.
     * Zero-norm guard: a vector with ‖v‖=0 has no defined cosine — score it
     * -1 (below every real cosine) instead of letting NaN float to the top
-    * of the descending window (Spark orders NaN above all doubles). */
+    * of the descending window (Spark orders NaN above all doubles).
+    *
+    * Mutuality is ONE count window over the unordered pair key: a directed
+    * edge is mutual iff its unordered pair appears twice among the top-K
+    * edges (once per direction — (src, dst) is unique, so the count is 1 or
+    * 2). The former reverse-edge self-join evaluated the edge pipeline —
+    * candidate kernel included — twice per query (Catalyst does not dedupe
+    * shared subplans and no exchange reuse fired); the window costs one
+    * n·K-row shuffle instead. */
   private def assembleGraph(e: DataFrame, cands: DataFrame): DataFrame = {
     val av = e.select(col("vec_id").as("src"), col("embedding").as("av"),
                       col("nrm").as("an"))
@@ -284,22 +303,19 @@ object Similarity {
                       col("nrm").as("bn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
-    val edges = cands.join(av, "src").join(bv, "dst")
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(least(col("src"), col("dst")),
+                   greatest(col("src"), col("dst")))
+    cands.join(av, "src").join(bv, "dst")
       .select(col("src"), col("dst"),
               when(col("an") * col("bn") === 0, lit(-1.0))
                 .otherwise(dot(col("av"), col("bv")) / (col("an") * col("bn")))
                 .as("score"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= KnnGraphK)
-      .select(col("src"), col("rk"), col("dst"), col("score"))
-    // an edge is mutual iff its reverse also survived the top-K cut
-    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
-      .withColumn("m", lit(true))
-    edges.join(rev, col("src") === col("r_src") && col("dst") === col("r_dst"),
-               "left")
+      .withColumn("mutual", count(lit(1)).over(pw) === 2)
       .select(col("src"), col("rk"), col("dst"),
-              round(col("score"), 6).as("score6"),
-              coalesce(col("m"), lit(false)).as("mutual"))
+              round(col("score"), 6).as("score6"), col("mutual"))
       .orderBy("src", "rk")
   }
 
@@ -330,9 +346,9 @@ object Similarity {
     * reaches the float vectors through plain equi joins. Equality with
     * [[knnGraphExact]] is structural (per-block exact top ⊇ global top),
     * pinned in ClusteringSpec, and stated by the oracle SQL. */
-  private def blockedCandidates(e: DataFrame): DataFrame = {
+  private def blockedCandidates(e: DataFrame, blocks: Int): DataFrame = {
     val blk = e.select(
-      pmod(xxhash64(col("vec_id")), lit(KnnBlocks)).as("blk"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).as("blk"),
       col("vec_id"), col("embedding"), col("nrm"))
     val qb = blk.groupBy("blk")
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))
@@ -346,7 +362,7 @@ object Similarity {
 
   val knnGraph: Q = (s, d) => {
     val e = knnBase(s, d)
-    assembleGraph(e, blockedCandidates(e))
+    assembleGraph(e, blockedCandidates(e, vectorBlocks(s, KnnBlocks)))
   }
 
   /** The declared exact semantics: all-pairs float cosine candidates.
@@ -385,10 +401,15 @@ object Similarity {
     * stage is a hash-partitioned equi join on a node id. Per-node counts
     * come from one explode + agg. */
   val knnTriangles: Q = (s, d) => {
+    // the undirected edge set feeds FOUR scans (degree + the three-way
+    // triangle join) — localCheckpoint materializes the kNN-graph pipeline
+    // once per query instead of re-running the candidate kernel per scan
+    // (lazy: computed on first action; n·K rows, trivially small)
     val mutual = knnGraph(s, d).where(col("mutual"))
       .select(least(col("src"), col("dst")).as("lo"),
               greatest(col("src"), col("dst")).as("hi"))
       .distinct()
+      .localCheckpoint(false)
     val deg = mutual.select(explode(array(col("lo"), col("hi"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
     val tri = mutual.as("e1")

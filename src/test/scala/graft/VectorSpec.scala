@@ -113,6 +113,23 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("blocked kernel results are invariant to the block count conf") {
+    // spark.graft.vector.blocks only sets the parallelism/memory trade —
+    // the kernels are exhaustive over blocks, so any B must produce the
+    // identical result (the 100 TB deployment grows B with the corpus)
+    val ref = Similarity.simsearchTopk(spark, sfDir).collect().map(_.toSeq).toSeq
+    val refJoin = Similarity.simjoinThreshold(spark, sfDir).collect().map(_.toSeq).toSeq
+    for (b <- Seq(1, 3, 97)) {
+      spark.conf.set("spark.graft.vector.blocks", b.toString)
+      try {
+        assert(Similarity.simsearchTopk(spark, sfDir)
+          .collect().map(_.toSeq).toSeq == ref, s"topk B=$b")
+        assert(Similarity.simjoinThreshold(spark, sfDir)
+          .collect().map(_.toSeq).toSeq == refJoin, s"simjoin B=$b")
+      } finally spark.conf.unset("spark.graft.vector.blocks")
+    }
+  }
+
   test("LSH ANN finds a usable share of the exact top-5 (recall)") {
     val exact = Similarity.simsearchTopk(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

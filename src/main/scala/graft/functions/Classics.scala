@@ -132,21 +132,54 @@ object Classics {
     * (the single-partition window below is the oracle semantics).
     * Checksum is a sum of per-row polynomial hashes mod a prime — exact
     * bigint math, order-independent, identical in both engines. */
+  /** TeraValidate the way the MR original works: validate sortedness WITHIN
+    * each range partition and check adjacent-partition BOUNDARIES — never a
+    * single global sequential pass (an unpartitioned lag window moves the
+    * whole fact table into one task; at 100 TB that is the scan).
+    * `repartitionByRange` guarantees every key in partition p ≤ every key
+    * in p+1, so sorted-within + partition order IS the global order:
+    * inversions between consecutive global rows split exactly into
+    * within-partition inversions (per-partition lag) plus boundary
+    * inversions (partition p's order-last key vs p+1's order-first key),
+    * whatever boundary values the range sampler picks. Count/checksum/
+    * min/max are order-independent, so the output row is bit-identical to
+    * the global-lag oracle spelling. */
   val mrTeravalidate: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
+    val sortKeys = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val keyed = Tables.lineitem(s, d)
       .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
               col("l_partkey"))
+      .repartitionByRange(32, sortKeys: _*)
+      .withColumn("p", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(sortKeys: _*)
+    val ord = struct(sortKeys: _*)
+    val perPart = keyed
       .withColumn("prev_key", lag(col("l_orderkey"), 1).over(w))
+      .groupBy("p")
       .agg(
-        count(lit(1)).as("n_rows"),
+        count(lit(1)).as("n"),
         sum(when(col("l_orderkey") < col("prev_key"), 1L).otherwise(0L))
-          .as("inversions"),
+          .as("inv"),
         sum((col("l_orderkey") * 31 + col("l_linenumber") * 7
-               + col("l_partkey")) % 1000003).as("checksum"),
+               + col("l_partkey")) % 1000003).as("ck"),
         min(col("l_orderkey")).as("min_key"),
-        max(col("l_orderkey")).as("max_key"))
+        max(col("l_orderkey")).as("max_key"),
+        min_by(col("l_orderkey"), ord).as("first_key"),
+        max_by(col("l_orderkey"), ord).as("last_key"))
+    // the finisher runs over ≤32 partition-summary rows — the unpartitioned
+    // window is bounded by the partition count, not the data
+    val bw = org.apache.spark.sql.expressions.Window.orderBy(col("p"))
+    perPart
+      .withColumn("prev_last", lag(col("last_key"), 1).over(bw))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        (sum(col("inv")) +
+          sum(when(col("first_key") < col("prev_last"), 1L).otherwise(0L)))
+          .as("inversions"),
+        sum(col("ck")).as("checksum"),
+        min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"))
   }
 
   val mrTeravalidateSql: String =

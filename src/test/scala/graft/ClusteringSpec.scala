@@ -225,4 +225,28 @@ class ClusteringSpec extends SparkSpec {
     val again = Classics.mrTeravalidate(spark, sfDir).collect().head
     assert(r == again)
   }
+
+  test("teravalidate partition-wise validation == the global-lag specification") {
+    // the registered query validates per range partition + boundaries (no
+    // single-task global window); it must reproduce the declared global-lag
+    // spelling exactly — inversions split into within-partition + boundary
+    // terms without loss for ANY range boundaries
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val global = Tables.lineitem(spark, sfDir)
+      .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"))
+      .withColumn("prev_key", lag(col("l_orderkey"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey") < col("prev_key"), 1L).otherwise(0L))
+          .as("inversions"),
+        sum((col("l_orderkey") * 31 + col("l_linenumber") * 7
+               + col("l_partkey")) % 1000003).as("checksum"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .collect().head
+    val part = Classics.mrTeravalidate(spark, sfDir).collect().head
+    assert(part == global)
+  }
 }

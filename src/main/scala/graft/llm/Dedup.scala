@@ -468,18 +468,28 @@ object Dedup {
     * is one digest + K integer ops instead of K digests (measured 7→1 s at
     * sf0.1), and md5 keeps the whole thing — signatures, estimates, errors —
     * DuckDB-oracle-checkable, unlike the rows-only LSH operators.
-    * Scale: signatures are one groupBy over a K-fold explode of the hashed
-    * shingles (map-side partial mins); estimation touches only the
-    * candidate pairs. */
+    * Scale: signatures are ONE groupBy over the hashed shingle rows with K
+    * min-aggregate columns (map-side partial mins, same K-column pattern as
+    * the LSH banding signatures above — no K-fold row explode); estimation
+    * touches only the candidate pairs. */
   val minhashEstimate: Q = (s, d) => {
     val hashed = shingles(s, d).select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("bigint").as("a"),
       (conv(substring(md5(col("sh")), 16, 15), 16, 10).cast("bigint")
         % MinhashEstPrime).as("b"))
-    val ks = explode(sequence(lit(0), lit(MinhashEstK - 1))).as("k")
-    val sigs = hashed.select(col("doc_id"), col("a"), col("b"), ks)
-      .groupBy("doc_id", "k")
-      .agg(min((col("a") + col("k") * col("b")) % MinhashEstPrime).as("mh"))
+    // K signature slots as K min-aggregate COLUMNS over the shingle rows —
+    // the explode(0..K-1) spelling pushed shingles×K generator rows through
+    // the hash aggregate (24M at sf0.1); this keeps the row count at the
+    // shingle count (partial agg updates K accumulators per row map-side)
+    // and unpivots the doc×K wide result afterwards — identical (doc, k,
+    // min) triples, same downstream join and oracle
+    val sigCols = (0 until MinhashEstK).map(k =>
+      min((col("a") + lit(k) * col("b")) % MinhashEstPrime).as(s"mh$k"))
+    val sigs = hashed.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until MinhashEstK).map(k => col(s"mh$k")): _*))
+          .as(Seq("k", "mh")))
     val pairs = neardupPairs(s, d).select("d1", "d2", "jac6")
     pairs
       .join(sigs.select(col("doc_id").as("d1"), col("k"), col("mh").as("h1")), Seq("d1"))

@@ -240,14 +240,16 @@ object Windows {
     * the only shuffles are the per-hour aggregation and the per-user
     * fill window — both hash-partitioned on user_id. */
   val windowGapFill: Q = (s, d) => {
-    val byHour = Window.partitionBy(col("user_id"), col("hr"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+    // per-hour representative = the event with max (ts, event_id) — ONE
+    // max_by aggregation (partial map-side) instead of the row_number
+    // window + groupBy spelling, which paid a full sort pass over the
+    // events table before aggregating to the same (user, hr) grain
     val perHour = Tables.events(s, d)
       .withColumn("hr", date_trunc("hour", col("ts")))
-      .withColumn("rn", row_number().over(byHour))
       .groupBy("user_id", "hr")
       .agg(count(lit(1)).as("n_events"),
-           max(when(col("rn") === 1, col("value"))).as("last_value"))
+           max_by(col("value"), struct(col("ts"), col("event_id")))
+             .as("last_value"))
     val grid = Tables.events(s, d)
       .groupBy("user_id")
       .agg(date_trunc("hour", min(col("ts"))).as("h0"),

@@ -94,9 +94,19 @@ object PlanDump {
       "llm_embedding_quantize" -> ("pure map-side quantization: scan → " +
         "project (HOF transforms) → sort for output determinism; no " +
         "exchange before the sort"),
-      "llm_simsearch_quantized" -> ("quantized-scan kNN: broadcast query " +
-        "codes, int8 shortlist window, exact-cosine re-rank only on the " +
-        "top-20 survivors"),
+      "llm_simsearch_quantized" -> ("quantized-scan kNN: int8 shortlist " +
+        "from the blocked kernel (B x B block cross, per-(query, block) " +
+        "top-20 WITH scores on the struct — no |Q|*n theta join, no " +
+        "score-recompute join), one merge window, exact-cosine re-rank " +
+        "only on the top-20 survivors"),
+      "mr_teravalidate" -> ("sort validation the TeraValidate way: range " +
+        "repartition + per-partition lag window + boundary check over the " +
+        "<=32 partition summaries — no unpartitioned (single-task) window " +
+        "over the fact table"),
+      "window_gap_fill" -> ("hourly resample + forward fill: per-hour " +
+        "representative via ONE max_by aggregation (no ranking-window " +
+        "sort pass over events), map-side grid explode, per-user fill " +
+        "window — every exchange hash-partitioned on user_id"),
       "llm_repetition_filter" -> ("map-side HOF bigram stats fused with the " +
         "scan; one wordcount-shaped aggregation for the top-token share; " +
         "no other exchange"),

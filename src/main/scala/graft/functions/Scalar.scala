@@ -282,14 +282,18 @@ object Scalar {
     * variant_get (path + target type) — the schema-on-read surface a Hadoop
     * job gets from per-record Writable decoding, minus the per-job code.
     * try_variant_get with a non-matching type yields NULL, not an error.
-    * The oracle twin extracts the same values via JSON paths. */
+    * The oracle twin extracts the same values via JSON paths. parse_json
+    * runs ONCE per row through the subquery alias — CollapseProject does
+    * not inline a non-cheap expression referenced three times, so the
+    * variant binary is built once and probed thrice (the whole point of
+    * the encoding: parse once, extract many). */
   val fnVariant: Q = (s, d) => {
     Tables.registerViews(s, d)
     s.sql("""SELECT event_id,
-            |  cast(variant_get(parse_json(props), '$.k', 'int') as int) AS k_int,
-            |  cast(variant_get(parse_json(props), '$.k', 'string') as string) AS k_str,
-            |  cast(try_variant_get(parse_json(props), '$.missing', 'int') IS NULL as int) AS missing_is_null
-            |FROM events
+            |  cast(variant_get(v, '$.k', 'int') as int) AS k_int,
+            |  cast(variant_get(v, '$.k', 'string') as string) AS k_str,
+            |  cast(try_variant_get(v, '$.missing', 'int') IS NULL as int) AS missing_is_null
+            |FROM (SELECT event_id, parse_json(props) AS v FROM events)
             |ORDER BY event_id""".stripMargin)
   }
 

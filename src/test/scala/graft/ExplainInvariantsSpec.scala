@@ -147,6 +147,15 @@ class ExplainInvariantsSpec extends SparkSpec {
            p.contains("ShuffledHashJoin"), p)
   }
 
+  test("fn_variant parses the JSON once per row (single parseJson in plan)") {
+    // three variant_get extractions share one parse through the subquery
+    // alias; CollapseProject must keep the non-cheap parse in its own
+    // projection instead of inlining it three times
+    val p = graft.functions.Scalar.fnVariant(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("parseJson".r.findAllIn(p).length == 1, p)
+  }
+
   test("semdedup pair join is keyed on the cluster id (no all-pairs cross)") {
     val p = plan(graft.llm.Clustering.semdedup(spark, sfDir))
     // the within-cluster join must be an equi join on cid — a cross join

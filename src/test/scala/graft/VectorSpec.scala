@@ -119,6 +119,8 @@ class VectorSpec extends SparkSpec {
     // identical result (the 100 TB deployment grows B with the corpus)
     val ref = Similarity.simsearchTopk(spark, sfDir).collect().map(_.toSeq).toSeq
     val refJoin = Similarity.simjoinThreshold(spark, sfDir).collect().map(_.toSeq).toSeq
+    val refQuant = graft.llm.AnnQuantized.queries("llm_simsearch_quantized")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
     for (b <- Seq(1, 3, 97)) {
       spark.conf.set("spark.graft.vector.blocks", b.toString)
       try {
@@ -126,6 +128,8 @@ class VectorSpec extends SparkSpec {
           .collect().map(_.toSeq).toSeq == ref, s"topk B=$b")
         assert(Similarity.simjoinThreshold(spark, sfDir)
           .collect().map(_.toSeq).toSeq == refJoin, s"simjoin B=$b")
+        assert(graft.llm.AnnQuantized.queries("llm_simsearch_quantized")(spark, sfDir)
+          .collect().map(_.toSeq).toSeq == refQuant, s"quantized B=$b")
       } finally spark.conf.unset("spark.graft.vector.blocks")
     }
   }

@@ -75,8 +75,14 @@ object Bench {
     // Dev hook: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" for cross-process config
     // A/B runs (same-JVM A/B is confounded by JIT warmth — see BASELINE.md).
     val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)
-      .map(_.split(',').foldLeft(builder) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+      .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+        .foldLeft(builder) { (b, kv) =>
+          kv.split("=", 2) match {
+            case Array(k, v) => b.config(k, v)
+            case _ => sys.error(
+              s"SPARK_GRAFT_EXTRA_CONF: malformed entry '$kv' (expected key=value)")
+          }
+        })
       .getOrElse(builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -112,7 +112,14 @@ object AnnQuantized {
   /** The declared theta-join spelling — |Q|·n scored rows through a
     * broadcast non-equi join and one global ranking window. Kept as the
     * specification the blocked kernel path must reproduce (SqlSurfaceSpec
-    * pin); not registered. */
+    * pin); not registered.
+    *
+    * Intentional divergence on DEGENERATE corpora: like
+    * [[graft.llm.Similarity.simsearchTopkExact]], this spelling ranks a
+    * zero-norm pair's NaN above all real scores and sorts null scores last,
+    * while the registered blocked path scores such pairs the -1 sentinel.
+    * The fixtures contain no degenerates, so the equality pin holds; the
+    * sentinel ordering is the deliberate semantics at scale. */
   def simsearchQuantizedExact(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     import Similarity.dot

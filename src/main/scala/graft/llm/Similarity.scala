@@ -83,7 +83,19 @@ object Similarity {
   /** The declared all-pairs spelling — broadcast the query set, stream
     * candidates through a non-equi join, rank globally. Kept as the
     * specification the blocked path must reproduce (VectorSpec pin); not
-    * registered. */
+    * registered.
+    *
+    * Intentional divergence on DEGENERATE corpora: this spelling scores a
+    * zero-norm pair 0/0 = NaN, which Spark's descending sort ranks ABOVE
+    * every real double, and sorts a null score (null element / ragged
+    * length) last — whereas the registered blocked path scores every such
+    * pair the -1 sentinel (never NaN, never null). The fixtures contain no
+    * degenerate vectors, so the equality pin holds on them; on corpora WITH
+    * degenerates the blocked path's sentinel ordering is the deliberate
+    * semantics (a broken vector must not outrank real neighbors) and this
+    * spelling's NaN-first ordering is the bug it guards against. The
+    * degenerate behavior of the registered path is pinned directly
+    * (VectorSpec "top-k merge window" zero-norm test). */
   def simsearchTopkExact(s: SparkSession, d: String): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)

@@ -220,9 +220,13 @@ object SqlSurface {
     // one fixed scratch location per JVM, overwritten on every run (INSERT
     // OVERWRITE replaces partition contents in place) — a fresh temp dir per
     // invocation would leak a full table copy per bench/verify pass, since
-    // DROP TABLE on an external table keeps its files by design
+    // DROP TABLE on an external table keeps its files by design. The path is
+    // scoped by process id so two concurrent JVMs (e.g. bench + a test run)
+    // doing DROP + INSERT OVERWRITE never stomp each other's reads; within a
+    // JVM the pid is constant, so the no-leak reuse property is kept.
     val loc = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_ddl_scratch").getAbsolutePath
+      sys.props("java.io.tmpdir"),
+      s"graft_ddl_scratch_${ProcessHandle.current().pid()}").getAbsolutePath
     s.sql("DROP TABLE IF EXISTS graft_orders_ddl")
     s.sql(
       s"""CREATE TABLE graft_orders_ddl (

@@ -157,9 +157,17 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (isBlock(qmem.dataType) && isBlock(cmem.dataType) &&
-        kExpr.dataType == IntegerType && kExpr.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        kExpr.dataType == IntegerType && kExpr.foldable) {
+      // k is foldable, so a non-positive k can be rejected at analysis time
+      // instead of surfacing as a NegativeArraySizeException (k < 0) or a
+      // silently-empty result (k == 0) at eval time.
+      kExpr.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: k must not be null")
+        case k: Int if k < 1 =>
+          TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be >= 1, got $k")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
+    } else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (array<struct<long, array<float>, double>> x2, " +
         s"foldable int), got (${qmem.dataType.simpleString}, " +
         s"${cmem.dataType.simpleString}, ${kExpr.dataType.simpleString})")

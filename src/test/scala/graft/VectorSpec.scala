@@ -370,6 +370,54 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("top-k merge window: a zero-norm vector never floats NaN through simsearch") {
+    // the registered blocked top-k path must keep the -1 sentinel semantics
+    // end-to-end through the |Q|·B·k merge window: no NaN ever leaks (the
+    // declared theta spelling would rank NaN first — the documented
+    // intentional divergence), the zero-norm QUERY still gets exactly k
+    // neighbors all at the sentinel with deterministic id tiebreaks, and the
+    // zero-norm CANDIDATE never outranks a real neighbor in anyone's top-k
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zn_topk").toString
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0)
+    val zeroId = 2000000L
+    val zero = Seq((zeroId, Array.fill(dim)(0.0f), 0)) // label 0 → query AND candidate
+      .toDF("vec_id", "embedding", "label")
+    Tables.embeddings(spark, sfDir).unionByName(zero)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.simsearchTopk(spark, tmp).collect()
+    assert(rows.forall(r => !r.getDouble(3).isNaN), "NaN score leaked")
+    val zq = rows.filter(_.getLong(0) == zeroId)
+    assert(zq.length == 5, zq.mkString(","))
+    assert(zq.forall(_.getDouble(3) == -1.0), zq.mkString(","))
+    // sentinel ties break by c_id asc: the zero query's 5 neighbors are the
+    // 5 smallest candidate ids
+    val expectIds = Tables.embeddings(spark, tmp)
+      .where(col("vec_id") =!= zeroId).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.take(5).toSeq
+    assert(zq.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq == expectIds)
+    val asCand = rows.filter(r => r.getLong(0) != zeroId && r.getLong(2) == zeroId)
+    assert(asCand.forall(_.getDouble(3) == -1.0),
+      s"zero vector outranked real neighbors: ${asCand.mkString(",")}")
+  }
+
+  test("knn block kernel rejects non-positive k at analysis time") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val one = Seq((1L, Seq(1.0f), 1.0)).toDF("vec_id", "embedding", "nrm")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+              col("nrm"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("m"))
+    Seq(0, -3).foreach { k =>
+      val ex = intercept[Exception] {
+        one.select(VectorFunctions.knnBlockCands(col("m"), col("m"), lit(k))).collect()
+      }
+      assert(ex.getMessage.contains("k must be >= 1"), s"k=$k: ${ex.getMessage}")
+    }
+  }
+
   test("threshold self-joins plan no n²-row pair join (blocked kernel only)") {
     // the only cross join allowed is the B×B block-pair cross (bounded rows);
     // the n-row corpus must never theta-join itself on vector ids

@@ -66,7 +66,7 @@ object AnnIvf {
     * the exact operator and [[AnnLsh.annTopk]]). */
   def ivfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     graft.plans.VectorFunctions.register(s)
-    val cells = cellAssignments(s, d).cache() // index feeds probe + candidates
+    val cells = cellAssignments(s, d).transform(graft.Caching.cachedOnce) // index feeds probe + candidates
     val probes = Tables.embeddings(s, d).where(col("label") === 0)
       .select(col("vec_id"))
       .join(cells, "vec_id") // reuse the index's vectors+norms for queries

@@ -49,7 +49,7 @@ object AnnLsh {
   def annTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     import graft.plans.VectorFunctions.dot
-    val sig = signatures(s, d).cache() // feeds both join sides
+    val sig = signatures(s, d).transform(graft.Caching.cachedOnce) // feeds both join sides
     val queries = Tables.embeddings(s, d).where(col("label") === 0)
       .select(col("vec_id").as("q_id"))
       .join(sig.withColumnRenamed("vec_id", "q_id"), "q_id")

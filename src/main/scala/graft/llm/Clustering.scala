@@ -148,7 +148,7 @@ object Clustering {
 
   val pagerank: Q = (s, d) => {
     val edges = graft.llm.Similarity.knnGraph(s, d)
-      .select(col("src"), col("dst")).cache()
+      .select(col("src"), col("dst")).transform(graft.Caching.cachedOnce)
     val nodes = edges.select(col("src").as("vec_id")).distinct()
     val init = nodes.withColumn("r", lit(1000000L))
     val k = graft.llm.Similarity.KnnGraphK
@@ -215,7 +215,7 @@ object Clustering {
     val a2 = finalAssignment(s, d)
       .select(col("vec_id"), col("embedding"), col("cid"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-      .cache()
+      .transform(graft.Caching.cachedOnce)
     val a = a2.select(col("cid"), col("vec_id").as("a_id"),
                       col("embedding").as("av"), col("nrm").as("an"))
     val b = a2.select(col("cid"), col("vec_id").as("b_id"),

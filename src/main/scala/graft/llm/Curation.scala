@@ -42,7 +42,7 @@ object Curation {
   val dedupClusters: Q = (s, d) => {
     val pairs = Dedup.neardupPairs(s, d).select("d1", "d2")
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").transform(graft.Caching.cachedOnce)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
@@ -223,7 +223,7 @@ object Curation {
     */
   val decontaminate: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val sh = Dedup.shingles(s, d).cache()
+    val sh = Dedup.shingles(s, d).transform(graft.Caching.cachedOnce)
     val benchIds = docs.where(col("source") === BenchmarkSource)
       .select(col("doc_id").as("bench_id"))
     val trainIds = docs.where(col("source") =!= BenchmarkSource)
@@ -285,7 +285,7 @@ object Curation {
       .join(hashed.where(!isNew).as("c"), col("n.h") === col("c.h"))
       .groupBy(col("n.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("exact_match"))
-    val sh = Dedup.shingles(s, d).cache()
+    val sh = Dedup.shingles(s, d).transform(graft.Caching.cachedOnce)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val near = sh.where(!(col("doc_id") % 10 === 7))
       .select(col("doc_id").as("corpus_id"), col("sh"))

@@ -145,7 +145,7 @@ object Dedup {
   val neardupPairs: Q = (s, d) => {
     // shingling (regex split + 5-gram transform + distinct) is the expensive
     // narrow stage and feeds five plan branches — materialize it once
-    val sh = shingles(s, d).cache()
+    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
     // the count reads the just-materialized cache — one cheap short job,
     // the price of choosing the right plan for the corpus actually present
     val cands =
@@ -158,7 +158,7 @@ object Dedup {
     * [[neardupPairs]] above the shingle threshold). Kept callable so the
     * equivalence spec exercises it at every fixture scale. */
   def neardupPairsPrefix(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
     verifyJaccard(prefixCands(sh), sh, withSizes = true)
   }
 
@@ -208,7 +208,7 @@ object Dedup {
     * Registered rows-only; a ScalaTest asserts it equals the exact operator.
     */
   val neardupMinhashLsh: Q = (s, d) => {
-    val sh = shingles(s, d).cache() // feeds signatures AND the verify step
+    val sh = shingles(s, d).transform(graft.Caching.cachedOnce) // feeds signatures AND the verify step
     val sig = minhashSignatures(sh)
     // one explode pass over an array of (band, band_hash) structs — the
     // first cut unioned 16 per-band scans of the signature table, i.e. 16
@@ -273,7 +273,7 @@ object Dedup {
   val simhash: Q = (s, d) => {
     // cache: the 64-accumulator signature aggregation feeds both join sides
     // and all bands — computing it once matters more than anything downstream
-    val sigs = simhashSignatures(s, d).cache()
+    val sigs = simhashSignatures(s, d).transform(graft.Caching.cachedOnce)
     val bandStructs = simhashBandMasks.zipWithIndex.map { case (mask, b) =>
       struct(lit(b).as("band"),
              col("simhash").bitwiseAND(lit(mask)).as("band_bits"))
@@ -333,7 +333,7 @@ object Dedup {
     val spans = t.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("toks")) - (w - 1)),
         i => md5(concat_ws(" ", slice(col("toks"), i, lit(w)))))).as("g"))
-      .cache()
+      .transform(graft.Caching.cachedOnce)
     val shared = spans.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)

@@ -11,13 +11,43 @@ import graft.Tables
   * doc+embedding join.
   *
   * Scale notes: everything is explode → partial-agg → single shuffle.
-  * Lexicons/profiles are literal inline tables → broadcast joins. TF-IDF is
-  * two aggregations plus a broadcast of the (vocabulary-sized) document
-  * frequency table — at 100 TB the vocabulary is the small side by
-  * construction.
+  * Lexicons/profiles are literal inline tables → broadcast joins.
+  * VOCABULARY-sized tables (document frequency, unigram counts, BPE
+  * symbol table) are only conventionally small — a web-scale corpus
+  * reaches 1e8+ distinct terms, which no driver should broadcast — so
+  * every vocab-sided join goes through [[vocabJoin]]'s size-adaptive
+  * switch instead of a hard broadcast hint.
   */
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Default row ceiling for broadcasting a vocabulary table: 5e6 rows of
+    * (term, count) is low hundreds of MB serialized — comfortably a
+    * broadcast on a real cluster, far above every fixture vocabulary. */
+  val VocabBroadcastMaxRowsDefault = 5000000L
+
+  /** Vocabulary-sided equi-join with a size-adaptive broadcast — the
+    * [[graft.llm.Dedup.neardupPairs]] corpus-size switch applied to the
+    * text family. The vocab side is cached (idempotently, see
+    * [[graft.Caching]]) and counted — one cheap job on the
+    * just-materialized cache, the price of choosing the right plan for the
+    * corpus actually present. At or below
+    * `spark.graft.vocab.broadcastMaxRows` (default
+    * [[VocabBroadcastMaxRowsDefault]]) the join keeps the broadcast hint;
+    * above it the hint is dropped and the planner/AQE run the ordinary
+    * shuffled equi-join (AQE may still choose broadcast from its own
+    * runtime size estimate — the point is that WE no longer assert
+    * driver-must-hold-the-vocab). Both paths are value-identical (the hint
+    * only picks the physical strategy); LlmSpec pins them equal and
+    * plan-asserts the shuffled path engages below a forced threshold. */
+  private def vocabJoin(facts: DataFrame, vocab: DataFrame, key: String): DataFrame = {
+    val maxRows = facts.sparkSession.conf
+      .get("spark.graft.vocab.broadcastMaxRows", VocabBroadcastMaxRowsDefault.toString)
+      .toLong
+    val v = graft.Caching.cachedOnce(vocab)
+    if (v.count() <= maxRows) facts.join(broadcast(v), key)
+    else facts.join(v, key)
+  }
 
   private def toks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -159,10 +189,10 @@ object TextAnalysis {
     // join; without materialization the tokenize+explode+count pipeline
     // runs twice (Catalyst does not dedupe shared subplans)
     val tf = toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .cache()
+      .transform(graft.Caching.cachedOnce)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val weighted = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(n))
+    val weighted = vocabJoin(tf, dfreq, "w").crossJoin(broadcast(n))
       .withColumn("weight6",
         round(col("tf") * (log(col("n_docs").cast("double") / col("df")) + 1), 6))
     val w = org.apache.spark.sql.expressions.Window
@@ -421,14 +451,14 @@ object TextAnalysis {
     * micro = round(ln(N/cnt)·10⁶) as bigint — so the per-doc aggregation is
     * an exact integer sum (order-independent under any partitioning), and
     * the mean is one IEEE division of exact integers. No float aggregation
-    * anywhere. Scale: the unigram table is vocabulary-sized (the small side
-    * by construction) → broadcast join; one shuffle for the doc_id
+    * anywhere. Scale: the unigram table is vocabulary-sized → the
+    * size-adaptive [[vocabJoin]]; one shuffle for the doc_id
     * re-aggregation. */
   val unigramLogprob: Q = (s, d) => {
     val tok = toks(s, d).select("doc_id", "w")
     val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val n = tok.agg(count(lit(1)).as("n_total"))
-    val scored = tok.join(broadcast(cnt), "w").crossJoin(broadcast(n))
+    val scored = vocabJoin(tok, cnt, "w").crossJoin(broadcast(n))
       .withColumn("micro",
         round(log(col("n_total").cast("double") / col("c")) * 1e6, 0).cast("bigint"))
     scored.groupBy("doc_id")
@@ -625,7 +655,7 @@ object TextAnalysis {
     val tok = toks(s, d).select("doc_id", "lang", "w")
     val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val n = tok.agg(count(lit(1)).as("n_total"))
-    val per = tok.join(broadcast(cnt), "w").crossJoin(broadcast(n))
+    val per = vocabJoin(tok, cnt, "w").crossJoin(broadcast(n))
       .withColumn("micro",
         round(log(col("n_total").cast("double") / col("c")) * 1e6, 0).cast("bigint"))
       .groupBy("doc_id", "lang")
@@ -928,9 +958,9 @@ object TextAnalysis {
     // once per table instead of once per consumer
     val tf = toks(s, d).where(col("w").isin(QueryTerms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .cache()
+      .transform(graft.Caching.cachedOnce)
     val dl = toks(s, d).groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .cache()
+      .transform(graft.Caching.cachedOnce)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
                        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -942,6 +972,8 @@ object TextAnalysis {
       (col("tf").cast("double") +
        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
     tf.join(dl, "doc_id")
+      // NOT vocabulary-sized: dfreq is keyed by the fixed QueryTerms list
+      // (≤ |query| rows at any corpus scale), so the hard broadcast is safe
       .join(broadcast(dfreq), "w")
       .withColumn("contrib_micro",
         round(col("idf_micro").cast("double") * tfnorm, 0).cast("bigint"))
@@ -1190,14 +1222,16 @@ object TextAnalysis {
 
   /** Tokenizer APPLICATION: encode the corpus with the vocabulary
     * [[bpeTrain]] learned — per-document word count, BPE token count, and
-    * chars-per-token compression. The merged vocabulary is word-keyed and
-    * broadcast, so encoding is one map-side join + one aggregation no
-    * matter the corpus size (exactly how a trained tokenizer deploys). */
+    * chars-per-token compression. The merged vocabulary is word-keyed; a
+    * deployed tokenizer's TRAINED vocab is bounded and broadcasts, but this
+    * one is corpus-derived (unbounded with the corpus), so encoding goes
+    * through the size-adaptive [[vocabJoin]] — a map-side join whenever the
+    * vocab genuinely fits, a shuffled equi-join when it does not. */
   val bpeEncode: Q = (s, d) => {
     val (_, vocab) = bpeChain(s, d)
     val syms = vocab.select(col("w"),
       size(split(trim(col("repr")), " ")).cast("bigint").as("n_syms"))
-    toks(s, d).join(broadcast(syms), "w")
+    vocabJoin(toks(s, d), syms, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_toks"))
       .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")

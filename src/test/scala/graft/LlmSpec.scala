@@ -19,6 +19,46 @@ class LlmSpec extends SparkSpec {
     assert(adaptive == naive)
   }
 
+  test("vocab joins: shuffled path equals broadcast path, and engages below threshold") {
+    // the text family's vocabulary-sided joins (tfidf df, unigram/perplexity
+    // counts, BPE symbol table) pick broadcast-vs-shuffle by counted vocab
+    // rows; both physical paths must be value-identical, and the shuffled
+    // path must actually engage when the threshold is crossed
+    val ops: Seq[(String, TextAnalysis.Q)] = Seq(
+      "llm_tfidf" -> TextAnalysis.tfidf,
+      "llm_unigram_logprob" -> TextAnalysis.unigramLogprob,
+      "llm_perplexity_bucket" -> TextAnalysis.perplexityBucket,
+      "llm_bpe_encode" -> TextAnalysis.bpeEncode)
+    val viaBroadcast = ops.map { case (n, q) =>
+      val df = q(spark, sfDir)
+      // default threshold (5e6) far above any fixture vocab → hinted broadcast
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin [w#"),
+        s"$n: expected the hinted vocab broadcast in the default plan")
+      n -> df.collect().toSeq
+    }
+    spark.conf.set("spark.graft.vocab.broadcastMaxRows", "0")
+    // also disable size-estimate auto-broadcast so the shuffled path is
+    // actually planned at fixture scale (at 100 TB the estimates do this)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = ops.map { case (n, q) =>
+        val df = q(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin [w#"),
+          s"$n: vocab broadcast survived above the row threshold")
+        assert(plan.contains("SortMergeJoin [w#") || plan.contains("ShuffledHashJoin [w#"),
+          s"$n: no shuffled vocab join in:\n$plan")
+        n -> df.collect().toSeq
+      }
+      viaBroadcast.zip(viaShuffle).foreach { case ((n, b), (_, s)) =>
+        assert(b == s, s"$n: broadcast and shuffled vocab paths disagree")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.vocab.broadcastMaxRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("MinHash-LSH near-dup (scale path) returns exactly the exact pairs") {
     val exact = Dedup.neardupPairs(spark, sfDir)
       .select("d1", "d2", "jac6").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

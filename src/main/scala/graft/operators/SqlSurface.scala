@@ -215,18 +215,43 @@ object SqlSurface {
     * the partition column — partition pruning on a catalog table, the
     * layout every 100 TB warehouse query relies on. The oracle recomputes
     * the same relation straight from the parquet fixture. */
+  /** One fixed scratch location per JVM, overwritten on every run (INSERT
+    * OVERWRITE replaces partition contents in place) — a fresh temp dir per
+    * invocation would leak a full table copy per bench/verify pass, since
+    * DROP TABLE on an external table keeps its files by design. The path is
+    * scoped by process id so two concurrent JVMs (e.g. bench + a test run)
+    * doing DROP + INSERT OVERWRITE never stomp each other's reads; within a
+    * JVM the pid is constant, so the no-leak reuse property is kept.
+    * Cross-RUN leakage (round-7 advice: every JVM leaves one table copy
+    * behind forever, since DROP on an external table keeps files) is closed
+    * two ways: a shutdown hook deletes this JVM's dir on clean exit, and
+    * first use sweeps any graft_ddl_scratch_<pid> dir whose pid no longer
+    * names a live process (a killed JVM never runs its hook). Pid reuse can
+    * at worst defer one sweep — the dir is then reclaimed when that pid
+    * dies. */
+  private lazy val ddlScratchDir: String = {
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(); ()
+    }
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val prefix = "graft_ddl_scratch_"
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(prefix)) {
+        val stale = f.getName.stripPrefix(prefix).toLongOption
+          .forall(pid => !ProcessHandle.of(pid).isPresent)
+        if (stale) deleteRecursively(f)
+      }
+    }
+    val dir = new java.io.File(tmp, prefix + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(dir), "graft-ddl-scratch-cleanup"))
+    dir.getAbsolutePath
+  }
+
   val sqlCreateInsert: Q = (s, d) => {
     Tables.registerViews(s, d)
-    // one fixed scratch location per JVM, overwritten on every run (INSERT
-    // OVERWRITE replaces partition contents in place) — a fresh temp dir per
-    // invocation would leak a full table copy per bench/verify pass, since
-    // DROP TABLE on an external table keeps its files by design. The path is
-    // scoped by process id so two concurrent JVMs (e.g. bench + a test run)
-    // doing DROP + INSERT OVERWRITE never stomp each other's reads; within a
-    // JVM the pid is constant, so the no-leak reuse property is kept.
-    val loc = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_ddl_scratch_${ProcessHandle.current().pid()}").getAbsolutePath
+    val loc = ddlScratchDir
     s.sql("DROP TABLE IF EXISTS graft_orders_ddl")
     s.sql(
       s"""CREATE TABLE graft_orders_ddl (

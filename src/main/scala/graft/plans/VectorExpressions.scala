@@ -161,11 +161,19 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
       // k is foldable, so a non-positive k can be rejected at analysis time
       // instead of surfacing as a NegativeArraySizeException (k < 0) or a
       // silently-empty result (k == 0) at eval time.
-      kExpr.eval() match {
-        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: k must not be null")
-        case k: Int if k < 1 =>
+      // eval() of a foldable expression can itself throw (e.g. an ANSI-mode
+      // cast overflow); surface that as a typed analysis failure, not a raw
+      // exception out of the analyzer (round-7 advice)
+      (try Right(kExpr.eval()) catch {
+        case scala.util.control.NonFatal(e) => Left(e)
+      }) match {
+        case Left(e) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: k failed to evaluate at analysis time: ${e.getMessage}")
+        case Right(null) =>
+          TypeCheckResult.TypeCheckFailure(s"$prettyName: k must not be null")
+        case Right(k: Int) if k < 1 =>
           TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be >= 1, got $k")
-        case _ => TypeCheckResult.TypeCheckSuccess
+        case Right(_) => TypeCheckResult.TypeCheckSuccess
       }
     } else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (array<struct<long, array<float>, double>> x2, " +

@@ -10,6 +10,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Recursive delete for test-scoped scratch dirs (fixture copies written
+    * by individual tests must not leak a parquet per run — round-7 advice). */
+  def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(path))
+  }
+
   override def afterAll(): Unit = {
     // session is shared across suites; do not stop it here
     super.afterAll()

@@ -379,28 +379,30 @@ class VectorSpec extends SparkSpec {
     // zero-norm CANDIDATE never outranks a real neighbor in anyone's top-k
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_zn_topk").toString
-    val dim = Tables.embeddings(spark, sfDir)
-      .select(org.apache.spark.sql.functions.size(col("embedding")))
-      .head.getInt(0)
-    val zeroId = 2000000L
-    val zero = Seq((zeroId, Array.fill(dim)(0.0f), 0)) // label 0 → query AND candidate
-      .toDF("vec_id", "embedding", "label")
-    Tables.embeddings(spark, sfDir).unionByName(zero)
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val rows = Similarity.simsearchTopk(spark, tmp).collect()
-    assert(rows.forall(r => !r.getDouble(3).isNaN), "NaN score leaked")
-    val zq = rows.filter(_.getLong(0) == zeroId)
-    assert(zq.length == 5, zq.mkString(","))
-    assert(zq.forall(_.getDouble(3) == -1.0), zq.mkString(","))
-    // sentinel ties break by c_id asc: the zero query's 5 neighbors are the
-    // 5 smallest candidate ids
-    val expectIds = Tables.embeddings(spark, tmp)
-      .where(col("vec_id") =!= zeroId).select("vec_id")
-      .collect().map(_.getLong(0)).sorted.take(5).toSeq
-    assert(zq.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq == expectIds)
-    val asCand = rows.filter(r => r.getLong(0) != zeroId && r.getLong(2) == zeroId)
-    assert(asCand.forall(_.getDouble(3) == -1.0),
-      s"zero vector outranked real neighbors: ${asCand.mkString(",")}")
+    try {
+      val dim = Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.size(col("embedding")))
+        .head.getInt(0)
+      val zeroId = 2000000L
+      val zero = Seq((zeroId, Array.fill(dim)(0.0f), 0)) // label 0 → query AND candidate
+        .toDF("vec_id", "embedding", "label")
+      Tables.embeddings(spark, sfDir).unionByName(zero)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val rows = Similarity.simsearchTopk(spark, tmp).collect()
+      assert(rows.forall(r => !r.getDouble(3).isNaN), "NaN score leaked")
+      val zq = rows.filter(_.getLong(0) == zeroId)
+      assert(zq.length == 5, zq.mkString(","))
+      assert(zq.forall(_.getDouble(3) == -1.0), zq.mkString(","))
+      // sentinel ties break by c_id asc: the zero query's 5 neighbors are the
+      // 5 smallest candidate ids
+      val expectIds = Tables.embeddings(spark, tmp)
+        .where(col("vec_id") =!= zeroId).select("vec_id")
+        .collect().map(_.getLong(0)).sorted.take(5).toSeq
+      assert(zq.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq == expectIds)
+      val asCand = rows.filter(r => r.getLong(0) != zeroId && r.getLong(2) == zeroId)
+      assert(asCand.forall(_.getDouble(3) == -1.0),
+        s"zero vector outranked real neighbors: ${asCand.mkString(",")}")
+    } finally deleteDir(tmp)
   }
 
   test("knn block kernel rejects non-positive k at analysis time") {

@@ -36,15 +36,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects by
-    * default (Spark's TimestampType is microseconds). Read the raw int64
-    * nanos via the nanosAsLong escape hatch and truncate to micros — exactly
-    * what DuckDB does when it coerces TIMESTAMP_NS to its µs TIMESTAMP, so
-    * both engines see identical values. */
+  /** `events.ts` has shipped under several physical parquet encodings across
+    * fixture generations (TIMESTAMP(NANOS) → int64 via the nanosAsLong escape
+    * hatch; plain timestamp[us] with no UTC flag → TIMESTAMP_NTZ; µs with the
+    * UTC flag → TIMESTAMP). Adapt on the observed schema instead of assuming
+    * one encoding, and normalize every variant to session-TZ TimestampType
+    * holding the same µs instants DuckDB reads from the same file (session TZ
+    * is UTC on both engines, so values are identical either way). Unknown
+    * encodings fail loudly here rather than as 43 downstream analysis errors. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts fixture drifted to unsupported type $other; " +
+        "expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

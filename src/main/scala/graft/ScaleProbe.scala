@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling probe: time registered operators on a k×-scaled copy of
+  * the fixtures and report t(k×)/t(1×) against k. Near-linear ratios are the
+  * empirical check behind SURVEY §7.5's "every plan shuffles on its keys and
+  * scales out" claim; a super-linear ratio is a scale bug to fix, measured
+  * rather than argued. NOT part of the shipped library surface.
+  *
+  * Scaling preserves workload SHAPE instead of degenerating it:
+  * - every id column is remapped per copy (id + copy·stride) so keys stay
+  *   distinct and join fan-outs stay 1:1 with the original;
+  * - document text gets a per-copy suffix token so exact/near-dup structure
+  *   replicates per copy instead of every doc gaining k−1 exact duplicates
+  *   (which would blow candidate pairs quadratically and measure a DIFFERENT
+  *   workload, not a bigger one);
+  * - embeddings get a tiny per-copy deterministic rotation-free perturbation
+  *   on one coordinate (cosine structure within a copy preserved).
+  * - events/orders/lineitem timestamps are kept verbatim (density grows k×,
+  *   the realistic shape for a busier system over the same wall-clock span).
+  *
+  * The B×B vector kernels are O(n²/B) compute by declared spec with B a
+  * session conf that grows with the corpus (spark.graft.vector.blocks);
+  * the probe sets B ∝ k to exercise exactly that documented scale path.
+  *
+  * Usage: runMain graft.ScaleProbe [k] [name,name,...]
+  * Env: SPARK_GRAFT_SF_DIR (base fixtures, default sf0.1),
+  *      SPARK_GRAFT_SCALE_DIR (scratch, default /tmp/graft_scaleprobe).
+  */
+object ScaleProbe {
+  private val idCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),          // keep n_regionkey: dims replicate
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id")
+  )
+  // Dimension tables small enough that replicating them k× would change join
+  // SEMANTICS (nation keys are foreign keys from customer/supplier); keep the
+  // dims verbatim and scale only fact/corpus tables. Facts reference dims by
+  // the ORIGINAL keys, so every copy joins exactly like the original.
+  private val dims = Set("region", "nation")
+
+  def scaleTable(spark: SparkSession, base: String, name: String, k: Int,
+                 outDir: String): Unit = {
+    val df = if (name == "events") Tables.events(spark, base)
+             else Tables.load(spark, base, name)
+    val out =
+      if (dims.contains(name) || k == 1) df
+      else {
+        val stride = 1000000000L
+        val copies = (0 until k).map { i =>
+          val shifted = idCols(name).foldLeft(df) { (d, c) =>
+            d.withColumn(c, col(c) + lit(i.toLong * stride))
+          }
+          val perturbed = name match {
+            case "documents" =>
+              // distinct content per copy; length/ngram/dup structure intact
+              shifted.withColumn("text",
+                concat(col("text"), lit(if (i == 0) "" else s" zq$i")))
+            case "embeddings" =>
+              shifted.withColumn("embedding",
+                transform(col("embedding"),
+                  (v, j) => when(j === 0, v + lit(i.toFloat * 1e-4f)).otherwise(v)))
+            case _ => shifted
+          }
+          perturbed
+        }
+        copies.reduce(_ unionByName _)
+      }
+    out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val defaultNames = Seq(
+      "agg_hash_group", "join_inner_hash", "sort_global", "mr_wordcount",
+      "window_ranking", "topk_per_group", "llm_exact_dedup",
+      "llm_neardup_pairs", "llm_dedup_clusters", "llm_minhash_estimate",
+      "llm_simsearch_topk", "llm_tfidf", "llm_bm25", "llm_pipeline_e2e",
+      "stream_session")
+    val names = if (args.length > 1) args(1).split(",").toSeq else defaultNames
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scaleprobe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    sys.props("graft.ann.recall") = "0"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val oneDir = s"$scratch/x1"
+    val kDir = s"$scratch/x$k"
+    // 1× goes through the same write path so both sides read identically
+    // laid-out parquet (file counts, encoders) — the comparison then isolates
+    // data volume, not storage layout.
+    Tables.names.foreach(n => scaleTable(spark, base, n, 1, oneDir))
+    Tables.names.foreach(n => scaleTable(spark, base, n, k, kDir))
+
+    def bestOf(n: Int)(body: => Unit): Double =
+      (1 to n).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val rows = names.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
+      // documented scale path for the B×B kernels: B grows with the corpus
+      spark.conf.set("spark.graft.vector.blocks", "8")
+      try fn(spark, oneDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // warmup
+      val t1 = bestOf(3)(fn(spark, oneDir).write.format("noop").mode("overwrite").save())
+      spark.conf.set("spark.graft.vector.blocks", (8 * k).toString)
+      try fn(spark, kDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val tk = bestOf(3)(fn(spark, kDir).write.format("noop").mode("overwrite").save())
+      val ratio = tk / t1
+      (name, t1, tk, ratio)
+    }
+    println(f"%n== ScaleProbe k=$k base=$base ==")
+    println(f"${"query"}%-22s ${"t(1x)"}%8s ${"t(kx)"}%8s ${"ratio"}%7s  (linear = ${k}.0)")
+    rows.foreach { case (n, t1, tk, r) =>
+      println(f"$n%-22s $t1%8.3f $tk%8.3f $r%7.2f")
+    }
+    spark.stop()
+  }
+}

@@ -104,6 +104,64 @@ class FixtureSchemaSpec extends SparkSpec {
     }
   }
 
+  test("events loader handles all three known ts encodings + fails loudly on drift") {
+    // The real fixture currently ships ONE encoding; synthesize the others so
+    // every branch of the adaptive loader stays covered when the driver next
+    // changes the generator (int64 nanos was the rounds-≤7 encoding, NTZ is
+    // the round-8+ one, UTC-flagged µs is the plain Spark write-out).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.expr
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_enc").toString
+    try {
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L // µs
+      def rows(f: Long => Any) = (0 until 4).map(i =>
+        Row(i.toLong, f(base + i * 1000000L), i.toLong % 2, "view", i.toDouble, "{}"))
+      def schema(tsType: DataType) = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+
+      def write(sub: String, tsType: DataType, f: Long => Any): String = {
+        val d = s"$dir/$sub"
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows(f), 1), schema(tsType))
+          .write.mode("overwrite").parquet(s"$d/events.parquet")
+        d
+      }
+      val wantUtc = (0 until 4).map(i => s"2024-01-01 00:00:0$i")
+
+      // (a) int64 nanos (rounds ≤7): loader must divide to µs
+      val nanosDir = write("nanos", LongType, us => us * 1000L)
+      val a = Tables.events(spark, nanosDir)
+      assert(a.schema("ts").dataType == TimestampType)
+      assert(a.select(expr("date_format(ts, 'yyyy-MM-dd HH:mm:ss')")).collect()
+        .map(_.getString(0)).sorted.toSeq == wantUtc)
+
+      // (b) UTC-flagged µs timestamp (plain Spark write-out): pass-through
+      val tzDir = write("tz", TimestampType,
+        us => java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L)))
+      val b = Tables.events(spark, tzDir)
+      assert(b.schema("ts").dataType == TimestampType)
+      assert(b.select(expr("date_format(ts, 'yyyy-MM-dd HH:mm:ss')")).collect()
+        .map(_.getString(0)).sorted.toSeq == wantUtc)
+
+      // (c) NTZ µs (round 8+): covered against the REAL fixture by the parity
+      // probe below; here pin the synthetic one too for branch completeness
+      val ntzDir = write("ntz", TimestampNTZType,
+        us => java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      val c = Tables.events(spark, ntzDir)
+      assert(c.schema("ts").dataType == TimestampType)
+      assert(c.select(expr("date_format(ts, 'yyyy-MM-dd HH:mm:ss')")).collect()
+        .map(_.getString(0)).sorted.toSeq == wantUtc)
+
+      // (d) anything else must fail loudly AT LOAD, naming the type
+      val strDir = write("str", StringType, us => us.toString)
+      val e = intercept[IllegalStateException](Tables.events(spark, strDir))
+      assert(e.getMessage.contains("events.ts fixture drifted"))
+    } finally deleteDir(dir)
+  }
+
   test("events ts normalization preserves instants (oracle parity probe)") {
     // DuckDB reads timestamp[us] as raw µs instants; with the UTC session TZ,
     // Spark's NTZ→TIMESTAMP cast must keep the identical wall-clock values.

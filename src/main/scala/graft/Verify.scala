@@ -47,7 +47,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // In `only` spot-check mode, dump just the selected oracles — compare.py
+    // treats an oracle name with no output dir as MISSING-OUTPUT, which is
+    // the round-8 tripwire for full runs but noise for a filtered dev loop.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val failedJson = failed

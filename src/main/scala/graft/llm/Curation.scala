@@ -264,6 +264,95 @@ object Curation {
        |WHERE cast(inter as double) / (s1.n_sh + s2.n_sh - inter) >= ${Dedup.JaccardThreshold}
        |ORDER BY train_id, bench_id""".stripMargin
 
+  /** Word-level n-gram size for the collision decontamination protocol: the
+    * published eval-contamination sweeps (GPT-3 appendix C / PaLM) flag a
+    * training document on ANY shared 13-gram with the eval set; documents
+    * shorter than N collapse to one whole-document gram, per the same
+    * protocol. */
+  val DecontamNgramN = 13
+
+  /** Per-doc distinct word n-grams (N = [[DecontamNgramN]]; short docs → one
+    * whole-doc gram). Kept as gram TEXT so the DuckDB oracle can join the
+    * identical relation; at 100 TB the equality join key would be
+    * xxhash64(gram) — 8-byte digests instead of strings — with the rest of
+    * the plan unchanged (the string spelling is the spec). */
+  private def wordGrams(docs: DataFrame): DataFrame = {
+    val n = DecontamNgramN
+    docs
+      .select(col("doc_id"), col("source"),
+              filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("t")) >= n,
+            transform(sequence(lit(1), size(col("t")) - (n - 1)),
+              i => concat_ws(" ", slice(col("t"), i, lit(n)))))
+          .otherwise(array(concat_ws(" ", col("t"))))).as("g"))
+  }
+
+  /** Single-collision n-gram decontamination — the verbatim-span protocol,
+    * complementary to [[decontaminate]]'s doc-level Jaccard: a 13-token quote
+    * of an eval answer inside a long web page moves doc-level Jaccard barely
+    * at all, but is exactly what eval contamination looks like. A train doc
+    * is flagged on ANY shared distinct 13-gram with the benchmark source;
+    * output per flagged doc: distinct colliding grams, its total distinct
+    * grams, the contaminated fraction, and the smallest colliding bench doc
+    * (actionability — which eval doc leaked).
+    *
+    * Scale shape: the EVAL side is small by definition (benchmarks are
+    * thousands of docs, the corpus is billions), so its distinct gram set
+    * broadcasts and the scan is one map-side semi-ish join over train grams
+    * followed by a partial+final agg on train_id — O(corpus), the corpus is
+    * never self-paired, same asymmetry as [[decontaminate]]/[[ingestDedup]].
+    */
+  val decontaminateNgram: Q = (s, d) => {
+    val g = wordGrams(Tables.documents(s, d))
+    val bench = g.where(col("source") === BenchmarkSource)
+      .select(col("doc_id").as("bench_id"), col("g")).distinct()
+    val train = g.where(col("source") =!= BenchmarkSource)
+      .select(col("doc_id").as("train_id"), col("g"))
+    val sizes = train.groupBy("train_id")
+      .agg(countDistinct(col("g")).as("n_grams"))
+    train.join(broadcast(bench), Seq("g"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("g")).as("n_hit"),
+           min(col("bench_id")).as("first_bench_id"))
+      .join(sizes, "train_id")
+      .withColumn("frac6",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+      .select(col("train_id"), col("n_hit"), col("n_grams"), col("frac6"),
+              col("first_bench_id"))
+      .orderBy("train_id")
+  }
+
+  val decontaminateNgramSql: String = {
+    val n = DecontamNgramN
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, array_to_string(t[i:i+${n - 1}], ' ') AS g
+       |  FROM t, unnest(generate_series(1, len(t) - ${n - 1})) AS u(i)
+       |  WHERE len(t) >= $n
+       |  UNION ALL
+       |  SELECT doc_id, source, array_to_string(t, ' ') AS g
+       |  FROM t WHERE len(t) > 0 AND len(t) < $n),
+       |sizes AS (
+       |  SELECT doc_id AS train_id, count(DISTINCT g) AS n_grams
+       |  FROM g WHERE source <> '$BenchmarkSource' GROUP BY 1),
+       |hits AS (
+       |  SELECT tr.doc_id AS train_id, count(DISTINCT tr.g) AS n_hit,
+       |         min(be.doc_id) AS first_bench_id
+       |  FROM (SELECT doc_id, g FROM g WHERE source <> '$BenchmarkSource') tr
+       |  JOIN (SELECT DISTINCT doc_id, g FROM g WHERE source = '$BenchmarkSource') be
+       |    ON tr.g = be.g
+       |  GROUP BY 1)
+       |SELECT train_id, n_hit, n_grams,
+       |  round(cast(n_hit as double) / n_grams, 6) AS frac6, first_bench_id
+       |FROM hits JOIN sizes USING (train_id)
+       |ORDER BY train_id""".stripMargin
+  }
+
   /** Incremental-ingest dedup: the production daily-batch admission check.
     * The incoming batch (docs with doc_id % 10 = 7 — a deterministic ~10%
     * slice at every SF) is checked against the EXISTING corpus: exact
@@ -647,6 +736,7 @@ object Curation {
     "llm_ingest_dedup" -> ingestDedup,
     "llm_mix_temperature" -> mixTemperature,
     "llm_decontaminate" -> decontaminate,
+    "llm_decontaminate_ngram" -> decontaminateNgram,
     "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_clusters_star" -> dedupClustersStar,
     "llm_corpus_shuffle" -> corpusShuffle,
@@ -660,6 +750,7 @@ object Curation {
     "llm_ingest_dedup" -> ingestDedupSql,
     "llm_mix_temperature" -> mixTemperatureSql,
     "llm_decontaminate" -> decontaminateSql,
+    "llm_decontaminate_ngram" -> decontaminateNgramSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     // the star formulation declares identical semantics — one oracle text
     // pins both physical algorithms to the same clustering

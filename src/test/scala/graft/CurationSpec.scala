@@ -104,6 +104,54 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected.toSet)
   }
 
+  test("ngram decontamination matches a brute-force 13-gram collision recompute") {
+    val n = Curation.DecontamNgramN
+    val src = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ground truth: distinct word 13-grams per doc (short docs → whole doc)
+    val grams = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val g = if (t.isEmpty) Set.empty[String]
+                else if (t.length < n) Set(t.mkString(" "))
+                else t.sliding(n).map(_.mkString(" ")).toSet
+        r.getLong(0) -> g
+      }.toMap
+    val benchGrams = grams.toSeq
+      .filter { case (id, _) => src(id) == Curation.BenchmarkSource }
+    val rows = Curation.decontaminateNgram(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (train, nHit, nGrams) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(src(train) != Curation.BenchmarkSource)
+      val g = grams(train)
+      val benchAll = benchGrams.flatMap(_._2).toSet
+      val hits = g.intersect(benchAll)
+      assert(hits.nonEmpty, s"$train flagged with no colliding gram")
+      assert(nHit == hits.size.toLong, s"$train n_hit")
+      assert(nGrams == g.size.toLong, s"$train n_grams")
+      assert(math.abs(r.getDouble(3) - hits.size.toDouble / g.size) < 1e-4)
+      val firstBench = benchGrams
+        .filter { case (_, bg) => bg.intersect(g).nonEmpty }.map(_._1).min
+      assert(r.getLong(4) == firstBench, s"$train first_bench_id")
+    }
+    // completeness: every train doc sharing any gram with the eval set is in
+    val benchAll = benchGrams.flatMap(_._2).toSet
+    val expected = grams.toSeq.collect {
+      case (id, g) if src(id) != Curation.BenchmarkSource &&
+                      g.intersect(benchAll).nonEmpty => id
+    }.toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+  }
+
+  test("ngram decontamination broadcasts the eval gram side (corpus never self-pairs)") {
+    val p = Curation.decontaminateNgram(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the small eval-set gram side must broadcast into the corpus pass")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("curation e2e: survivors exclude every doc an upstream stage drops") {
     import org.apache.spark.sql.functions._
     val shards = Curation.queries("llm_curation_e2e")(spark, sfDir).collect()

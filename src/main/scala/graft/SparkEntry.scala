@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregates, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
+import graft.operators.{Aggregates, Behavioral, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
 import graft.llm.{AnnIvf, AnnLsh, AnnQuantized, Clustering, Curation, Dedup, Quantize, Similarity, Sketches, TextAnalysis}
 import graft.multimodal.Multimodal
@@ -78,6 +78,7 @@ object SparkEntry {
     ScaleTechniques.queries ++
     SqlSurface.queries ++
     Quantize.queries ++
+    Behavioral.queries ++
     Map("flagship" -> flagship)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,6 +102,7 @@ object SparkEntry {
     ScaleTechniques.oracle ++
     SqlSurface.oracle ++
     Quantize.oracle ++
+    Behavioral.oracle ++
     AnnQuantized.oracle ++
     Clustering.oracle ++
     Sketches.oracle ++

@@ -260,6 +260,61 @@ object TextAnalysis {
        |FROM ranked WHERE rk <= 5
        |ORDER BY doc_id, rk""".stripMargin
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1): per-doc
+    * word count in [50, 100k], mean word length in [3, 10], ≥80% of words
+    * containing an alphabetic character, and ≥2 stopword hits — the
+    * published heuristic battery production corpora are filtered with
+    * (distinct from [[qualityScore]], which reports OUR composite
+    * metrics; this one reproduces the published rule set and its pass
+    * verdict). All measures are exact integer ratios → deterministic
+    * doubles, and the verdict is an int so both engines hash identically.
+    *
+    * Scale: wordcount-shaped — tokenize map-side, one partial+final
+    * aggregation on doc_id, then a join back to documents on doc_id.
+    * No vocabulary or model is broadcast; nothing grows with corpus
+    * size except the doc_id key space. */
+  val gopherRules: Q = (s, d) => {
+    val stop = Seq("the", "a", "value")
+    val t = toks(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(length(col("w"))).as("sum_len"),
+           sum(when(col("w").rlike("[a-z]"), 1).otherwise(0)).as("n_alpha"),
+           sum(when(col("w").isin(stop: _*), 1).otherwise(0)).as("n_stop"))
+    Tables.documents(s, d).select("doc_id")
+      .join(t, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+        col("n_stop"),
+        when(col("n_words").between(50, 100000) &&
+             (col("sum_len").cast("double") / col("n_words")).between(3.0, 10.0) &&
+             col("n_alpha").cast("double") / col("n_words") >= 0.8 &&
+             col("n_stop") >= 2, 1).otherwise(0).as("passes"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH $toksSqlCte,
+       |t AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    sum(length(w)) AS sum_len,
+       |    sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
+       |    sum(CASE WHEN w IN ('the', 'a', 'value') THEN 1 ELSE 0 END) AS n_stop
+       |  FROM toks GROUP BY doc_id)
+       |SELECT d.doc_id, n_words,
+       |  cast(sum_len as double) / n_words AS mean_word_len,
+       |  cast(n_alpha as double) / n_words AS alpha_frac,
+       |  n_stop,
+       |  CASE WHEN n_words BETWEEN 50 AND 100000
+       |        AND cast(sum_len as double) / n_words BETWEEN 3.0 AND 10.0
+       |        AND cast(n_alpha as double) / n_words >= 0.8
+       |        AND n_stop >= 2
+       |       THEN 1 ELSE 0 END AS passes
+       |FROM documents d JOIN t ON d.doc_id = t.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Bigram extraction + counts (top 100 with total-order tiebreak). */
   val ngrams: Q = (s, d) =>
     Tables.documents(s, d)
@@ -1361,6 +1416,7 @@ object TextAnalysis {
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
     "llm_quality_classifier" -> qualityClassifier,
+    "llm_gopher_rules" -> gopherRules,
     "llm_span_corruption" -> spanCorruption,
     "llm_tfidf" -> tfidf,
     "llm_ngrams" -> ngrams,
@@ -1390,6 +1446,7 @@ object TextAnalysis {
     "llm_lang_id" -> langIdSql,
     "llm_quality_score" -> qualityScoreSql,
     "llm_quality_classifier" -> qualityClassifierSql,
+    "llm_gopher_rules" -> gopherRulesSql,
     "llm_span_corruption" -> spanCorruptionSql,
     "llm_tfidf" -> tfidfSql,
     "llm_ngrams" -> ngramsSql,

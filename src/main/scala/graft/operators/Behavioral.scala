@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral / product-analytics operators over the `events` stream table
+  * (SURVEY.md §2.13): ordered-funnel conversion, cohort retention, and
+  * top event-type paths — the three queries every product-analytics engine
+  * (and every user-behavior slice of a training-data pipeline) runs first.
+  *
+  * Reference provenance: the reference snapshot (a Hadoop release,
+  * /root/reference/README.md:4) expresses these as chained MapReduce jobs
+  * over event logs; here each is a declarative plan whose only wide
+  * operations are equi-shuffles on `user_id` plus wordcount-shaped
+  * final aggregations, so Catalyst/AQE keep partial aggregation, exchange
+  * reuse, and broadcast demotion of the shrinking funnel stages.
+  */
+object Behavioral {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered funnel view → click → purchase within 7 days of the user's
+    * first view. Step timestamps are the MINIMUM qualifying instants
+    * (t1 = first view; t2 = first click strictly after t1; t3 = first
+    * purchase strictly after t2; t2/t3 must land within t1 + 7 days), so
+    * the result is deterministic regardless of event order in the file.
+    * Output: one row per funnel step with the user count that reached it.
+    *
+    * Scale: the filtered events shuffle ONCE on user_id; each later stage
+    * joins and re-aggregates on that same key, so the co-partitioned plan
+    * adds no further exchanges — and because every stage can only shrink
+    * (step-k users ⊆ step-(k-1) users), AQE's runtime size estimate
+    * flips the stage tables to broadcast on a 100 TB event log, where
+    * step-3 survivors are ~millions against billions of raw events. */
+  val eventsFunnel: Q = (s, d) => {
+    val f = Tables.events(s, d)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_type", "ts")
+    val s1 = f.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = f.join(s1, "user_id")
+      .where(col("event_type") === "click" && col("ts") > col("t1") &&
+             col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"), max(col("t1")).as("t1"))
+    val s3 = f.join(s2, "user_id")
+      .where(col("event_type") === "purchase" && col("ts") > col("t2") &&
+             col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.agg(lit(1).as("step"), count(lit(1)).as("n_users"))
+      .unionAll(s2.agg(lit(2).as("step"), count(lit(1)).as("n_users")))
+      .unionAll(s3.agg(lit(3).as("step"), count(lit(1)).as("n_users")))
+      .orderBy("step")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type, ts FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM f
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT f.user_id, min(ts) AS t2, max(t1) AS t1
+      |  FROM f JOIN s1 ON f.user_id = s1.user_id
+      |  WHERE event_type = 'click' AND ts > t1
+      |    AND ts <= t1 + INTERVAL '7 days'
+      |  GROUP BY f.user_id),
+      |s3 AS (
+      |  SELECT f.user_id, min(ts) AS t3
+      |  FROM f JOIN s2 ON f.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND ts > t2
+      |    AND ts <= t1 + INTERVAL '7 days'
+      |  GROUP BY f.user_id)
+      |SELECT 1 AS step, count(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, count(*) FROM s2
+      |UNION ALL SELECT 3, count(*) FROM s3
+      |ORDER BY step""".stripMargin
+
+  /** Weekly cohort retention: users are cohorted by the Monday-start week
+    * of their FIRST event; a cohort's week-k retention is the fraction of
+    * its users active in cohort week + k. Week truncation is Monday-start
+    * in both Spark and DuckDB (`date_trunc('week', ...)`), and both weeks
+    * are truncated instants, so the day difference is an exact multiple
+    * of 7 and the integer offset is engine-independent.
+    *
+    * Scale: first-seen and the distinct (user, week) activity grid each
+    * shuffle on user_id; cohort sizes are ≤ one row per week and
+    * broadcast back. Nothing holds per-user state on the driver. */
+  val eventsRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("active_week"))
+      .distinct()
+    val sizes = firstSeen.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(firstSeen, "user_id")
+      .groupBy("cohort_week", "active_week")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long").as("week_offset"),
+        col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, cast(date_trunc('week', min(ts)) as date) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS active_week
+      |  FROM events),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_size
+      |  FROM first_seen GROUP BY cohort_week)
+      |SELECT f.cohort_week,
+      |  cast(datediff('day', f.cohort_week, a.active_week) / 7 as bigint) AS week_offset,
+      |  count(*) AS n_active, max(cohort_size) AS cohort_size,
+      |  cast(count(*) as double) / max(cohort_size) AS retention
+      |FROM active a
+      |JOIN first_seen f ON a.user_id = f.user_id
+      |JOIN sizes s ON f.cohort_week = s.cohort_week
+      |GROUP BY f.cohort_week, a.active_week
+      |ORDER BY f.cohort_week, week_offset""".stripMargin
+
+  /** Top event-type paths: per user, every run of 3 consecutive events
+    * ordered by (ts, event_id) forms a path "a>b>c"; report the 10 most
+    * frequent paths globally (ties broken by path text). The classic
+    * sequence-mining first cut over any behavioral log.
+    *
+    * Scale: one sort-partitioned exchange on user_id feeds both lead()
+    * columns (Spark plans a single Window node); the path count is a
+    * wordcount-shaped partial+final aggregation over a 125-value key
+    * space (5³ event types), and the top-10 is TakeOrderedAndProject —
+    * no global sort ever materializes. */
+  val eventsTopPaths: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  val eventsTopPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY e1 || '>' || e2 || '>' || e3
+      |ORDER BY n DESC, path
+      |LIMIT 10""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
+    "events_top_paths" -> eventsTopPaths)
+
+  val oracle: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql,
+    "events_top_paths" -> eventsTopPathsSql)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Behavioral
+
+/** Behavioral-analytics invariants (SURVEY.md §2.13) that the value-level
+  * DuckDB oracle can't state: funnel monotonicity, retention bounds and the
+  * week-0 identity, and the exact combinatorial count of 3-event paths. */
+class BehavioralSpec extends SparkSpec {
+
+  test("funnel step counts are monotone and step 1 counts distinct viewers") {
+    val rows = Behavioral.eventsFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val Seq(n1, n2, n3) = rows.map(_.getLong(1)).toSeq
+    assert(n1 >= n2 && n2 >= n3, s"funnel must shrink: $n1 >= $n2 >= $n3")
+    val viewers = Tables.events(spark, sfDir)
+      .where(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(n1 == viewers)
+  }
+
+  test("retention: week 0 is total, rates bounded, actives within cohort size") {
+    val rows = Behavioral.eventsRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (offset, nActive, size, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(offset >= 0 && nActive >= 1 && nActive <= size)
+      assert(rate > 0.0 && rate <= 1.0)
+      // a user's first event lands inside their cohort week by construction
+      if (offset == 0) assert(nActive == size, "week-0 retention must be 1.0")
+    }
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val week0 = rows.filter(_.getLong(1) == 0).map(_.getLong(2)).sum
+    assert(week0 == users, "week-0 actives across cohorts must cover every user")
+  }
+
+  test("path counts: every user with n>=3 events contributes exactly n-2 paths") {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 3)
+      .agg(sum(col("n") - 2)).head.getLong(0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val allPaths = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .where(col("e3").isNotNull).count()
+    assert(allPaths == perUser)
+    val top = Behavioral.eventsTopPaths(spark, sfDir).collect()
+    assert(top.length <= 10 && top.nonEmpty)
+    // descending counts with path-text tiebreak = a total order
+    top.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+    case _ => ()
+    }
+  }
+}

@@ -163,13 +163,58 @@ object Behavioral {
       |ORDER BY n DESC, path
       |LIMIT 10""".stripMargin
 
+  /** Hourly volume anomaly detection: per event type, bucket events into
+    * hours, then z-score each hour against that type's own hourly
+    * distribution and flag |z| ≥ 2. The moments come from exact integer
+    * sums via the same closed forms as `agg_stddev_corr` (engine-native
+    * stddev has nondeterministic partial-merge order), and the score is
+    * rounded to 6dp before thresholding so the flag is engine-exact too.
+    *
+    * Scale: the hourly rollup is a wordcount-shaped partial+final agg on
+    * (event_type, hour); the per-type moments re-aggregate rows-per-hour
+    * (≤ one row per type × hour), and that tiny stats table broadcasts
+    * back — the raw event log is never revisited. */
+  val eventsAnomaly: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+           sum(col("c") * col("c")).as("scc"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour"), col("c"),
+        round((col("c") - col("sc").cast("double") / col("n")) /
+              sqrt((col("scc") - col("sc") * col("sc") / col("n")) / (col("n") - 1)), 6)
+          .as("z6"))
+      .withColumn("is_anomaly", when(abs(col("z6")) >= 2.0, 1).otherwise(0))
+      .orderBy("event_type", "hour")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n, sum(c) AS sc, sum(c * c) AS scc
+      |  FROM hourly GROUP BY event_type)
+      |SELECT h.event_type, hour, c,
+      |  round((c - cast(sc as double) / n) /
+      |        sqrt((scc - sc * sc / n) / (n - 1)), 6) AS z6,
+      |  CASE WHEN abs(round((c - cast(sc as double) / n) /
+      |        sqrt((scc - sc * sc / n) / (n - 1)), 6)) >= 2.0
+      |       THEN 1 ELSE 0 END AS is_anomaly
+      |FROM hourly h JOIN stats s ON h.event_type = s.event_type
+      |ORDER BY h.event_type, hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
-    "events_top_paths" -> eventsTopPaths)
+    "events_top_paths" -> eventsTopPaths,
+    "events_anomaly" -> eventsAnomaly)
 
   val oracle: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
-    "events_top_paths" -> eventsTopPathsSql)
+    "events_top_paths" -> eventsTopPathsSql,
+    "events_anomaly" -> eventsAnomalySql)
 }

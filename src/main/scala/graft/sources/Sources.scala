@@ -238,7 +238,43 @@ object Sources {
       |FROM t FULL OUTER JOIN src ON n_nationkey = c_nationkey
       |ORDER BY key""".stripMargin
 
+  /** Parquet schema evolution: two file generations under one root — an
+    * early writer without `p_retailprice` and a later one with it — read
+    * back as a single relation via `mergeSchema`, with the generation as a
+    * discovered partition column. The absent column surfaces as NULL in
+    * gen-1 rows (count/sum prove it), which is exactly how a long-lived
+    * 100 TB table absorbs additive schema change with no rewrite: new
+    * files carry new columns, old files stay untouched, and the footer
+    * merge happens once at planning time (not per row).
+    *
+    * The money sum keeps the [[graft.Dsl.dec2]] exact-decimal discipline
+    * and surfaces as a double, like every other oracled money aggregate. */
+  val scanMergeSchema: Q = (s, d) => {
+    val out = tmp("evolve")
+    Tables.part(s, d).select("p_partkey", "p_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/gen=1")
+    Tables.part(s, d).select("p_partkey", "p_name", "p_retailprice")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n"),
+           count(col("p_retailprice")).as("n_price"),
+           sum(graft.Dsl.dec2(col("p_retailprice"))).cast("double").as("price_sum"))
+      .orderBy("gen")
+  }
+
+  val scanMergeSchemaSql: String =
+    """SELECT 1 AS gen, count(*) AS n,
+      |  0 AS n_price, cast(NULL as double) AS price_sum
+      |FROM part
+      |UNION ALL
+      |SELECT 2, count(*), count(p_retailprice),
+      |  cast(sum(cast(p_retailprice as decimal(12,2))) as double)
+      |FROM part
+      |ORDER BY gen""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "scan_merge_schema" -> scanMergeSchema,
     "sink_merge_upsert" -> sinkMergeUpsert,
     "scan_text" -> scanText,
     "scan_csv" -> scanCsv,
@@ -258,6 +294,7 @@ object Sources {
     * A format bug (mangled value, dropped row, codec corruption) changes the
     * read-back relation and fails the hash-compare. */
   val oracle: Map[String, String] = Map(
+    "scan_merge_schema" -> scanMergeSchemaSql,
     "sink_merge_upsert" -> sinkMergeUpsertSql,
     "scan_text" ->
       """SELECT cast(length(text) as int) AS line_len, count(*) AS n

@@ -36,6 +36,18 @@ class BehavioralSpec extends SparkSpec {
     assert(week0 == users, "week-0 actives across cohorts must cover every user")
   }
 
+  test("anomaly: hourly buckets cover every event and flags match the z threshold") {
+    val rows = Behavioral.eventsAnomaly(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "hourly counts must partition the log")
+    rows.foreach { r =>
+      val (z, flag) = (r.getDouble(3), r.getInt(4))
+      assert(flag == (if (math.abs(z) >= 2.0) 1 else 0))
+    }
+    assert(rows.map(r => (r.getString(0), r.getTimestamp(1))).distinct.length == rows.length,
+      "(event_type, hour) must be unique")
+  }
+
   test("path counts: every user with n>=3 events contributes exactly n-2 paths") {
     val perUser = Tables.events(spark, sfDir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))

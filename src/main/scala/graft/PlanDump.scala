@@ -41,6 +41,14 @@ object PlanDump {
         "broadcast side; partial+final agg on top"),
       "join_asof" -> ("single sort-partitioned window pass over the tagged " +
         "union — no range self-join"),
+      "events_funnel" -> ("ordered funnel: filtered events shuffle once on " +
+        "user_id; every later stage joins + re-aggregates on that same key " +
+        "(co-partitioned, no new exchange on the fact side), and the " +
+        "shrinking per-stage tables are broadcast-eligible under AQE"),
+      "events_anomaly" -> ("hourly z-score anomalies: wordcount-shaped " +
+        "(type, hour) rollup, per-type moments re-aggregated from " +
+        "rows-per-hour, stats broadcast back — the raw event log is " +
+        "scanned exactly once"),
       "llm_simsearch_topk" -> ("BroadcastNestedLoopJoin streaming candidates " +
         "past the broadcast query set; graft_dot codegen kernel in the projection"),
       "llm_neardup_pairs" -> ("prefix-filtered candidate join (short prefixes " +

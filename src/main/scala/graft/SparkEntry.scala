@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregates, Behavioral, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
+import graft.operators.{Aggregates, Behavioral, DataQuality, Relational, ScaleTechniques, SetOps, SqlSurface, TemporalJoins, Windows}
 import graft.functions.{Classics, Scalar, TypedUdaf}
 import graft.llm.{AnnIvf, AnnLsh, AnnQuantized, Clustering, Curation, Dedup, Quantize, Similarity, Sketches, TextAnalysis}
 import graft.multimodal.Multimodal
@@ -79,6 +79,7 @@ object SparkEntry {
     SqlSurface.queries ++
     Quantize.queries ++
     Behavioral.queries ++
+    DataQuality.queries ++
     Map("flagship" -> flagship)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,6 +104,7 @@ object SparkEntry {
     SqlSurface.oracle ++
     Quantize.oracle ++
     Behavioral.oracle ++
+    DataQuality.oracle ++
     AnnQuantized.oracle ++
     Clustering.oracle ++
     Sketches.oracle ++

@@ -273,8 +273,59 @@ object Sources {
       |FROM part
       |ORDER BY gen""".stripMargin
 
+  /** Slowly-changing-dimension type-2 merge: a deterministic update batch
+    * (customers with ≥ 20 orders are promoted to the 'VIP' segment) lands
+    * on the customer dimension as VERSIONED history — the prior row is
+    * closed (`is_current = 0`), a new version row carries the change, and
+    * untouched customers keep their current version-1 row. The merged
+    * dimension round-trips through a parquet sink, read back for the
+    * oracle compare.
+    *
+    * Scale: the update set derives from one orders aggregation; changed =
+    * dimension ⋈ batch (equi join, broadcast when the batch is small);
+    * unchanged = anti join on the same key. History grows by exactly the
+    * changed rows — no dimension rewrite beyond the merge output itself,
+    * which is the SCD2 contract warehouses rely on at 100 TB. */
+  val sinkScd2: Q = (s, d) => {
+    val out = tmp("scd2")
+    val cust = Tables.customer(s, d)
+    val promoted = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_ord"))
+      .where(col("n_ord") >= 20)
+    val changed = cust
+      .join(promoted, col("c_custkey") === col("o_custkey"))
+      .where(col("c_mktsegment") =!= "VIP")
+      .select(cust.columns.map(col): _*)
+    val closedV1 = changed
+      .withColumn("version", lit(1)).withColumn("is_current", lit(0))
+    val newV2 = changed
+      .withColumn("c_mktsegment", lit("VIP"))
+      .withColumn("version", lit(2)).withColumn("is_current", lit(1))
+    val unchanged = cust
+      .join(changed.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .withColumn("version", lit(1)).withColumn("is_current", lit(1))
+    unchanged.unionByName(closedV1).unionByName(newV2)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    s.read.parquet(out).orderBy("c_custkey", "version")
+  }
+
+  val sinkScd2Sql: String =
+    """WITH promoted AS (
+      |  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 20),
+      |changed AS (
+      |  SELECT c.* FROM customer c JOIN promoted p ON c.c_custkey = p.o_custkey
+      |  WHERE c_mktsegment <> 'VIP')
+      |SELECT c.*, 1 AS version, 1 AS is_current
+      |FROM customer c WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+      |UNION ALL
+      |SELECT *, 1, 0 FROM changed
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'VIP', 2, 1 FROM changed
+      |ORDER BY c_custkey, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "scan_merge_schema" -> scanMergeSchema,
+    "sink_scd2" -> sinkScd2,
     "sink_merge_upsert" -> sinkMergeUpsert,
     "scan_text" -> scanText,
     "scan_csv" -> scanCsv,
@@ -295,6 +346,7 @@ object Sources {
     * read-back relation and fails the hash-compare. */
   val oracle: Map[String, String] = Map(
     "scan_merge_schema" -> scanMergeSchemaSql,
+    "sink_scd2" -> sinkScd2Sql,
     "sink_merge_upsert" -> sinkMergeUpsertSql,
     "scan_text" ->
       """SELECT cast(length(text) as int) AS line_len, count(*) AS n

@@ -163,6 +163,40 @@ object Scalar {
       |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Struct family: nested-record construction and surgery — `struct`,
+    * `withField` (add a computed member), `dropFields` (remove one),
+    * dotted field access, and `to_json` serialization of the final shape.
+    * The additive-member path is how wide 100 TB schemas evolve without
+    * rewrites (cf. `scan_merge_schema`); all surgery is map-side
+    * expression work, zero exchanges before the output sort. Output
+    * flattens to scalars (driver's hash-compare; the oracle states the
+    * equivalent flat computation + the JSON text built explicitly). */
+  val fnStruct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        struct(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+               col("o_orderpriority").as("prio")).as("st"))
+      .select(col("o_orderkey"),
+        col("st").withField("cents", round(col("st.price") * 100).cast("long"))
+                 .dropFields("price").as("st2"))
+      .select(col("o_orderkey"),
+        col("st2.cents").as("cents"),
+        col("st2.prio").as("prio"),
+        to_json(col("st2")).as("js"))
+      .where(col("cents") > 20000000L)
+      .orderBy("o_orderkey")
+
+  val fnStructSql: String =
+    """SELECT o_orderkey,
+      |  cast(round(o_totalprice * 100) as bigint) AS cents,
+      |  o_orderpriority AS prio,
+  |  '{"k":' || o_orderkey ||
+      |    ',"prio":"' || o_orderpriority ||
+      |    '","cents":' || cast(round(o_totalprice * 100) as bigint) || '}' AS js
+      |FROM orders
+      |WHERE cast(round(o_totalprice * 100) as bigint) > 20000000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Map family over parsed JSON event properties. */
   val fnMap: Q = (s, d) =>
     Tables.events(s, d)
@@ -335,6 +369,7 @@ object Scalar {
     "fn_math" -> fnMath,
     "fn_conditional" -> fnConditional,
     "fn_array" -> fnArray,
+    "fn_struct" -> fnStruct,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "fn_hash" -> fnHash,
@@ -351,6 +386,7 @@ object Scalar {
     "fn_math" -> fnMathSql,
     "fn_conditional" -> fnConditionalSql,
     "fn_array" -> fnArraySql,
+    "fn_struct" -> fnStructSql,
     "fn_map" -> fnMapSql,
     "fn_json" -> fnJsonSql,
     "fn_hash" -> fnHashSql,

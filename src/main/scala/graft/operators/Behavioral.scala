@@ -206,15 +206,55 @@ object Behavioral {
       |FROM hourly h JOIN stats s ON h.event_type = s.event_type
       |ORDER BY h.event_type, hour""".stripMargin
 
+  /** First-order Markov transition matrix over event types: per user,
+    * consecutive event pairs (ordered by ts, event_id) count transitions;
+    * each row normalizes by its source state's outgoing total. The
+    * probability is an exact-integer ratio → deterministic double, rounded
+    * 6dp for engine-exact hashing.
+    *
+    * Scale: the same single sort-partitioned user_id exchange as
+    * [[eventsTopPaths]] feeds lead(); transition counts aggregate over a
+    * 25-key space with map-side partials, and the per-source totals come
+    * from a window over those 25 rows — nothing after the first exchange
+    * is data-sized. */
+  val eventsMarkov: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val bySrc = Window.partitionBy(col("src"))
+    trans
+      .withColumn("p6",
+        round(col("cnt").cast("double") / sum(col("cnt")).over(bySrc), 6))
+      .orderBy("src", "dst")
+  }
+
+  val eventsMarkovSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS src, lead(event_type, 1) OVER w AS dst
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |trans AS (
+      |  SELECT src, dst, count(*) AS cnt FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, cnt,
+      |  round(cast(cnt as double) / sum(cnt) OVER (PARTITION BY src), 6) AS p6
+      |FROM trans
+      |ORDER BY src, dst""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_top_paths" -> eventsTopPaths,
-    "events_anomaly" -> eventsAnomaly)
+    "events_anomaly" -> eventsAnomaly,
+    "events_markov" -> eventsMarkov)
 
   val oracle: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
     "events_top_paths" -> eventsTopPathsSql,
-    "events_anomaly" -> eventsAnomalySql)
+    "events_anomaly" -> eventsAnomalySql,
+    "events_markov" -> eventsMarkovSql)
 }

@@ -295,7 +295,7 @@ object Sources {
     val changed = cust
       .join(promoted, col("c_custkey") === col("o_custkey"))
       .where(col("c_mktsegment") =!= "VIP")
-      .select(cust.columns.map(col): _*)
+      .select(cust.columns.toIndexedSeq.map(col): _*)
     val closedV1 = changed
       .withColumn("version", lit(1)).withColumn("is_current", lit(0))
     val newV2 = changed

@@ -315,6 +315,59 @@ object TextAnalysis {
        |FROM documents d JOIN t ON d.doc_id = t.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Character-entropy filter: per-doc Shannon entropy (nats) of the
+    * lowercase character distribution — the standard gibberish /
+    * low-diversity screen (binary blobs, repeated-char spam, and
+    * keyboard-mash score far below natural text). Determinism: the
+    * per-char terms fold SEQUENTIALLY over the char-sorted count list —
+    * the same left fold DuckDB's `list_reduce` performs (the
+    * [[graft.llm.Similarity]] dot-product discipline), so the double sum
+    * has ONE evaluation order on both engines; 6dp rounding absorbs the
+    * libm ln() last ulp, and the flag thresholds the rounded value.
+    *
+    * Scale: char explode is map-side; the (doc, char) count and the
+    * per-doc fold are wordcount-shaped partial+final aggs on doc_id, and
+    * the folded list is ≤ alphabet-size per doc — collect_list here is
+    * bounded by ~30 entries, not by document length. */
+  val entropyFilter: Q = (s, d) => {
+    val cc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    cc.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cs"),
+           sum(col("cnt")).as("n"))
+      .select(col("doc_id"), col("n"),
+        size(col("cs")).as("n_distinct_chars"),
+        round(-aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + (x.getField("cnt").cast("double") / col("n")) *
+            log(x.getField("cnt").cast("double") / col("n"))), 6).as("entropy6"))
+      .withColumn("low_entropy", when(col("entropy6") < 2.8, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  val entropyFilterSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+      |  FROM documents),
+      |cc AS (
+      |  SELECT doc_id, ch, count(*) AS cnt FROM chars
+      |  WHERE ch <> '' GROUP BY doc_id, ch),
+      |g AS (
+      |  SELECT doc_id, list_sort(list({'ch': ch, 'cnt': cnt})) AS cs,
+      |    cast(sum(cnt) as bigint) AS n
+      |  FROM cc GROUP BY doc_id)
+      |SELECT doc_id, n, cast(len(cs) as int) AS n_distinct_chars,
+      |  round(-list_reduce(
+      |    list_transform(cs, x -> (cast(x.cnt as double) / n) *
+      |                            ln(cast(x.cnt as double) / n)),
+      |    (a, b) -> a + b), 6) AS entropy6,
+      |  CASE WHEN round(-list_reduce(
+      |    list_transform(cs, x -> (cast(x.cnt as double) / n) *
+      |                            ln(cast(x.cnt as double) / n)),
+      |    (a, b) -> a + b), 6) < 2.8 THEN 1 ELSE 0 END AS low_entropy
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** Bigram extraction + counts (top 100 with total-order tiebreak). */
   val ngrams: Q = (s, d) =>
     Tables.documents(s, d)
@@ -1417,6 +1470,7 @@ object TextAnalysis {
     "llm_quality_score" -> qualityScore,
     "llm_quality_classifier" -> qualityClassifier,
     "llm_gopher_rules" -> gopherRules,
+    "llm_entropy_filter" -> entropyFilter,
     "llm_span_corruption" -> spanCorruption,
     "llm_tfidf" -> tfidf,
     "llm_ngrams" -> ngrams,
@@ -1447,6 +1501,7 @@ object TextAnalysis {
     "llm_quality_score" -> qualityScoreSql,
     "llm_quality_classifier" -> qualityClassifierSql,
     "llm_gopher_rules" -> gopherRulesSql,
+    "llm_entropy_filter" -> entropyFilterSql,
     "llm_span_corruption" -> spanCorruptionSql,
     "llm_tfidf" -> tfidfSql,
     "llm_ngrams" -> ngramsSql,

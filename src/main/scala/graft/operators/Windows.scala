@@ -369,6 +369,45 @@ object Windows {
       |ORDER BY c_custkey
       |LIMIT 50 OFFSET 100""".stripMargin
 
+  /** Exponentially weighted moving average (α = 0.5, zero-init) of each
+    * user's event values in (ts, event_id) order — the classic time-series
+    * smoother, here as the per-key FINAL smoothed level. The recursion
+    * e ← α·x + (1−α)·e cannot be a plain window sum, so the sequence
+    * folds SEQUENTIALLY: collect the per-user events sorted, extract the
+    * value series, left-fold the recursion — the identical fold DuckDB
+    * runs via `list_reduce` over a 0.0-prepended series (0.0 is also
+    * Spark's fold init, so both engines evaluate the exact same chain of
+    * IEEE operations; α = 0.5 is exact in binary). 6dp rounding on output
+    * only.
+    *
+    * Scale: one shuffle on user_id; the collected list is bounded by
+    * per-user activity (≤ ~10³ here). For unbounded single-key streams
+    * the same recursion runs incrementally in streaming state
+    * (`stream_stateful` machinery) instead of a batch collect. */
+  val windowEwma: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .select(col("user_id"), size(col("seq")).as("n_events"),
+        round(aggregate(
+          transform(col("seq"), x => x.getField("value")),
+          lit(0.0),
+          (acc, v) => lit(0.5) * v + lit(0.5) * acc), 6).as("ewma6"))
+      .orderBy("user_id")
+  }
+
+  val windowEwmaSql: String =
+    """SELECT user_id, cast(len(seq) as int) AS n_events,
+      |  round(list_reduce(
+      |    list_prepend(0.0, list_transform(seq, x -> x.v)),
+      |    (acc, v) -> 0.5 * v + 0.5 * acc), 6) AS ewma6
+      |FROM (
+      |  SELECT user_id,
+      |    list_sort(list({'ts': ts, 'eid': event_id, 'v': value})) AS seq
+      |  FROM events GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "window_ranking" -> windowRanking,
     "window_ntile" -> windowNtile,
@@ -379,6 +418,7 @@ object Windows {
     "window_distribution" -> windowDistribution,
     "window_session_gap" -> windowSessionGap,
     "window_gap_fill" -> windowGapFill,
+    "window_ewma" -> windowEwma,
     "topk_per_group" -> topkPerGroup,
     "sort_global" -> sortGlobal,
     "sort_topk" -> sortTopk,
@@ -396,6 +436,7 @@ object Windows {
     "window_distribution" -> windowDistributionSql,
     "window_session_gap" -> windowSessionGapSql,
     "window_gap_fill" -> windowGapFillSql,
+    "window_ewma" -> windowEwmaSql,
     "topk_per_group" -> topkPerGroupSql,
     "sort_global" -> sortGlobalSql,
     "sort_topk" -> sortTopkSql,

@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.Behavioral
+import org.apache.spark.sql.execution.ExpandExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import graft.operators.{Behavioral, DataQuality, Windows}
 
 /** Behavioral-analytics invariants (SURVEY.md §2.13) that the value-level
   * DuckDB oracle can't state: funnel monotonicity, retention bounds and the
@@ -46,6 +50,35 @@ class BehavioralSpec extends SparkSpec {
     }
     assert(rows.map(r => (r.getString(0), r.getTimestamp(1))).distinct.length == rows.length,
       "(event_type, hour) must be unique")
+  }
+
+  test("plan invariants: single Window node, single Expand, no nested-loop joins") {
+    // both lead() columns of top_paths resolve into ONE Window node — one
+    // sort-partitioned exchange serves the whole path extraction
+    val paths = Behavioral.eventsTopPaths(spark, sfDir)
+    paths.collect()
+    assert(flattenPlan(paths.queryExecution.executedPlan)
+      .count(_.isInstanceOf[WindowExec]) == 1)
+    // dq_profile's six exact distincts share ONE Expand (single scan, single
+    // multi-distinct aggregation) — N separate passes would be the 100 TB bug
+    val prof = DataQuality.dqProfile(spark, sfDir)
+    prof.collect()
+    assert(flattenPlan(prof.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ExpandExec]) == 1)
+    // the funnel's shrinking stages must stay equi-joins — a nested-loop or
+    // cartesian here would be quadratic in users at scale
+    val fun = Behavioral.eventsFunnel(spark, sfDir)
+    fun.collect()
+    val funNodes = flattenPlan(fun.queryExecution.executedPlan)
+    assert(!funNodes.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    // ewma folds after ONE user_id exchange — the collect_list agg and the
+    // fold are co-partitioned
+    val ewma = Windows.windowEwma(spark, sfDir)
+    ewma.collect()
+    val exchanges = flattenPlan(ewma.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exchanges <= 2, s"ewma should shuffle once plus the output sort, saw $exchanges")
   }
 
   test("path counts: every user with n>=3 events contributes exactly n-2 paths") {

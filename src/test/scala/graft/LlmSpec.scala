@@ -12,18 +12,8 @@ class LlmSpec extends SparkSpec {
   import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
   import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
-  /** Flatten the physical tree, descending through AQE wrappers — typed node
-    * collection instead of toString substring matching (round-7 ADVICE #4:
-    * attribute-id-bearing fragments like "[w#12]" break spuriously across
-    * Spark versions). */
-  private def flattenPlan(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case other                    => other.children
-    }
-    p +: kids.flatMap(flattenPlan)
-  }
+  // flattenPlan comes from SparkSpec (typed node collection instead of
+  // toString substring matching — round-7 ADVICE #4)
 
   /** Join exec nodes keyed on the token column `w` — the vocab-sided joins
     * under test — split into (broadcast-hash, shuffled) strategies. */

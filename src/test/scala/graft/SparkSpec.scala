@@ -10,6 +10,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Flatten a physical plan, descending through AQE wrappers — typed node
+    * collection instead of toString substring matching (round-7 ADVICE #4).
+    * Execute the DataFrame first if the final AQE plan is wanted. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
+
   /** Recursive delete for test-scoped scratch dirs (fixture copies written
     * by individual tests must not leak a parquet per run — round-7 advice). */
   def deleteDir(path: String): Unit = {

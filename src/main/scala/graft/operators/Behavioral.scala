@@ -244,17 +244,85 @@ object Behavioral {
       |FROM trans
       |ORDER BY src, dst""".stripMargin
 
+  /** Experiment readout: users deterministically split by `user_id % 2`,
+    * conversion = the user's FIRST logged event (min event_id) is a
+    * purchase — a per-user metric whose base rate (~1/5) is stable across
+    * scale factors, unlike any-purchase-ever, which saturates to 1 on a
+    * dense log and zeroes the pooled variance. Compared with the standard
+    * two-proportion z-test: every input is an exact integer count, the z
+    * statistic is one closed-form double expression written identically
+    * in both engines, and the significance flag thresholds the
+    * 6dp-rounded value — same discipline as `events_anomaly`.
+    *
+    * Scale: per-user conversion is one user_id aggregation over the log
+    * (min_by is a plain agg — no window sort); everything after is a
+    * 2-row rollup. Assignment-by-key-hash is the production experiment
+    * pattern (sticky, storage-free). */
+  val eventsAbTest: Q = (s, d) => {
+    val conv = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(when(min_by(col("event_type"), col("event_id")) === "purchase", 1L)
+        .otherwise(0L).as("converted"))
+    val g = conv.groupBy((col("user_id") % 2).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val w = g.agg(
+      sum(when(col("grp") === 0, col("n"))).as("n0"),
+      sum(when(col("grp") === 0, col("c"))).as("c0"),
+      sum(when(col("grp") === 1, col("n"))).as("n1"),
+      sum(when(col("grp") === 1, col("c"))).as("c1"))
+    val p = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    val z = (col("c1").cast("double") / col("n1") - col("c0").cast("double") / col("n0")) /
+      sqrt(p * (lit(1) - p) * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    w.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("c0").cast("double") / col("n0"), 6).as("rate0"),
+        round(col("c1").cast("double") / col("n1"), 6).as("rate1"),
+        round(z, 6).as("z6"))
+      .withColumn("significant", when(abs(col("z6")) >= 1.96, 1).otherwise(0))
+  }
+
+  val eventsAbTestSql: String =
+    """WITH conv AS (
+      |  SELECT user_id,
+      |    CASE WHEN arg_min(event_type, event_id) = 'purchase'
+      |         THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT user_id % 2 AS grp, count(*) AS n, sum(converted) AS c
+      |  FROM conv GROUP BY user_id % 2),
+      |w AS (
+      |  SELECT
+      |    cast(sum(CASE WHEN grp = 0 THEN n END) as bigint) AS n0,
+      |    cast(sum(CASE WHEN grp = 0 THEN c END) as bigint) AS c0,
+      |    cast(sum(CASE WHEN grp = 1 THEN n END) as bigint) AS n1,
+      |    cast(sum(CASE WHEN grp = 1 THEN c END) as bigint) AS c1
+      |  FROM g)
+      |SELECT n0, c0, n1, c1,
+      |  round(cast(c0 as double) / n0, 6) AS rate0,
+      |  round(cast(c1 as double) / n1, 6) AS rate1,
+      |  round((cast(c1 as double) / n1 - cast(c0 as double) / n0) /
+      |    sqrt((cast(c0 + c1 as double) / (n0 + n1)) *
+      |         (1 - cast(c0 + c1 as double) / (n0 + n1)) *
+      |         (cast(1 as double) / n0 + cast(1 as double) / n1)), 6) AS z6,
+      |  CASE WHEN abs(round((cast(c1 as double) / n1 - cast(c0 as double) / n0) /
+      |    sqrt((cast(c0 + c1 as double) / (n0 + n1)) *
+      |         (1 - cast(c0 + c1 as double) / (n0 + n1)) *
+      |         (cast(1 as double) / n0 + cast(1 as double) / n1)), 6)) >= 1.96
+      |       THEN 1 ELSE 0 END AS significant
+      |FROM w""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_top_paths" -> eventsTopPaths,
     "events_anomaly" -> eventsAnomaly,
-    "events_markov" -> eventsMarkov)
+    "events_markov" -> eventsMarkov,
+    "events_ab_test" -> eventsAbTest)
 
   val oracle: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
     "events_top_paths" -> eventsTopPathsSql,
     "events_anomaly" -> eventsAnomalySql,
-    "events_markov" -> eventsMarkovSql)
+    "events_markov" -> eventsMarkovSql,
+    "events_ab_test" -> eventsAbTestSql)
 }

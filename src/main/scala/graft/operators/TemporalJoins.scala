@@ -57,6 +57,49 @@ object TemporalJoins {
       |  ON c.user_id = v.user_id AND c.ts >= v.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** As-of with a max-staleness tolerance: the latest view still counts
+    * only within 1 hour of the click; older matches null out (LEFT
+    * semantics preserved). Same single union-tag window pass as
+    * [[joinAsof]] — the window additionally carries the matched view's
+    * timestamp forward, and the tolerance applies as one map-side
+    * conditional afterward. Because the as-of match is the LATEST
+    * candidate, post-filtering it equals "latest within the window" —
+    * no second window, no range join, same 100 TB shape. */
+  val joinAsofTolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+              lit(0).as("is_click"),
+              col("event_id").as("view_id"),
+              lit(null).cast("long").as("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+              lit(1).as("is_click"),
+              lit(null).cast("long").as("view_id"),
+              col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"),
+               coalesce(col("view_id"), lit(Long.MaxValue)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_ts",
+        last(when(col("is_click") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("is_click") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(unix_micros(col("ts")) - unix_micros(col("matched_ts")) <= 3600L * 1000000L,
+             col("matched_view")).as("view_id"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofToleranceSql: String =
+    """SELECT c.event_id, c.user_id, c.ts,
+      |  CASE WHEN c.ts - v.ts <= INTERVAL '1 hour' THEN v.event_id END AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.event_id""".stripMargin
+
   private val weekStarts: Seq[(String, LocalDate)] = {
     val origin = LocalDate.parse("2024-01-01")
     (0 until 5).map(k => (s"wk$k", origin.plusDays(7L * k)))
@@ -143,12 +186,14 @@ object TemporalJoins {
 
   val queries: Map[String, Q] = Map(
     "join_asof" -> joinAsof,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval" -> joinInterval,
     "join_interval_bucketed" -> joinIntervalBucketed,
   )
 
   val oracle: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_interval" -> joinIntervalSql,
     "join_interval_bucketed" -> joinIntervalBucketedSql,
   )

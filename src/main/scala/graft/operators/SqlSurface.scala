@@ -292,7 +292,33 @@ object SqlSurface {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** SQL `PIVOT` clause (the dialect spelling of `agg_pivot`'s API form):
+    * order counts per market segment × priority, one column per pivoted
+    * priority. Spark parses the PIVOT clause natively; the value list is
+    * explicit, so the output schema is static (value discovery would be a
+    * scan — the same rule the API operator documents). DuckDB's PIVOT
+    * grammar differs, so the oracle is the conditional-aggregation twin.
+    * Every (segment, priority) cell is populated in these fixtures, so
+    * Spark's empty-cell null never arises. */
+  val pivotSpark: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, o_orderpriority
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |PIVOT (count(*) FOR o_orderpriority
+      |       IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium))
+      |ORDER BY c_mktsegment""".stripMargin
+
+  val pivotOracleSql: String =
+    """SELECT c_mktsegment,
+      |  cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) as bigint) AS urgent,
+      |  cast(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) as bigint) AS high,
+      |  cast(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) as bigint) AS medium
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_pivot" -> sharedSql(pivotSpark),
     "sql_create_insert" -> sqlCreateInsert,
     "sql_lateral_join" -> sharedSql(lateralJoinSql),
     "sql_group_by_all" -> sharedSql(groupByAllSql),
@@ -310,6 +336,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_pivot" -> pivotOracleSql,
     "sql_create_insert" -> sqlCreateInsertOracleSql,
     "sql_lateral_join" -> lateralJoinSql,
     "sql_group_by_all" -> groupByAllSql,

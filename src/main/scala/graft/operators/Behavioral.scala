@@ -310,13 +310,78 @@ object Behavioral {
       |       THEN 1 ELSE 0 END AS significant
       |FROM w""".stripMargin
 
+  /** Session-scoped linear revenue attribution: events sessionize per user
+    * on a 30-minute inactivity gap (the `window_session_gap` flag-and-sum
+    * machinery), then each session's purchase revenue spreads equally
+    * across its view touchpoints — the standard marketing-attribution
+    * first model. Purchase totals are exact cents sums; the per-view share
+    * is one double division rounded 6dp (NULL when the session has no
+    * views), so every value is engine-exact.
+    *
+    * Scale: one sort-partitioned user_id exchange serves the session
+    * window; the per-session rollup re-aggregates on (user, session) —
+    * co-partitioned with the window output, no second data-sized
+    * exchange. Output is one row per session, bounded far below the log. */
+  val eventsAttribution: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(running))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("purchase_cents"))
+      .select(col("user_id"), col("session_idx"), col("n_views"),
+        (col("purchase_cents").cast("double") / 100.0).as("purchase_total"),
+        when(col("n_views") > 0,
+          round(col("purchase_cents").cast("double") / 100.0 / col("n_views"), 6))
+          .as("per_view6"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val eventsAttributionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, value,
+      |    cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_idx
+      |  FROM flagged),
+      |rolled AS (
+      |  SELECT user_id, session_idx,
+      |    cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_views,
+      |    cast(sum(CASE WHEN event_type = 'purchase'
+      |                  THEN cast(round(value * 100) as bigint) ELSE 0 END) as bigint)
+      |      AS purchase_cents
+      |  FROM sess GROUP BY user_id, session_idx)
+      |SELECT user_id, session_idx, n_views,
+      |  cast(purchase_cents as double) / 100.0 AS purchase_total,
+      |  CASE WHEN n_views > 0
+      |       THEN round(cast(purchase_cents as double) / 100.0 / n_views, 6)
+      |  END AS per_view6
+      |FROM rolled
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_top_paths" -> eventsTopPaths,
     "events_anomaly" -> eventsAnomaly,
     "events_markov" -> eventsMarkov,
-    "events_ab_test" -> eventsAbTest)
+    "events_ab_test" -> eventsAbTest,
+    "events_attribution" -> eventsAttribution)
 
   val oracle: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
@@ -324,5 +389,6 @@ object Behavioral {
     "events_top_paths" -> eventsTopPathsSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_markov" -> eventsMarkovSql,
-    "events_ab_test" -> eventsAbTestSql)
+    "events_ab_test" -> eventsAbTestSql,
+    "events_attribution" -> eventsAttributionSql)
 }

@@ -368,6 +368,64 @@ object TextAnalysis {
       |    (a, b) -> a + b), 6) < 2.8 THEN 1 ELSE 0 END AS low_entropy
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Corpus distribution shift: KL(en‖rest), KL(rest‖en), and
+    * Jensen-Shannon divergence between the English slice's unigram
+    * distribution and the rest of the corpus, with add-one smoothing over
+    * the joint vocabulary — the domain-drift measurement a training
+    * pipeline runs between corpus versions or source mixes before
+    * reweighting. All counts are exact integers; each divergence is a
+    * SEQUENTIAL fold over the vocabulary sorted by word (the
+    * `llm_entropy_filter` discipline), so the double sums have one
+    * evaluation order on both engines; 6dp rounding on output.
+    *
+    * Scale: the per-(word, slice) counts are a wordcount shuffle; the
+    * final fold runs over the DISTINCT VOCABULARY (bounded, not
+    * corpus-sized). For an unbounded vocabulary KL is a plain sum over
+    * words, so the fold shards by word-hash bucket and the partial
+    * divergences add — same plan, one more aggregation level. */
+  val distShift: Q = (s, d) => {
+    val counts = toks(s, d).groupBy("w").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cq"))
+    val packed = counts.agg(
+      sort_array(collect_list(struct(col("w"), col("cp"), col("cq")))).as("vs"),
+      count(lit(1)).as("v"), sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    import org.apache.spark.sql.Column
+    def p(x: Column) = (x.getField("cp").cast("double") + 1) / (col("np") + col("v"))
+    def q(x: Column) = (x.getField("cq").cast("double") + 1) / (col("nq") + col("v"))
+    def fold(term: Column => Column) =
+      aggregate(col("vs"), lit(0.0), (acc, x) => acc + term(x))
+    packed.select(col("v"), col("np"), col("nq"),
+      round(fold(x => p(x) * log(p(x) / q(x))), 6).as("kl_pq6"),
+      round(fold(x => q(x) * log(q(x) / p(x))), 6).as("kl_qp6"),
+      round(lit(0.5) * fold(x => p(x) * log(p(x) / ((p(x) + q(x)) / 2))) +
+            lit(0.5) * fold(x => q(x) * log(q(x) / ((p(x) + q(x)) / 2))), 6).as("js6"))
+  }
+
+  val distShiftSql: String = {
+    def pSql = "((cast(x.cp as double) + 1) / (np + v))"
+    def qSql = "((cast(x.cq as double) + 1) / (nq + v))"
+    def foldSql(term: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(vs, x -> $term)), (acc, t) -> acc + t)"
+    s"""WITH $toksSqlCte,
+       |counts AS (
+       |  SELECT w,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+       |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cq
+       |  FROM toks GROUP BY w),
+       |packed AS (
+       |  SELECT list_sort(list({'w': w, 'cp': cp, 'cq': cq})) AS vs,
+       |    cast(count(*) as bigint) AS v,
+       |    cast(sum(cp) as bigint) AS np, cast(sum(cq) as bigint) AS nq
+       |  FROM counts)
+       |SELECT v, np, nq,
+       |  round(${foldSql(s"$pSql * ln($pSql / $qSql)")}, 6) AS kl_pq6,
+       |  round(${foldSql(s"$qSql * ln($qSql / $pSql)")}, 6) AS kl_qp6,
+       |  round(0.5 * ${foldSql(s"$pSql * ln($pSql / (($pSql + $qSql) / 2))")} +
+       |        0.5 * ${foldSql(s"$qSql * ln($qSql / (($pSql + $qSql) / 2))")}, 6) AS js6
+       |FROM packed""".stripMargin
+  }
+
   /** Bigram extraction + counts (top 100 with total-order tiebreak). */
   val ngrams: Q = (s, d) =>
     Tables.documents(s, d)
@@ -1471,6 +1529,7 @@ object TextAnalysis {
     "llm_quality_classifier" -> qualityClassifier,
     "llm_gopher_rules" -> gopherRules,
     "llm_entropy_filter" -> entropyFilter,
+    "llm_dist_shift" -> distShift,
     "llm_span_corruption" -> spanCorruption,
     "llm_tfidf" -> tfidf,
     "llm_ngrams" -> ngrams,
@@ -1502,6 +1561,7 @@ object TextAnalysis {
     "llm_quality_classifier" -> qualityClassifierSql,
     "llm_gopher_rules" -> gopherRulesSql,
     "llm_entropy_filter" -> entropyFilterSql,
+    "llm_dist_shift" -> distShiftSql,
     "llm_span_corruption" -> spanCorruptionSql,
     "llm_tfidf" -> tfidfSql,
     "llm_ngrams" -> ngramsSql,

@@ -81,6 +81,29 @@ class BehavioralSpec extends SparkSpec {
     assert(exchanges <= 2, s"ewma should shuffle once plus the output sort, saw $exchanges")
   }
 
+  test("attribution conserves revenue and the per-view share recombines") {
+    val rows = Behavioral.eventsAttribution(spark, sfDir).collect()
+    val attributed = rows.map(_.getDouble(3)).sum
+    val totalPurchases = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).head.getLong(0) / 100.0
+    assert(math.abs(attributed - totalPurchases) < 1e-6,
+      "session purchase totals must partition total purchase revenue")
+    rows.filter(r => !r.isNullAt(4)).foreach { r =>
+      val (views, total, share) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(share * views - total) < views * 1e-6 / 2 + 1e-9,
+        s"share*views must recombine to the session total within rounding")
+    }
+    rows.filter(_.isNullAt(4)).foreach(r => assert(r.getLong(2) == 0))
+  }
+
+  test("distribution shift: KL non-negative, JS within [0, ln 2]") {
+    val r = graft.llm.TextAnalysis.distShift(spark, sfDir).head
+    val (klPq, klQp, js) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(klPq >= 0 && klQp >= 0, "KL divergence is non-negative")
+    assert(js >= 0 && js <= math.log(2) + 1e-9, "JS is bounded by ln 2")
+  }
+
   test("path counts: every user with n>=3 events contributes exactly n-2 paths") {
     val perUser = Tables.events(spark, sfDir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))

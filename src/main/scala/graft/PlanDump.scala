@@ -49,6 +49,14 @@ object PlanDump {
         "(type, hour) rollup, per-type moments re-aggregated from " +
         "rows-per-hour, stats broadcast back — the raw event log is " +
         "scanned exactly once"),
+      "events_attribution" -> ("session attribution: ONE sort-partitioned " +
+        "user_id exchange serves the gap-flag window, the running session " +
+        "index, and the per-session rollup (co-partitioned) — no second " +
+        "data-sized exchange"),
+      "dq_constraints" -> ("constraint battery: same-table checks fused " +
+        "into one aggregation pass per table (lineitem uniqueness + range " +
+        "share a scan), the FK edge an anti join, 5 one-row verdicts " +
+        "unioned map-side"),
       "llm_simsearch_topk" -> ("BroadcastNestedLoopJoin streaming candidates " +
         "past the broadcast query set; graft_dot codegen kernel in the projection"),
       "llm_neardup_pairs" -> ("prefix-filtered candidate join (short prefixes " +

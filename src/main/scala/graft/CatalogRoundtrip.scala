@@ -47,6 +47,11 @@ object CatalogRoundtrip {
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
           .write.mode("overwrite").partitionBy("o_orderpriority")
           .format("parquet").saveAsTable(TableName)
+        // table + column statistics into the metastore: the CBO surface.
+        // rowCount/sizeInBytes feed join-side size estimates; column NDVs
+        // feed CostBasedJoinReorder at a real 100 TB warehouse.
+        s.sql(s"ANALYZE TABLE $TableName COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $TableName COMPUTE STATISTICS FOR ALL COLUMNS")
         println(s"[roundtrip] wrote ${s.table(TableName).count()} rows")
       case "read" =>
         val df = s.table(TableName).where(col("o_orderpriority") === "1-URGENT")
@@ -57,7 +62,24 @@ object CatalogRoundtrip {
         val pruned = plan.contains("PartitionFilters: [") &&
           plan.linesIterator.exists(l =>
             l.contains("PartitionFilters") && l.contains("o_orderpriority"))
-        println(s"[roundtrip] read $n rows pruned=$pruned")
+        // CBO leg: the ANALYZE stats written by the FIRST JVM must reach
+        // this one's optimizer through the metastore. With cbo on, the
+        // catalog relation's estimate carries the analyzed rowCount; with
+        // AQE off, the planner's broadcast decision is made STATICALLY from
+        // exactly those stats — a stats-driven BroadcastHashJoin, the
+        // optimizer surface ANALYZE exists to feed (AQE would re-derive
+        // sizes at runtime and prove nothing about the metastore path).
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val persisted = s.table(TableName)
+        val statsRows = persisted.queryExecution.optimizedPlan.stats.rowCount
+        val statsOk = statsRows.exists(_.longValue == s.table(TableName).count())
+        val probe = s.read.parquet(s"$sfDir/lineitem.parquet")
+        val joined = probe.join(persisted, probe("l_orderkey") === col("o_orderkey"))
+        val joinPlan = joined.queryExecution.executedPlan.toString
+        val statsBroadcast = joinPlan.contains("BroadcastHashJoin")
+        println(s"[roundtrip] read $n rows pruned=$pruned " +
+          s"statsRowCount=$statsOk statsBroadcast=$statsBroadcast")
       case other => sys.error(s"unknown phase $other")
     }
     s.stop()

@@ -77,4 +77,24 @@ object Dsl {
     * division of identical operands is identical in both engines. */
   def moneyAvg(c: Column): Column = moneySum(c) / count(lit(1))
   def moneyAvgSql(col: String): String = s"${moneySumSql(col)} / count(*)"
+
+  /** Engine-identical 6dp canonicalization for reported double columns.
+    *
+    * Why not native `round(x, 6)`: the two engines round DIFFERENT values.
+    * Spark's Round converts the double to its shortest decimal repr
+    * (BigDecimal.valueOf) and rounds that HALF_UP; DuckDB rounds the raw
+    * binary double. For a value whose shortest repr ends in 5 at the 7th
+    * decimal but whose binary value sits just below it (e.g. 41/640 =
+    * "0.0640625" ≈ 0.06406249999…), Spark yields …63 and DuckDB …62 —
+    * an observed sf0.1 hash flip on percent_rank (round-7, Windows.scala).
+    *
+    * `floor(x·1e6 + 0.5) / 1e6` instead performs the SAME three IEEE
+    * operations on the same input double in both engines — correctly
+    * rounded multiply, add, floor — so the outputs are bit-identical by
+    * construction, at ties and everywhere else. Magnitude bound: exact for
+    * |x| ≲ 4.5e9 (x·1e6 + 0.5 must stay within the 2^53 integer-exact
+    * range); every canonicalized column here is well inside. Half-up
+    * toward +inf at a true binary tie, which both engines share. */
+  def round6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  def round6Sql(expr: String): String = s"floor(($expr) * 1e6 + 0.5) / 1e6"
 }

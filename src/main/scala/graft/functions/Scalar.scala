@@ -93,7 +93,7 @@ object Scalar {
   val fnMath: Q = (s, d) =>
     Tables.part(s, d)
       .select(col("p_partkey"),
-        abs(col("p_retailprice") - 1000).as("abs_delta"),
+        graft.Dsl.round6(abs(col("p_retailprice") - 1000)).as("abs_delta"),
         ceil(col("p_retailprice") / lit(7)).cast("long").as("ceil7"),
         floor(col("p_retailprice") / lit(7)).cast("long").as("floor7"),
         round(log(col("p_retailprice")), 6).as("ln6"),
@@ -106,8 +106,8 @@ object Scalar {
       .orderBy("p_partkey")
 
   val fnMathSql: String =
-    """SELECT p_partkey,
-      |  abs(p_retailprice - 1000) AS abs_delta,
+    s"""SELECT p_partkey,
+      |  ${graft.Dsl.round6Sql("abs(p_retailprice - 1000)")} AS abs_delta,
       |  cast(ceil(p_retailprice / 7) as bigint) AS ceil7,
       |  cast(floor(p_retailprice / 7) as bigint) AS floor7,
       |  round(ln(p_retailprice), 6) AS ln6,

@@ -42,17 +42,19 @@ object TypedUdaf {
     val wavg = udaf(WeightedAvgPrice)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      .agg(graft.Dsl.round6(
+        wavg(col("l_extendedprice"), col("l_quantity"))).as("wavg_price"))
       .orderBy("l_returnflag")
   }
 
   val udafWeightedAvgSql: String =
-    """SELECT l_returnflag,
-      |  cast(sum(cast(round(l_extendedprice * 100) as bigint) * cast(l_quantity as bigint)) as double)
-      |    / 100.0 / sum(cast(l_quantity as bigint)) AS wavg_price
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+    s"""SELECT l_returnflag,
+       |  ${graft.Dsl.round6Sql(
+             "cast(sum(cast(round(l_extendedprice * 100) as bigint) * cast(l_quantity as bigint)) as double)" +
+             " / 100.0 / sum(cast(l_quantity as bigint))")} AS wavg_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "udaf_weighted_avg" -> udafWeightedAvg,

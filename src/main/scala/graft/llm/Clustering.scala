@@ -85,7 +85,7 @@ object Clustering {
       .groupBy("cid")
       .agg(count(lit(1)).as("size"), sum(col("d2_micro")).as("inertia_micro"))
       .withColumn("mean_d2",
-        col("inertia_micro").cast("double") / col("size") / 1e6)
+        graft.Dsl.round6(col("inertia_micro").cast("double") / col("size") / 1e6))
       .select("cid", "size", "inertia_micro", "mean_d2")
       .orderBy("cid")
   }
@@ -128,7 +128,8 @@ object Clustering {
     s"""WITH $assignCte
        |SELECT cid, count(*) AS size,
        |  cast(sum(cast(round(d2 * 1e6, 0) as bigint)) as bigint) AS inertia_micro,
-       |  cast(sum(cast(round(d2 * 1e6, 0) as bigint)) as double) / count(*) / 1e6 AS mean_d2
+       |  ${graft.Dsl.round6Sql(
+            "cast(sum(cast(round(d2 * 1e6, 0) as bigint)) as double) / count(*) / 1e6")} AS mean_d2
        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
 
   /** PageRank over the k-NN graph ([[Similarity.knnGraph]]'s edge set) —

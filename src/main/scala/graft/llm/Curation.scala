@@ -43,9 +43,18 @@ object Curation {
     val pairs = Dedup.neardupPairs(s, d).select("d1", "d2")
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").transform(graft.Caching.cachedOnce)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    // Identity-label init + the first propagation round fold into ONE
+    // aggregation: with identity labels, round 1's "min neighbor label" is
+    // just min(dst), so label₀ = least(id, min(dst)) — computed by the same
+    // groupBy that enumerates the node set (the old .distinct() was an agg
+    // of identical cost that bought nothing). On the near-dup graphs this
+    // operator targets (dense little cliques, diameter 2-3) this removes a
+    // whole join+agg round; the checkpoint is LAZY so init materializes
+    // inside round 1's count — one fewer scheduled job on top.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("lbl"))
+      .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {

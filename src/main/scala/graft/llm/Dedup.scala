@@ -344,7 +344,7 @@ object Dedup {
         (size(col("toks")) - (w - 1)).cast("bigint").as("n_spans"))
       .join(dup, Seq("doc_id"), "left")
       .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
-      .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
+      .withColumn("dup_frac", graft.Dsl.round6(col("dup_spans").cast("double") / col("n_spans")))
       .withColumn("keep", (col("dup_frac") <= 0.5).cast("int"))
       .select("doc_id", "n_spans", "dup_spans", "dup_frac", "keep")
       .orderBy("doc_id")
@@ -365,12 +365,13 @@ object Dedup {
        |        FROM spans JOIN shared USING (g) GROUP BY doc_id),
        |base AS (SELECT doc_id, cast(len(t) - ${w - 1} as bigint) AS n_spans
        |         FROM toks WHERE len(t) >= $w)
-       |SELECT b.doc_id, b.n_spans,
-       |  cast(coalesce(dup_spans, 0) as bigint) AS dup_spans,
-       |  cast(coalesce(dup_spans, 0) as double) / n_spans AS dup_frac,
-       |  cast(CASE WHEN cast(coalesce(dup_spans, 0) as double) / n_spans <= 0.5
-       |       THEN 1 ELSE 0 END as int) AS keep
-       |FROM base b LEFT JOIN dup USING (doc_id)
+       |SELECT doc_id, n_spans, dup_spans, dup_frac,
+       |  cast(CASE WHEN dup_frac <= 0.5 THEN 1 ELSE 0 END as int) AS keep
+       |FROM (
+       |  SELECT b.doc_id, b.n_spans,
+       |    cast(coalesce(dup_spans, 0) as bigint) AS dup_spans,
+       |    ${graft.Dsl.round6Sql("cast(coalesce(dup_spans, 0) as double) / n_spans")} AS dup_frac
+       |  FROM base b LEFT JOIN dup USING (doc_id))
        |ORDER BY doc_id""".stripMargin
 
   val substringDedupSql: String = substringDedupSqlAt(SpanTokens)
@@ -410,7 +411,7 @@ object Dedup {
       .agg(countDistinct(col("wmin")).as("n_fps"),
            min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
       .select(col("doc_id"), col("n_shingles"), col("n_fps"),
-              (col("n_fps").cast("double") / col("n_shingles")).as("density"),
+              graft.Dsl.round6(col("n_fps").cast("double") / col("n_shingles")).as("density"),
               col("fp_min"), col("fp_max"))
       .orderBy("doc_id")
   }
@@ -431,7 +432,7 @@ object Dedup {
        |  FROM hs)
        |SELECT doc_id, cast(n_shingles as bigint) AS n_shingles,
        |  cast(len(fps) as bigint) AS n_fps,
-       |  cast(len(fps) as double) / n_shingles AS density,
+       |  ${graft.Dsl.round6Sql("cast(len(fps) as double) / n_shingles")} AS density,
        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
        |FROM sel
        |ORDER BY doc_id""".stripMargin

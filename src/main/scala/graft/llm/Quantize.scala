@@ -15,40 +15,50 @@ import graft.Tables
   * Determinism: rounding is spelled floor(x+0.5) — identical in every
   * engine, unlike round() whose half-up (Spark) vs half-even (DuckDB) modes
   * diverge on exact ties. The MAE is a sequential per-vector fold in double
-  * (same order both engines), so it ships unrounded.
+  * (same order both engines); the REPORTED scale and mae go through the
+  * 6dp canonicalization ([[graft.Dsl.round6]]) while the quantization
+  * itself uses the raw scale — round 9 proved unrounded doubles do not
+  * survive the driver's hash canonicalization even when bit-identical.
   */
 object Quantize {
   type Q = (SparkSession, String) => DataFrame
 
   val embeddingQuantize: Q = (s, d) => {
     val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    // the raw scale is named scale_raw, NOT reused as the output alias: a
+    // select list that defines alias `scale` while its other expressions
+    // reference a column `scale` is a lateral-alias ambiguity the two
+    // engines resolve OPPOSITELY (Spark bound the mae term to the rounded
+    // alias, DuckDB to the raw input — an observed 1-ulp-of-6dp hash flip)
     val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), col("label"), col("embedding"), scale.as("scale_raw"))
     val qv = transform(col("embedding"), x =>
-      when(col("scale") === 0, lit(0)).otherwise(
-        floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5)).cast("int")))
+      when(col("scale_raw") === 0, lit(0)).otherwise(
+        floor(x.cast("double") * lit(127.0) / col("scale_raw") + lit(0.5)).cast("int")))
     base.withColumn("qv", qv)
-      .select(col("vec_id"), col("label"), col("scale"),
+      .select(col("vec_id"), col("label"), graft.Dsl.round6(col("scale_raw")).as("scale"),
         array_join(transform(col("qv"), q => q.cast("string")), "|").as("qstr"),
-        (aggregate(zip_with(col("embedding"), col("qv"),
-            (x, q) => abs(x.cast("double") - q * col("scale") / lit(127.0))),
+        graft.Dsl.round6(aggregate(zip_with(col("embedding"), col("qv"),
+            (x, q) => abs(x.cast("double") - q * col("scale_raw") / lit(127.0))),
           lit(0.0), (acc, v) => acc + v) / size(col("embedding"))).as("mae"))
       .orderBy("vec_id")
   }
 
   val embeddingQuantizeSql: String =
-    """WITH s AS (SELECT vec_id, label, embedding,
-      |  list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS scale
-      |  FROM embeddings),
-      |q AS (SELECT vec_id, label, scale, embedding,
-      |  list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
-      |    ELSE cast(floor(cast(x as double) * 127.0 / scale + 0.5) as int) END) AS qv
-      |  FROM s)
-      |SELECT vec_id, label, scale, array_to_string(qv, '|') AS qstr,
-      |  list_reduce(list_transform(range(1, len(embedding) + 1),
-      |    i -> abs(cast(embedding[i] as double) - qv[i] * scale / 127.0)), (x, y) -> x + y)
-      |    / len(embedding) AS mae
-      |FROM q ORDER BY vec_id""".stripMargin
+    s"""WITH s AS (SELECT vec_id, label, embedding,
+       |  list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS scale_raw
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, label, scale_raw, embedding,
+       |  list_transform(embedding, x -> CASE WHEN scale_raw = 0 THEN 0
+       |    ELSE cast(floor(cast(x as double) * 127.0 / scale_raw + 0.5) as int) END) AS qv
+       |  FROM s)
+       |SELECT vec_id, label, ${graft.Dsl.round6Sql("scale_raw")} AS scale,
+       |  array_to_string(qv, '|') AS qstr,
+       |  ${graft.Dsl.round6Sql(
+            """list_reduce(list_transform(range(1, len(embedding) + 1),
+              |    i -> abs(cast(embedding[i] as double) - qv[i] * scale_raw / 127.0)), (x, y) -> x + y)
+              |    / len(embedding)""".stripMargin)} AS mae
+       |FROM q ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "llm_embedding_quantize" -> embeddingQuantize,

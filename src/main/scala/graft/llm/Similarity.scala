@@ -435,9 +435,9 @@ object Similarity {
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
-        when(col("degree") < 2, lit(0.0))
+        graft.Dsl.round6(when(col("degree") < 2, lit(0.0))
           .otherwise(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
-                     (col("degree") * (col("degree") - 1)))
+                     (col("degree") * (col("degree") - 1))))
           .as("clustering_coeff"))
       .orderBy("node")
   }
@@ -473,9 +473,10 @@ object Similarity {
        |  GROUP BY node)
        |SELECT d.node, d.degree,
        |  coalesce(t.triangles, 0) AS triangles,
-       |  CASE WHEN d.degree < 2 THEN 0.0
-       |       ELSE cast(coalesce(t.triangles, 0) as double) * 2
-       |            / (d.degree * (d.degree - 1)) END AS clustering_coeff
+       |  ${graft.Dsl.round6Sql(
+            """CASE WHEN d.degree < 2 THEN 0.0
+              |       ELSE cast(coalesce(t.triangles, 0) as double) * 2
+              |            / (d.degree * (d.degree - 1)) END""".stripMargin)} AS clustering_coeff
        |FROM deg d LEFT JOIN per_node t ON d.node = t.node
        |ORDER BY d.node""".stripMargin
 

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Dsl.{round6, round6Sql}
 
 /** §2.11 text analysis for a training-data pipeline (SURVEY.md; sentiment
   * pattern per the public EDBT'16 large-scale-sentiment shape, PAPERS.md:7):
@@ -200,9 +201,9 @@ object TextAnalysis {
     Tables.documents(s, d).select("doc_id", "n_chars")
       .join(t, "doc_id")
       .select(col("doc_id"), col("n_toks"),
-        (col("sum_len").cast("double") / col("n_toks")).as("mean_tok_len"),
-        (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
-        (col("n_chars").cast("double") / col("n_toks")).as("chars_per_tok"))
+        round6(col("sum_len").cast("double") / col("n_toks")).as("mean_tok_len"),
+        round6(col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+        round6(col("n_chars").cast("double") / col("n_toks")).as("chars_per_tok"))
       .orderBy("doc_id")
   }
 
@@ -214,9 +215,9 @@ object TextAnalysis {
        |    sum(CASE WHEN w IN ('the', 'a', 'value') THEN 1 ELSE 0 END) AS n_stop
        |  FROM toks GROUP BY doc_id)
        |SELECT d.doc_id, n_toks,
-       |  cast(sum_len as double) / n_toks AS mean_tok_len,
-       |  cast(n_stop as double) / n_toks AS stop_ratio,
-       |  cast(n_chars as double) / n_toks AS chars_per_tok
+       |  ${round6Sql("cast(sum_len as double) / n_toks")} AS mean_tok_len,
+       |  ${round6Sql("cast(n_stop as double) / n_toks")} AS stop_ratio,
+       |  ${round6Sql("cast(n_chars as double) / n_toks")} AS chars_per_tok
        |FROM documents d JOIN t ON d.doc_id = t.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
@@ -230,7 +231,12 @@ object TextAnalysis {
       .transform(graft.Caching.cachedOnce)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val weighted = vocabJoin(tf, dfreq, "w").crossJoin(broadcast(n))
+    // n_docs rides ON the vocab side (1-row cross join before the adaptive
+    // join) instead of a second broadcast onto the fact side: one broadcast
+    // exchange builds (w, df, n_docs) in a single stage — one fewer
+    // broadcast barrier on the fact path, which is pure fixed overhead
+    // (this query's 8x-scale ratio is ~1.0; its cost IS the stage count).
+    val weighted = vocabJoin(tf, dfreq.crossJoin(n), "w")
       .withColumn("weight6",
         round(col("tf") * (log(col("n_docs").cast("double") / col("df")) + 1), 6))
     val w = org.apache.spark.sql.expressions.Window
@@ -267,8 +273,12 @@ object TextAnalysis {
     * published heuristic battery production corpora are filtered with
     * (distinct from [[qualityScore]], which reports OUR composite
     * metrics; this one reproduces the published rule set and its pass
-    * verdict). All measures are exact integer ratios → deterministic
-    * doubles, and the verdict is an int so both engines hash identically.
+    * verdict). The reported ratios are rounded to 6dp on BOTH engines —
+    * the repo-wide canonicalization discipline (cf. [[entropyFilter]]);
+    * round 9 proved that emitting the raw division double, even when
+    * bit-identical across engines, does not survive the driver's float
+    * canonicalization. The pass verdict still thresholds the UNROUNDED
+    * ratio on both sides, so the filter semantics are unchanged.
     *
     * Scale: wordcount-shaped — tokenize map-side, one partial+final
     * aggregation on doc_id, then a join back to documents on doc_id.
@@ -285,8 +295,8 @@ object TextAnalysis {
     Tables.documents(s, d).select("doc_id")
       .join(t, "doc_id")
       .select(col("doc_id"), col("n_words"),
-        (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
-        (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+        round6(col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        round6(col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
         col("n_stop"),
         when(col("n_words").between(50, 100000) &&
              (col("sum_len").cast("double") / col("n_words")).between(3.0, 10.0) &&
@@ -304,8 +314,8 @@ object TextAnalysis {
        |    sum(CASE WHEN w IN ('the', 'a', 'value') THEN 1 ELSE 0 END) AS n_stop
        |  FROM toks GROUP BY doc_id)
        |SELECT d.doc_id, n_words,
-       |  cast(sum_len as double) / n_words AS mean_word_len,
-       |  cast(n_alpha as double) / n_words AS alpha_frac,
+       |  ${round6Sql("cast(sum_len as double) / n_words")} AS mean_word_len,
+       |  ${round6Sql("cast(n_alpha as double) / n_words")} AS alpha_frac,
        |  n_stop,
        |  CASE WHEN n_words BETWEEN 50 AND 100000
        |        AND cast(sum_len as double) / n_words BETWEEN 3.0 AND 10.0
@@ -490,7 +500,7 @@ object TextAnalysis {
       .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("lang"), col("label"),
         size(col("embedding")).as("dim"),
-        sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("l2_norm"),
+        round6(sqrt(Similarity.dot(col("embedding"), col("embedding")))).as("l2_norm"),
         size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("n_toks"))
       .orderBy("doc_id")
   }
@@ -498,7 +508,7 @@ object TextAnalysis {
   val multimodalStructSql: String =
     s"""SELECT doc_id, lang, label,
        |  cast(len(embedding) as int) AS dim,
-       |  sqrt(${Similarity.dotSql("embedding", "embedding")}) AS l2_norm,
+       |  ${round6Sql(s"sqrt(${Similarity.dotSql("embedding", "embedding")})")} AS l2_norm,
        |  cast(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) as int) AS n_toks
        |FROM documents JOIN embeddings ON doc_id = vec_id
        |ORDER BY doc_id""".stripMargin
@@ -610,8 +620,8 @@ object TextAnalysis {
       .groupBy("doc_id").agg(max("c").as("top_tok_n"))
     perDoc.join(topTok, "doc_id")
       .withColumn("dup_bigram_frac",
-        lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
-      .withColumn("top_tok_share", col("top_tok_n").cast("double") / col("n_toks"))
+        round6(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams")))
+      .withColumn("top_tok_share", round6(col("top_tok_n").cast("double") / col("n_toks")))
       .withColumn("keep",
         (col("dup_bigram_frac") <= 0.2 && col("top_tok_share") <= 0.1).cast("int"))
       .select("doc_id", "lang", "n_toks", "n_bigrams", "n_distinct_bigrams",
@@ -637,11 +647,14 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
        |  GROUP BY doc_id)
        |SELECT doc_id, lang, n_toks, n_bigrams, n_distinct_bigrams, top_tok_n,
-       |  1.0 - cast(n_distinct_bigrams as double) / n_bigrams AS dup_bigram_frac,
-       |  cast(top_tok_n as double) / n_toks AS top_tok_share,
-       |  cast(CASE WHEN 1.0 - cast(n_distinct_bigrams as double) / n_bigrams <= 0.2
-       |        AND cast(top_tok_n as double) / n_toks <= 0.1 THEN 1 ELSE 0 END as int) AS keep
-       |FROM bi JOIN tt USING (doc_id)
+       |  dup_bigram_frac, top_tok_share,
+       |  cast(CASE WHEN dup_bigram_frac <= 0.2
+       |        AND top_tok_share <= 0.1 THEN 1 ELSE 0 END as int) AS keep
+       |FROM (
+       |  SELECT doc_id, lang, n_toks, n_bigrams, n_distinct_bigrams, top_tok_n,
+       |    ${round6Sql("1.0 - cast(n_distinct_bigrams as double) / n_bigrams")} AS dup_bigram_frac,
+       |    ${round6Sql("cast(top_tok_n as double) / n_toks")} AS top_tok_share
+       |  FROM bi JOIN tt USING (doc_id))
        |ORDER BY doc_id""".stripMargin
 
   /** Unigram-LM self-scoring (the CCNet-style perplexity quality signal,
@@ -667,7 +680,7 @@ object TextAnalysis {
         round(log(col("n_total").cast("double") / col("c")) * 1e6, 0).cast("bigint"))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("nll_micro"))
-      .withColumn("mean_nll", col("nll_micro").cast("double") / col("n_toks"))
+      .withColumn("mean_nll", round6(col("nll_micro").cast("double") / col("n_toks")))
       .withColumn("nll_bucket", floor(col("mean_nll") / 1e6).cast("int"))
       .select("doc_id", "n_toks", "nll_micro", "mean_nll", "nll_bucket")
       .orderBy("doc_id")
@@ -684,10 +697,13 @@ object TextAnalysis {
        |per AS (
        |  SELECT doc_id, count(*) AS n_toks, cast(sum(micro) as bigint) AS nll_micro
        |  FROM scored GROUP BY doc_id)
-       |SELECT doc_id, n_toks, nll_micro,
-       |  cast(nll_micro as double) / n_toks AS mean_nll,
-       |  cast(floor((cast(nll_micro as double) / n_toks) / 1e6) as int) AS nll_bucket
-       |FROM per ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, n_toks, nll_micro, mean_nll,
+       |  cast(floor(mean_nll / 1e6) as int) AS nll_bucket
+       |FROM (
+       |  SELECT doc_id, n_toks, nll_micro,
+       |    ${round6Sql("cast(nll_micro as double) / n_toks")} AS mean_nll
+       |  FROM per)
+       |ORDER BY doc_id""".stripMargin
 
   val ZipfTopTerms = 500
 
@@ -716,12 +732,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      .withColumn("slope",
+      .withColumn("slope_raw",
         (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
         (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("slope", round6(col("slope_raw")))
       .withColumn("intercept",
-        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
-        col("n_terms").cast("double"))
+        round6((col("sy").cast("double") - col("slope_raw") * col("sx").cast("double")) /
+        col("n_terms").cast("double")))
       .select("lang", "n_terms", "slope", "intercept")
       .orderBy("lang")
   }
@@ -744,12 +761,15 @@ object TextAnalysis {
        |    cast(sum(x * y) as bigint) AS sxy, cast(sum(x * x) as bigint) AS sxx
        |  FROM pts GROUP BY lang)
        |SELECT lang, n_terms,
-       |  cast(n_terms * sxy - sx * sy as double) /
-       |    cast(n_terms * sxx - sx * sx as double) AS slope,
-       |  (cast(sy as double) - (cast(n_terms * sxy - sx * sy as double) /
-       |    cast(n_terms * sxx - sx * sx as double)) * cast(sx as double)) /
-       |    cast(n_terms as double) AS intercept
-       |FROM sums ORDER BY lang""".stripMargin
+       |  ${round6Sql("slope_raw")} AS slope,
+       |  ${round6Sql(
+             "(cast(sy as double) - slope_raw * cast(sx as double)) / cast(n_terms as double)")} AS intercept
+       |FROM (
+       |  SELECT lang, n_terms, sx, sy,
+       |    cast(n_terms * sxy - sx * sy as double) /
+       |      cast(n_terms * sxx - sx * sx as double) AS slope_raw
+       |  FROM sums)
+       |ORDER BY lang""".stripMargin
 
   /** One round of BPE vocabulary training as a dataflow: count every
     * adjacent character pair across the corpus vocabulary, weighted by word
@@ -820,7 +840,7 @@ object TextAnalysis {
                    (col("nr") + 256))) * 1e6, 0).cast("bigint"))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("dsir_micro"))
-      .withColumn("avg_logratio", col("dsir_micro").cast("double") / col("n_toks"))
+      .withColumn("avg_logratio", round6(col("dsir_micro").cast("double") / col("n_toks")))
       .select("doc_id", "n_toks", "dsir_micro", "avg_logratio")
       .orderBy("doc_id")
   }
@@ -844,7 +864,7 @@ object TextAnalysis {
        |  SELECT doc_id, count(*) AS n_toks, cast(sum(micro) as bigint) AS dsir_micro
        |  FROM scored GROUP BY doc_id)
        |SELECT doc_id, n_toks, dsir_micro,
-       |  cast(dsir_micro as double) / n_toks AS avg_logratio
+       |  ${round6Sql("cast(dsir_micro as double) / n_toks")} AS avg_logratio
        |FROM per ORDER BY doc_id""".stripMargin
 
   /** CCNet-style perplexity bucketing: rank every document inside its
@@ -873,7 +893,7 @@ object TextAnalysis {
            sum(col("n_toks")).as("toks"),
            sum(col("nll_micro")).as("nll_micro_sum"))
       .withColumn("weighted_mean_nll",
-        col("nll_micro_sum").cast("double") / col("toks"))
+        round6(col("nll_micro_sum").cast("double") / col("toks")))
       .select("lang", "bucket", "docs", "toks", "nll_micro_sum",
               "weighted_mean_nll")
       .orderBy("lang", "bucket")
@@ -897,7 +917,7 @@ object TextAnalysis {
        |SELECT lang, bucket, count(*) AS docs,
        |  cast(sum(n_toks) as bigint) AS toks,
        |  cast(sum(nll_micro) as bigint) AS nll_micro_sum,
-       |  cast(sum(nll_micro) as double) / sum(n_toks) AS weighted_mean_nll
+       |  ${round6Sql("cast(sum(nll_micro) as double) / sum(n_toks)")} AS weighted_mean_nll
        |FROM ranked GROUP BY lang, bucket
        |ORDER BY lang, bucket""".stripMargin
 
@@ -1022,9 +1042,10 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("wm")).as("dot_milli"),
            sum(col("cnt")).as("n_toks"))
-      .withColumn("logit",
+      .withColumn("logit_raw",
         col("dot_milli").cast("double") / (col("n_toks") * 1000))
-      .withColumn("score6", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .withColumn("logit", round6(col("logit_raw")))
+      .withColumn("score6", round(lit(1.0) / (lit(1.0) + exp(-col("logit_raw"))), 6))
       .withColumn("keep", (col("score6") >= 0.5).cast("int"))
       .select("doc_id", "n_toks", "dot_milli", "logit", "score6", "keep")
       .orderBy("doc_id")
@@ -1044,10 +1065,13 @@ object TextAnalysis {
        |    cast(sum(cnt) as bigint) AS n_toks
        |  FROM bucketed GROUP BY doc_id)
        |SELECT doc_id, n_toks, dot_milli,
-       |  cast(dot_milli as double) / (n_toks * 1000) AS logit,
-       |  round(1.0 / (1.0 + exp(-(cast(dot_milli as double) / (n_toks * 1000)))), 6) AS score6,
-       |  cast(round(1.0 / (1.0 + exp(-(cast(dot_milli as double) / (n_toks * 1000)))), 6) >= 0.5 as int) AS keep
-       |FROM scored
+       |  ${round6Sql("logit_raw")} AS logit,
+       |  round(1.0 / (1.0 + exp(-logit_raw)), 6) AS score6,
+       |  cast(round(1.0 / (1.0 + exp(-logit_raw)), 6) >= 0.5 as int) AS keep
+       |FROM (
+       |  SELECT doc_id, n_toks, dot_milli,
+       |    cast(dot_milli as double) / (n_toks * 1000) AS logit_raw
+       |  FROM scored)
        |ORDER BY doc_id""".stripMargin
 
   /** Span-corruption preprocessing (T5/UL2 denoising objective): positions
@@ -1095,7 +1119,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_masked"), lit(0L)).as("n_masked"),
-        (coalesce(col("n_masked"), lit(0L)).cast("double") / col("n_toks"))
+        round6(coalesce(col("n_masked"), lit(0L)).cast("double") / col("n_toks"))
           .as("corruption_rate"),
         coalesce(col("masked_md5"), lit("")).as("masked_md5"))
       .orderBy("doc_id")
@@ -1128,7 +1152,7 @@ object TextAnalysis {
        |SELECT n.doc_id, n.n_toks,
        |  coalesce(s.n_spans, 0) AS n_spans,
        |  coalesce(p.n_masked, 0) AS n_masked,
-       |  cast(coalesce(p.n_masked, 0) as double) / n.n_toks AS corruption_rate,
+       |  ${round6Sql("cast(coalesce(p.n_masked, 0) as double) / n.n_toks")} AS corruption_rate,
        |  coalesce(p.masked_md5, '') AS masked_md5
        |FROM n
        |LEFT JOIN spans s ON n.doc_id = s.doc_id
@@ -1440,7 +1464,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_toks"))
       .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
       .select(col("doc_id"), col("n_words"), col("n_bpe_toks"),
-              (col("n_chars").cast("double") / col("n_bpe_toks")).as("chars_per_tok"))
+              round6(col("n_chars").cast("double") / col("n_bpe_toks")).as("chars_per_tok"))
       .orderBy("doc_id")
   }
 
@@ -1501,7 +1525,7 @@ object TextAnalysis {
        |  SELECT doc_id, count(*) AS n_words, cast(sum(n_syms) as bigint) AS n_bpe_toks
        |  FROM toks JOIN syms USING (w) GROUP BY doc_id)
        |SELECT d.doc_id, p.n_words, p.n_bpe_toks,
-       |  cast(d.n_chars as double) / p.n_bpe_toks AS chars_per_tok
+       |  ${round6Sql("cast(d.n_chars as double) / p.n_bpe_toks")} AS chars_per_tok
        |FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 

@@ -36,8 +36,8 @@ object Aggregates {
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         discPriceSum.as("sum_disc_price"),
         chargeSum.as("sum_charge"),
-        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(moneySum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -47,8 +47,8 @@ object Aggregates {
        |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
        |  $discPriceSumSql AS sum_disc_price,
        |  $chargeSumSql AS sum_charge,
-       |  sum(l_quantity) / count(*) AS avg_qty,
-       |  ${moneySumSql("l_extendedprice")} / count(*) AS avg_price,
+       |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       |  round(${moneySumSql("l_extendedprice")} / count(*), 6) AS avg_price,
        |  count(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -233,11 +233,11 @@ object Aggregates {
            sum(p).as("sp"), sum(p * p).as("spp"),
            sum(p * q).as("spq"))
       .select(col("l_returnflag"), col("n"),
-        sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+        round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 6)
           .as("stddev_qty"),
-        ((col("spq").cast("double") - col("sp").cast("double") * col("sq").cast("double") / col("n")) /
+        round((col("spq").cast("double") - col("sp").cast("double") * col("sq").cast("double") / col("n")) /
          (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
-          sqrt(col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))))
+          sqrt(col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))), 6)
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -252,10 +252,10 @@ object Aggregates {
       |    sum(cast(l_extendedprice as decimal(12,2)) * cast(l_quantity as bigint)) AS spq
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
-      |  (cast(spq as double) - cast(sp as double) * cast(sq as double) / n) /
+      |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+      |  round((cast(spq as double) - cast(sp as double) * cast(sq as double) / n) /
       |   (sqrt(sqq - sq * sq / n) *
-      |    sqrt(cast(spp as double) - cast(sp as double) * cast(sp as double) / n)) AS corr_qty_price
+      |    sqrt(cast(spp as double) - cast(sp as double) * cast(sp as double) / n)), 6) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** Pivot: order counts per market segment × priority, one column per

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Dsl.{round6, round6Sql}
 
 /** Behavioral / product-analytics operators over the `events` stream table
   * (SURVEY.md §2.13): ordered-funnel conversion, cohort retention, and
@@ -103,12 +104,12 @@ object Behavioral {
       .select(col("cohort_week"),
         (datediff(col("active_week"), col("cohort_week")) / 7).cast("long").as("week_offset"),
         col("n_active"), col("cohort_size"),
-        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+        round6(col("n_active").cast("double") / col("cohort_size")).as("retention"))
       .orderBy("cohort_week", "week_offset")
   }
 
   val eventsRetentionSql: String =
-    """WITH first_seen AS (
+    s"""WITH first_seen AS (
       |  SELECT user_id, cast(date_trunc('week', min(ts)) as date) AS cohort_week
       |  FROM events GROUP BY user_id),
       |active AS (
@@ -120,7 +121,7 @@ object Behavioral {
       |SELECT f.cohort_week,
       |  cast(datediff('day', f.cohort_week, a.active_week) / 7 as bigint) AS week_offset,
       |  count(*) AS n_active, max(cohort_size) AS cohort_size,
-      |  cast(count(*) as double) / max(cohort_size) AS retention
+      |  ${round6Sql("cast(count(*) as double) / max(cohort_size)")} AS retention
       |FROM active a
       |JOIN first_seen f ON a.user_id = f.user_id
       |JOIN sizes s ON f.cohort_week = s.cohort_week

@@ -104,9 +104,14 @@ object DataQuality {
     * when the dimension side fits. At 100 TB every check keeps this shape:
     * per-table single passes plus one anti join per FK edge. */
   val dqConstraints: Q = (s, d) => {
+    // countDistinct over bare columns DROPS any tuple containing a NULL,
+    // while the DuckDB oracle's count(DISTINCT (row-tuple)) counts it; a
+    // struct is non-null even when its fields are null, so counting
+    // distinct STRUCTS gives both engines identical null semantics —
+    // important inside a null-checking constraint battery.
     val li = Tables.lineitem(s, d).agg(
-      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"))).as("pk_viol"),
+      (count(lit(1)) - countDistinct(struct(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")))).as("pk_viol"),
       sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
         .as("qty_viol"))
     val ord = Tables.orders(s, d).agg(

@@ -298,14 +298,20 @@ object SqlSurface {
     * explicit, so the output schema is static (value discovery would be a
     * scan — the same rule the API operator documents). DuckDB's PIVOT
     * grammar differs, so the oracle is the conditional-aggregation twin.
-    * Every (segment, priority) cell is populated in these fixtures, so
-    * Spark's empty-cell null never arises. */
+    * Spark's PIVOT yields NULL for an empty cell where the conditional
+    * aggregation yields 0, so the pivoted counts are coalesced to 0 —
+    * the equivalence must not hinge on every fixture cell being dense. */
   val pivotSpark: String =
-    """SELECT * FROM (
-      |  SELECT c_mktsegment, o_orderpriority
-      |  FROM orders JOIN customer ON o_custkey = c_custkey)
-      |PIVOT (count(*) FOR o_orderpriority
-      |       IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium))
+    """SELECT c_mktsegment,
+      |  coalesce(urgent, 0) AS urgent,
+      |  coalesce(high, 0) AS high,
+      |  coalesce(medium, 0) AS medium
+      |FROM (
+      |  SELECT * FROM (
+      |    SELECT c_mktsegment, o_orderpriority
+      |    FROM orders JOIN customer ON o_custkey = c_custkey)
+      |  PIVOT (count(*) FOR o_orderpriority
+      |         IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium)))
       |ORDER BY c_mktsegment""".stripMargin
 
   val pivotOracleSql: String =

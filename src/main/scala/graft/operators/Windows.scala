@@ -72,18 +72,18 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("value"),
               lag(col("value"), 1).over(w).as("prev_value"),
               lead(col("event_type"), 1).over(w).as("next_type"),
-              (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+              round6(col("value") - lag(col("value"), 1).over(w)).as("delta"))
       .orderBy("user_id", "event_id")
   }
 
   val windowLagLeadSql: String =
-    """SELECT user_id, event_id, value,
-      |  lag(value, 1) OVER w AS prev_value,
-      |  lead(event_type, 1) OVER w AS next_type,
-      |  value - lag(value, 1) OVER w AS delta
-      |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |ORDER BY user_id, event_id""".stripMargin
+    s"""SELECT user_id, event_id, value,
+       |  lag(value, 1) OVER w AS prev_value,
+       |  lead(event_type, 1) OVER w AS next_type,
+       |  ${round6Sql("value - lag(value, 1) OVER w")} AS delta
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
 
   /** Running ROWS-frame aggregates (exact long-cents accumulation). */
   val windowRunningRows: Q = (s, d) => {
@@ -174,10 +174,14 @@ object Windows {
 
   /** Distribution analytics: percent_rank / cume_dist / deciles of customer
     * balance within each nation. percent_rank = (rank-1)/(n-1) and
-    * cume_dist = rank/n are single IEEE divisions of identical integers, so
-    * both engines produce bit-identical doubles UNROUNDED — while round(_, 6)
-    * would break on rounding-mode ties (Spark half-up vs DuckDB half-even
-    * flipped 0.0640625 at sf0.1). Ties on c_acctbal rank identically. */
+    * cume_dist = rank/n are single IEEE divisions of identical integers —
+    * bit-identical across engines — but round 9 proved unrounded doubles do
+    * not survive the driver's hash canonicalization, so the outputs go
+    * through [[graft.Dsl.round6]]. NOT native round(_, 6): that broke on
+    * rounding-mode ties here (Spark rounds the shortest decimal repr
+    * HALF_UP, DuckDB rounds the binary value — 0.0640625 flipped at sf0.1);
+    * round6's floor spelling is the same IEEE arithmetic in both engines,
+    * tie-safe by construction. Ties on c_acctbal rank identically. */
   /** Batch sessionization as gaps-and-islands: a session breaks when the
     * gap to the user's previous event exceeds 30 minutes; the session index
     * is a running sum of break flags. The WINDOW-FUNCTION twin of the
@@ -300,19 +304,19 @@ object Windows {
       .join(broadcast(Tables.nation(s, d)),
             col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
-              percent_rank().over(byBal).as("pr"),
-              cume_dist().over(byBal).as("cd"),
+              round6(percent_rank().over(byBal)).as("pr"),
+              round6(cume_dist().over(byBal)).as("cd"),
               ntile(10).over(byBalKey).as("decile"))
       .orderBy("n_name", "c_acctbal", "c_custkey")
   }
 
   val windowDistributionSql: String =
-    """SELECT n_name, c_custkey, c_acctbal,
-      |  percent_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal) AS pr,
-      |  cume_dist() OVER (PARTITION BY n_name ORDER BY c_acctbal) AS cd,
-      |  cast(ntile(10) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) as int) AS decile
-      |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |ORDER BY n_name, c_acctbal, c_custkey""".stripMargin
+    s"""SELECT n_name, c_custkey, c_acctbal,
+       |  ${round6Sql("percent_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal)")} AS pr,
+       |  ${round6Sql("cume_dist() OVER (PARTITION BY n_name ORDER BY c_acctbal)")} AS cd,
+       |  cast(ntile(10) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) as int) AS decile
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY n_name, c_acctbal, c_custkey""".stripMargin
 
   // ---- §2.6 sorts / limits / top-k ---------------------------------------
 

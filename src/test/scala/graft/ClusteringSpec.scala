@@ -198,7 +198,9 @@ class ClusteringSpec extends SparkSpec {
       val nbrs = nodes.filter(m => m != n && adjacent(n, m)).toSeq.sorted
       val expTri = nbrs.combinations(2).count { case Seq(x, y) => adjacent(x, y) }
       assert(tri == expTri.toLong)
-      val expCoeff = if (deg < 2) 0.0 else tri.toDouble * 2 / (deg * (deg - 1))
+      // the operator reports the 6dp-canonicalized coefficient (Dsl.round6)
+      val expCoeff = if (deg < 2) 0.0
+        else math.floor(tri.toDouble * 2 / (deg * (deg - 1)) * 1e6 + 0.5) / 1e6
       assert(coeff == expCoeff)
     }
   }

@@ -141,7 +141,8 @@ class LlmSpec extends SparkSpec {
       val nSpans = r.getLong(1); val dup = r.getLong(2)
       val frac = r.getDouble(3); val keep = r.getInt(4)
       assert(dup >= 0 && dup <= nSpans)
-      assert(math.abs(frac - dup.toDouble / nSpans) < 1e-12)
+      // dup_frac ships 6dp-canonicalized (Dsl.round6)
+      assert(frac == math.floor(dup.toDouble / nSpans * 1e6 + 0.5) / 1e6)
       assert(keep == (if (frac <= 0.5) 1 else 0))
     }
     // the planted exact-Jaccard near-dup pairs must surface as span overlap
@@ -161,7 +162,9 @@ class LlmSpec extends SparkSpec {
       val n = r.getLong(1); val micro = r.getLong(2)
       val mean = r.getDouble(3); val bucket = r.getInt(4)
       assert(n > 0 && micro > 0)
-      assert(mean == micro.toDouble / n)           // exact int division, bit-stable
+      // mean_nll ships 6dp-canonicalized (Dsl.round6); the bucket floors
+      // the canonicalized value, exactly as both engines spell it
+      assert(mean == math.floor(micro.toDouble / n * 1e6 + 0.5) / 1e6)
       assert(bucket == math.floor(mean / 1e6).toInt)
     }
     // scoring must discriminate between documents (the uniform corpus keeps

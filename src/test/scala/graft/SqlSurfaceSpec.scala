@@ -211,7 +211,10 @@ class SqlSurfaceSpec extends SparkSpec {
       .count()
     assert(launch("write").contains(s"[roundtrip] wrote $expected rows"))
     // the second JVM must see the table BY NAME, with partition pruning
-    // reaching the scan, and agree with the fixture on the row count
-    assert(launch("read").contains(s"[roundtrip] read $urgent rows pruned=true"))
+    // reaching the scan, agree with the fixture on the row count, see the
+    // first JVM's ANALYZE statistics through the metastore (CBO rowCount),
+    // and make a STATIC stats-driven broadcast decision (AQE off)
+    assert(launch("read").contains(s"[roundtrip] read $urgent rows pruned=true " +
+      "statsRowCount=true statsBroadcast=true"))
   }
 }

@@ -22,6 +22,22 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return repr(v)
 
+def unrounded(v):
+    """True if v is a finite float carrying more than 6 decimal places.
+
+    Round-9 postmortem: llm_gopher_rules emitted raw division doubles that
+    were bit-identical between Spark and DuckDB locally, yet the DRIVER's
+    hash canonicalization still flagged them. The only float values proven
+    safe through the driver are ones already rounded to <=6dp (the repo's
+    round(x,6) discipline), so the local gate must REJECT anything looser —
+    otherwise it passes queries the authoritative gate fails.
+    """
+    if isinstance(v, float):
+        return v == v and abs(v) != float("inf") and round(v, 6) != v
+    if isinstance(v, list):
+        return any(unrounded(x) for x in v)
+    return False
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -71,15 +87,25 @@ def main():
             results[name] = f"ROWCOUNT-MISMATCH spark={len(grows)} duckdb={len(wrows)}"
             continue
         bad = None
+        loose = {}
         for i, (g, w) in enumerate(zip(grows, wrows)):
             cg = tuple(canon(x) for x in g)
             cw = tuple(canon(x) for x in w)
             if cg != cw:
                 bad = (i, g, w)
                 break
+            for c, x in zip(gcols, g):
+                if c not in loose and unrounded(x):
+                    loose[c] = x
         if bad:
             i, g, w = bad
             results[name] = f"VALUE-MISMATCH row={i}\n    spark ={g}\n    duckdb={w}"
+        elif loose:
+            cols = ", ".join(f"{c}={x!r}" for c, x in loose.items())
+            results[name] = (f"UNROUNDED-DOUBLE cols: {cols} — "
+                             "values match locally but >6dp floats do not survive "
+                             "the driver's hash canonicalization; wrap in round(x,6) "
+                             "on both engines")
         else:
             results[name] = f"OK rows={len(grows)}"
     npass = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("ROWS-ONLY rows") and "ZERO" not in v)

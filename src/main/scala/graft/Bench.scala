@@ -72,6 +72,14 @@ object Bench {
       // figure (SURVEY §7.5).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE's coalescer floors partitions at minPartitionSize (1 MB default)
+      // even with parallelismFirst=true, so a ~3 MB shuffle collapses to 2-3
+      // tasks and a CPU-heavy stage behind it (window sort, range sort)
+      // serializes on 2 of 32 idle cores (measured: llm_tfidf's window+sort
+      // stages ran 2-task at ~1 s combined). 256 KB keeps small-but-hot
+      // stages parallel; at 100 TB every real shuffle dwarfs either floor,
+      // so this only affects the small-data regime it is meant for.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
     // Dev hook: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" for cross-process config
     // A/B runs (same-JVM A/B is confounded by JIT warmth — see BASELINE.md).
     val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)

@@ -96,6 +96,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // see graft.Bench: keep small-but-hot AQE-coalesced stages parallel
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see graft.Bench: keep small-but-hot AQE-coalesced stages parallel
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

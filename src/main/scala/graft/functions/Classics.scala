@@ -86,19 +86,23 @@ object Classics {
   }
 
   /** ChainMapper/ChainReducer: a fused narrow-op pipeline — whole-stage
-    * codegen collapses it to one generated function (EXPLAIN unit test). */
+    * codegen collapses it to one generated function (EXPLAIN unit test).
+    * The REPORTED v2 is 6dp-rounded (price*2+1 lands off the 2dp grid in
+    * binary and sf0.1 surfaced >6dp reprs — the round-9 gopher class);
+    * the filter keeps the unrounded value on both engines. */
   val mrChain: Q = (s, d) =>
     Tables.lineitem(s, d)
       .where(col("l_quantity") > 5)
       .withColumn("v1", col("l_extendedprice") * 2)
-      .withColumn("v2", col("v1") + 1)
-      .where(col("v2") > 100)
+      .withColumn("v2raw", col("v1") + 1)
+      .where(col("v2raw") > 100)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-              col("l_suppkey"), col("v2"))
+              col("l_suppkey"), graft.Dsl.round6(col("v2raw")).as("v2"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val mrChainSql: String =
-    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice * 2 + 1 AS v2
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  ${graft.Dsl.round6Sql("l_extendedprice * 2 + 1")} AS v2
       |FROM lineitem
       |WHERE l_quantity > 5 AND l_extendedprice * 2 + 1 > 100
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin

@@ -226,8 +226,14 @@ object TextAnalysis {
   val tfidf: Q = (s, d) => {
     // tf feeds BOTH the document-frequency aggregation and the weighted
     // join; without materialization the tokenize+explode+count pipeline
-    // runs twice (Catalyst does not dedupe shared subplans)
+    // runs twice (Catalyst does not dedupe shared subplans). The cached
+    // frame is re-partitioned on doc_id AFTER the partial-agg-friendly
+    // (doc_id, w) aggregation: the shuffled volume is identical (tf rows
+    // either way), but the ranking window below then reads the cache
+    // already clustered on its partition key — no exchange on the scoring
+    // path, warm or at scale.
     val tf = toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
       .transform(graft.Caching.cachedOnce)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -1168,10 +1174,17 @@ object TextAnalysis {
   /** Okapi BM25 (Lucene's always-positive `ln(1 + (N-df+0.5)/(df+0.5))` idf)
     * top-20 ranking of documents for [[QueryTerms]], OR semantics.
     *
-    * Shape: one token explode → per-(doc,term) tf agg → broadcast of the
-    * 3-row df table and the 1-row corpus stats — the only shuffle that scales
-    * with the corpus is the tf aggregation, which is partial-agg friendly. At
-    * 100 TB the df/avgdl side stays tiny by construction (|query| rows).
+    * Shape: ONE token explode → ONE per-doc aggregation producing BOTH the
+    * document length and a conditional-sum tf column per fixed query term
+    * (the query is a constant ≤|query|-term list, so the pivot width is
+    * bounded at any corpus scale). The per-term unpivot (`stack`) and the
+    * broadcast joins are projections over that frame, so its doc_id hash
+    * partitioning carries through to the final per-doc score aggregation —
+    * the tokenize aggregation's exchange is the ONLY corpus-sized shuffle
+    * in the whole query. (The previous shape ran the tokenize+explode
+    * pipeline twice — once for tf, once for dl — and re-shuffled to join
+    * them back; at 100 TB tokenization IS the data work, so one pass halves
+    * the scan+explode cost and the join disappears entirely.)
     *
     * Determinism: the idf is integerized to micro-nats per term BEFORE the
     * per-doc sum (bigint arithmetic is order-free; a double sum would depend
@@ -1181,16 +1194,19 @@ object TextAnalysis {
     * integer micro-score.
     */
   val bm25: Q = (s, d) => {
-    // tf and dl each feed two consumers (their stats aggregate and the final
-    // scoring join); materialize them so the tokenize+explode pipeline runs
-    // once per table instead of once per consumer
-    val tf = toks(s, d).where(col("w").isin(QueryTerms: _*))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val perTerm = QueryTerms.map(t =>
+      sum(when(col("w") === t, 1).otherwise(0)).as(s"tf_$t"))
+    val docstats = toks(s, d).groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), perTerm: _*)
       .transform(graft.Caching.cachedOnce)
-    val dl = toks(s, d).groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .transform(graft.Caching.cachedOnce)
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-                       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val stats = docstats.agg(count(lit(1)).as("n_docs"),
+                             (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // unpivot to (doc_id, dl, w, tf) keeping only hits — row-identical to the
+    // old filtered groupBy(doc_id, w) tf table, with dl already on the row
+    val tf = docstats.select(col("doc_id"), col("dl"),
+        expr("stack(" + QueryTerms.size + ", " +
+          QueryTerms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (w, tf)"))
+      .where(col("tf") > 0)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_micro",
@@ -1199,10 +1215,9 @@ object TextAnalysis {
     val tfnorm = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
-    tf.join(dl, "doc_id")
-      // NOT vocabulary-sized: dfreq is keyed by the fixed QueryTerms list
-      // (≤ |query| rows at any corpus scale), so the hard broadcast is safe
-      .join(broadcast(dfreq), "w")
+    // NOT vocabulary-sized: dfreq is keyed by the fixed QueryTerms list
+    // (≤ |query| rows at any corpus scale), so the hard broadcast is safe
+    tf.join(broadcast(dfreq), "w")
       .withColumn("contrib_micro",
         round(col("idf_micro").cast("double") * tfnorm, 0).cast("bigint"))
       .groupBy("doc_id")

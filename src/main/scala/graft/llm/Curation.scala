@@ -41,8 +41,15 @@ object Curation {
     */
   val dedupClusters: Q = (s, d) => {
     val pairs = Dedup.neardupPairs(s, d).select("d1", "d2")
+    // The edge cache is clustered on dst — the per-round join's probe key —
+    // so every propagation round shuffles ONLY the (small, shrinking) label
+    // table; the edge set stays put for the whole loop. (Unpartitioned, the
+    // union's 2x-partition-count cache re-shuffled per round AND doubled the
+    // scheduling footprint of every edge scan.) This is the co-located
+    // iterative-join layout a cluster deployment would bucket for.
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").transform(graft.Caching.cachedOnce)
+      .toDF("src", "dst").repartition(col("dst"))
+      .transform(graft.Caching.cachedOnce)
     // Identity-label init + the first propagation round fold into ONE
     // aggregation: with identity labels, round 1's "min neighbor label" is
     // just min(dst), so label₀ = least(id, min(dst)) — computed by the same

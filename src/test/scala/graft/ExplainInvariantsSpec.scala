@@ -176,6 +176,38 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("bm25 scoring agg rides the tokenize agg's doc_id clustering (no exchange)") {
+    // The per-doc score aggregate must sit directly on the stack unpivot
+    // over the cached single-pass doc stats: in the plan string the slice
+    // from the doc_id-keyed aggregate down to the stack Generate (the
+    // stream side prints before the broadcast subtree) may contain no
+    // shuffle — the tokenize aggregation's exchange is the only
+    // corpus-sized shuffle in the query. Must read the FINAL adaptive
+    // plan: the cache's doc_id partitioning is unknown to AQE until the
+    // InMemoryRelation materializes, so the INITIAL plan carries a
+    // conservative exchange that runtime re-optimization elides.
+    val p = finalPlan(graft.llm.TextAnalysis.bm25(spark, sfDir))
+    val agg = p.indexOf("HashAggregate(keys=[doc_id")
+    val gen = p.indexOf("Generate stack")
+    assert(agg >= 0 && gen > agg, p.take(2000))
+    assert(!p.substring(agg, gen).contains("Exchange hashpartitioning"),
+      "scoring path re-shuffled despite doc_id-clustered cache:\n" + p.substring(agg, gen))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("tfidf ranking window reads the doc_id-clustered cache with no exchange") {
+    // tf is repartitioned on doc_id before caching, so the row_number
+    // window must consume the InMemoryTableScan without an exchange, and
+    // the rank<=5 filter must push down as WindowGroupLimit.
+    val p = plan(graft.llm.TextAnalysis.tfidf(spark, sfDir))
+    val win = p.indexOf("Window [row_number")
+    val mem = p.indexOf("InMemoryTableScan", win)
+    assert(win >= 0 && mem > win, p.take(2000))
+    assert(!p.substring(win, mem).contains("Exchange hashpartitioning"),
+      "window re-shuffled despite doc_id-clustered cache:\n" + p.substring(win, mem))
+    assert(p.contains("WindowGroupLimit"), "rank<=5 must push into the window sort")
+  }
+
   test("ingest dedup broadcasts the batch shingle side (corpus never self-pairs)") {
     val p = plan(graft.llm.Curation.ingestDedup(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),

@@ -148,9 +148,18 @@ object Clustering {
   val Damping = 0.85
 
   val pagerank: Q = (s, d) => {
+    // Edge cache clustered on src (the per-iteration join's probe key) and
+    // the node set materialized once (distinct already leaves it clustered
+    // on vec_id): each iteration then shuffles ONLY the contribution
+    // aggregation — the rank table rides its vec_id clustering through the
+    // edges join and the left join back onto nodes, with no re-shuffle of
+    // the static graph. Same co-located iterative-join layout as the CC
+    // operators; at cluster scale this is the bucketed-graph layout.
     val edges = graft.llm.Similarity.knnGraph(s, d)
-      .select(col("src"), col("dst")).transform(graft.Caching.cachedOnce)
+      .select(col("src"), col("dst")).repartition(col("src"))
+      .transform(graft.Caching.cachedOnce)
     val nodes = edges.select(col("src").as("vec_id")).distinct()
+      .transform(graft.Caching.cachedOnce)
     val init = nodes.withColumn("r", lit(1000000L))
     val k = graft.llm.Similarity.KnnGraphK
     val fin = (1 to PrIters).foldLeft(init) { (r, _) =>

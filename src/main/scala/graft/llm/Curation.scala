@@ -144,7 +144,10 @@ object Curation {
     val nodes = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct()
       .localCheckpoint()
-    var e = canonEdges(pairs).localCheckpoint()
+    // Checkpoint the edge set clustered on src — both star rewrites group
+    // and join on it, so each round's three src-keyed operators run without
+    // re-shuffling the edge table (checkpoint preserves partitioning).
+    var e = canonEdges(pairs).repartition(col("src")).localCheckpoint()
     // Convergence check: the converged state is a FIXED POINT of the edge
     // set, so compare one order-independent signature per round — count +
     // sum and xor of a 64-bit edge hash. Two distinct edge sets colliding on
@@ -173,7 +176,8 @@ object Curation {
       // is needed between the two rewrites — one canonEdges per round
       val large = largeStarRound(e)
         .select(col("a").as("src"), col("b").as("dst")).distinct()
-      val next = canonEdges(smallStarRound(large)).localCheckpoint(false)
+      val next = canonEdges(smallStarRound(large))
+        .repartition(col("src")).localCheckpoint(false)
       val nextSig = signature(next)
       changed = nextSig != sig
       e = next

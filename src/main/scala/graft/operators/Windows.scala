@@ -254,10 +254,25 @@ object Windows {
       .agg(count(lit(1)).as("n_events"),
            max_by(col("value"), struct(col("ts"), col("event_id")))
              .as("last_value"))
+    // The per-user span table is tiny (one row per user) so AQE coalesces
+    // its exchange to ~1 task — but the hour-grid explode multiplies each
+    // row by the user's active span, and everything downstream (grid join,
+    // fill window — both satisfied by user_id clustering) fuses into that
+    // stage, serializing the query's heaviest work on one core. Scatter
+    // the spans across the session's shuffle width BEFORE the explode.
+    // It must be a RANGE repartition with an explicit width: a hash
+    // repartition on user_id is provably redundant over the user_id
+    // aggregate, so the planner removes it and AQE re-coalesces the agg
+    // exchange by its (tiny) byte size — bytes are the wrong cost model
+    // for a row-multiplying stage. Range partitioning still clusters
+    // user_id (the window needs no further exchange) and the re-shuffled
+    // data is one row per user, the cheapest possible thing to move.
+    val gridWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
     val grid = Tables.events(s, d)
       .groupBy("user_id")
       .agg(date_trunc("hour", min(col("ts"))).as("h0"),
            date_trunc("hour", max(col("ts"))).as("h1"))
+      .repartitionByRange(gridWidth, col("user_id"))
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"),
                          expr("INTERVAL 1 HOUR"))).as("hr"))

@@ -29,7 +29,16 @@ object Dedup {
   /** Distinct word 5-gram shingles per document (docs shorter than 5 tokens
     * have none). */
   def shingles(s: SparkSession, d: String): DataFrame =
+    // Range-scatter before the row-multiplying shingle explode (the
+    // windowGapFill pattern): a small fixture file scans as ONE split and
+    // the explode+hash work fuses into that task. The scatter must be an
+    // explicit-width RANGE repartition — an earlier hash-repartition A/B
+    // read neutral-to-worse precisely because AQE coalesced the
+    // width-unspecified exchange straight back to one partition. Only the
+    // raw token arrays move, once, into the shared shingle cache.
     tokens(s, d)
+      .repartitionByRange(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .where(size(col("toks")) >= 5)
       .select(col("doc_id"),
         explode(array_distinct(

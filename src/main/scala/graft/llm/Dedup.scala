@@ -20,25 +20,29 @@ import graft.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** doc_id + deduplicated whitespace tokens of lowercased text. */
+  /** doc_id + deduplicated whitespace tokens of lowercased text.
+    *
+    * Range-scattered across the shuffle width before returning: every
+    * consumer (shingles, simhash signatures, substring spans, winnowing)
+    * immediately row-multiplies with an explode+hash pass, and a small
+    * fixture file scans as ONE split, so without the scatter that heavy
+    * compute fuses into a single task (the windowGapFill pattern). The
+    * scatter must be an explicit-width RANGE repartition — an earlier
+    * hash-repartition A/B read neutral-to-worse precisely because AQE
+    * coalesced the width-unspecified exchange straight back to one
+    * partition. Only the raw token arrays move; at cluster scale the scan
+    * is already parallel and this degenerates into a cheap rebalance. */
   def tokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
               filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+      .repartitionByRange(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
 
   /** Distinct word 5-gram shingles per document (docs shorter than 5 tokens
     * have none). */
   def shingles(s: SparkSession, d: String): DataFrame =
-    // Range-scatter before the row-multiplying shingle explode (the
-    // windowGapFill pattern): a small fixture file scans as ONE split and
-    // the explode+hash work fuses into that task. The scatter must be an
-    // explicit-width RANGE repartition — an earlier hash-repartition A/B
-    // read neutral-to-worse precisely because AQE coalesced the
-    // width-unspecified exchange straight back to one partition. Only the
-    // raw token arrays move, once, into the shared shingle cache.
     tokens(s, d)
-      .repartitionByRange(
-        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .where(size(col("toks")) >= 5)
       .select(col("doc_id"),
         explode(array_distinct(

@@ -18,4 +18,29 @@ import org.apache.spark.storage.StorageLevel
 object Caching {
   def cachedOnce(df: DataFrame): DataFrame =
     if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+
+  /** Scatter a narrow pipeline across the session's shuffle width BEFORE a
+    * row-multiplying stage (explode + per-element hashing), but ONLY when
+    * its input scan under-parallelizes the session.
+    *
+    * Why conditional: a small fixture file scans as one split, so the
+    * explode's heavy compute fuses into a single task — but on a real
+    * corpus the scan is already thousands of splits, and an unconditional
+    * repartition would shuffle the whole corpus to buy nothing. The gate
+    * compares the planned scan partition count (driver-side file-split
+    * planning, no job) against the shuffle width and scatters only below
+    * half of it — the regime where idle cores exist.
+    *
+    * Why RANGE with an explicit width: a hash repartition on the same key
+    * as an upstream aggregate is provably redundant and gets planned away,
+    * and AQE coalesces width-unspecified exchanges by their BYTE size —
+    * the wrong cost model for a stage whose output is many times its
+    * input (measured: the hash spelling re-coalesced to one partition and
+    * the win vanished).
+    */
+  def scatterIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 2 <= width) df.repartitionByRange(width, key)
+    else df
+  }
 }

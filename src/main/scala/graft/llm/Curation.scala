@@ -298,18 +298,12 @@ object Curation {
     * the plan unchanged (the string spelling is the spec). */
   private def wordGrams(docs: DataFrame): DataFrame = {
     val n = DecontamNgramN
-    // Range-scatter the raw documents before the n-gram explode: the scan
-    // of a small fixture file is one split, and the explode multiplies each
-    // doc by its token count, so the query's heaviest compute would fuse
-    // into that single task (measured 1.1 s serial at sf0.1, twice — both
-    // consumers below re-evaluate the uncached explode). Range partitioning
-    // with an explicit width survives planning and AQE's byte-based
-    // coalescing (cf. windowGapFill), moves only the raw docs, and at
-    // cluster scale degenerates into a cheap rebalance of an
-    // already-parallel scan.
-    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    docs
-      .repartitionByRange(width, col("doc_id"))
+    // Conditionally range-scatter the raw documents before the n-gram
+    // explode: the query's heaviest compute (measured 1.1 s serial at
+    // sf0.1, evaluated by BOTH uncached consumer branches) would
+    // otherwise fuse into a narrow scan's task — see
+    // graft.Caching.scatterIfNarrow for the gate and rationale.
+    graft.Caching.scatterIfNarrow(docs, col("doc_id"))
       .select(col("doc_id"), col("source"),
               filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
       .where(size(col("t")) > 0)

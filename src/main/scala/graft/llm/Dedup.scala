@@ -22,22 +22,19 @@ object Dedup {
 
   /** doc_id + deduplicated whitespace tokens of lowercased text.
     *
-    * Range-scattered across the shuffle width before returning: every
-    * consumer (shingles, simhash signatures, substring spans, winnowing)
-    * immediately row-multiplies with an explode+hash pass, and a small
-    * fixture file scans as ONE split, so without the scatter that heavy
-    * compute fuses into a single task (the windowGapFill pattern). The
-    * scatter must be an explicit-width RANGE repartition — an earlier
-    * hash-repartition A/B read neutral-to-worse precisely because AQE
-    * coalesced the width-unspecified exchange straight back to one
-    * partition. Only the raw token arrays move; at cluster scale the scan
-    * is already parallel and this degenerates into a cheap rebalance. */
+    * Conditionally range-scattered across the shuffle width before
+    * returning: every consumer (shingles, simhash signatures, substring
+    * spans, winnowing) immediately row-multiplies with an explode+hash
+    * pass, so when the scan under-parallelizes the session that heavy
+    * compute would fuse into a single task — see
+    * [[graft.Caching.scatterIfNarrow]] for the gate and the
+    * range-vs-hash rationale. */
   def tokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-              filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
-      .repartitionByRange(
-        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+    graft.Caching.scatterIfNarrow(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks")),
+      col("doc_id"))
 
   /** Distinct word 5-gram shingles per document (docs shorter than 5 tokens
     * have none). */

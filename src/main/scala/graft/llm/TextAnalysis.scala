@@ -88,8 +88,14 @@ object TextAnalysis {
     if (fits) facts.join(broadcast(vocab), key) else facts.join(vocab, key)
   }
 
+  /** One row per (doc, token). Conditionally range-scattered BEFORE the
+    * explode ([[graft.Caching.scatterIfNarrow]]): the explode multiplies
+    * each document by its token count, so on an under-parallelized scan
+    * the whole text family's heaviest compute would fuse into one task.
+    * Range partitioning on doc_id still satisfies every downstream
+    * doc_id-clustered aggregation/window, so consumers lose no fusion. */
   private def toks(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    graft.Caching.scatterIfNarrow(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
               explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
 

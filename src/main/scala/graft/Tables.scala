@@ -95,5 +95,14 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The vector family pairs this scan with heavy per-row compute (int8
+    * code generation, norms, per-dimension folds) that fuses into the scan
+    * stage — on an under-parallelized scan that work serializes on one
+    * core, so the load is conditionally range-scattered
+    * ([[Caching.scatterIfNarrow]]). Predicates and column pruning push
+    * through the repartition; at cluster scale the gate keeps the
+    * already-parallel scan unshuffled. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    Caching.scatterIfNarrow(load(s, d, "embeddings"),
+      org.apache.spark.sql.functions.col("vec_id"))
 }

@@ -222,7 +222,13 @@ object Scalar {
 
   /** JSON family: path extraction both as string and typed struct. */
   val fnJson: Q = (s, d) =>
-    Tables.events(s, d)
+    // Two JSON parses per row fuse into the scan stage; on the fixture's
+    // single split that serializes on one core. The conditional scatter
+    // (Caching.scatterIfNarrow) range-partitions on event_id — the SAME
+    // ordering the final ORDER BY needs, so the global sort reuses the
+    // exchange and the plan's exchange count is unchanged; only the parse
+    // moves from one core to the session width.
+    graft.Caching.scatterIfNarrow(Tables.events(s, d), col("event_id"))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         from_json(col("props"),

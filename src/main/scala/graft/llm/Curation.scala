@@ -136,11 +136,15 @@ object Curation {
     * one star per component. Registered with the SAME oracle as the
     * propagation operator: both must produce the identical clustering. */
   val dedupClustersStar: Q = (s, d) => {
-    // checkpoint the pair generation FIRST: both `nodes` and the initial
+    // materialize the pair generation FIRST: both `nodes` and the initial
     // edge set read it, and without this the whole PPJoin pipeline ran
-    // twice (once per downstream localCheckpoint)
+    // twice (once per downstream localCheckpoint). cachedOnce (not
+    // localCheckpoint) so repeated invocations in one session also reuse
+    // it — a checkpoint is private to its DataFrame and re-ran the full
+    // PPJoin pipeline on every warm pass.
     val pairs = Dedup.neardupPairs(s, d)
-      .select(col("d1").as("a"), col("d2").as("b")).localCheckpoint()
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .transform(graft.Caching.cachedOnce)
     val nodes = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct()
       .localCheckpoint()

@@ -95,14 +95,12 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  /** The vector family pairs this scan with heavy per-row compute (int8
-    * code generation, norms, per-dimension folds) that fuses into the scan
-    * stage — on an under-parallelized scan that work serializes on one
-    * core, so the load is conditionally range-scattered
-    * ([[Caching.scatterIfNarrow]]). Predicates and column pruning push
-    * through the repartition; at cluster scale the gate keeps the
-    * already-parallel scan unshuffled. */
+  /** NOT blanket-scattered (cf. [[Caching.scatterIfNarrow]]): a global
+    * pre-scatter was A/B'd and REJECTED — it helps only consumers whose
+    * per-row compute dominates (the int8 quantized scan applies it
+    * locally), while the block-collect kernels pay an extra exchange of
+    * full embedding arrays for nothing (simsearch_topk 0.29→0.46,
+    * neardup_embedding 0.29→0.57 same-window). */
   def embeddings(s: SparkSession, d: String): DataFrame =
-    Caching.scatterIfNarrow(load(s, d, "embeddings"),
-      org.apache.spark.sql.functions.col("vec_id"))
+    load(s, d, "embeddings")
 }

@@ -64,7 +64,12 @@ object AnnQuantized {
   val simsearchQuantized: Q = (s, d) => {
     graft.plans.VectorFunctions.register(s)
     import Similarity.dot
-    val e = Tables.embeddings(s, d)
+    // The code-generation transform (a scaled floor op per dimension per
+    // row, plus two norm folds) dominates this operator's scan stage, so
+    // the conditional scatter pays for itself HERE — unlike the rest of
+    // the vector family, where a blanket embeddings scatter was A/B'd and
+    // rejected (see Tables.embeddings).
+    val e = graft.Caching.scatterIfNarrow(Tables.embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"),
               codes(col("embedding")).cast("array<float>").as("qv"))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))

@@ -37,10 +37,31 @@ object Caching {
     * the wrong cost model for a stage whose output is many times its
     * input (measured: the hash spelling re-coalesced to one partition and
     * the win vanished).
+    *
+    * How the count is read (round-10 advisor): from the physical plan's
+    * LEAF file scans (`FileSourceScanExec.inputRDDs()` — driver-side
+    * file-split planning, never a job), NOT `df.rdd.getNumPartitions`,
+    * which materializes the full RDD lineage and, on a frame containing a
+    * shuffle, would execute the upstream stages at DataFrame-construction
+    * time. The helper's contract is scan+project frames; anything else is
+    * a structural no-op: a plan that already contains an exchange runs at
+    * the shuffle width by construction (nothing to fix), and a non-file
+    * leaf (in-memory relation, range, local data) has no under-split scan
+    * to compensate for.
     */
   def scatterIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions * 2 <= width) df.repartitionByRange(width, key)
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    val plan = df.queryExecution.sparkPlan
+    val alreadyWide = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    val leaves = plan.collectLeaves()
+    val scanParts = leaves.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().map(_.getNumPartitions).sum
+    }
+    val allFileScans = leaves.nonEmpty && scanParts.length == leaves.length
+    if (!alreadyWide && allFileScans && width >= 1 && scanParts.sum * 2 <= width)
+      df.repartitionByRange(width, key)
     else df
   }
 }

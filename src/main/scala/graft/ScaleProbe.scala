@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [k] [name,name,...]
   * Env: SPARK_GRAFT_SF_DIR (base fixtures, default sf0.1),
-  *      SPARK_GRAFT_SCALE_DIR (scratch, default /tmp/graft_scaleprobe).
+  *      SPARK_GRAFT_SCALE_DIR (scratch, default /tmp/graft_scaleprobe),
+  *      SPARK_GRAFT_SCALE_TABLES (comma list; when set, only these tables
+  *      get the k× treatment and the rest land 1× in the scaled dir — the
+  *      k=128 memory-regime probe scales documents+embeddings without
+  *      paying a 77M-row lineitem write its target queries never read).
   */
 object ScaleProbe {
   private val idCols: Map[String, Seq[String]] = Map(
@@ -103,11 +107,14 @@ object ScaleProbe {
 
     val oneDir = s"$scratch/x1"
     val kDir = s"$scratch/x$k"
+    val scaleOnly: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Tables.names.toSet)
     // 1× goes through the same write path so both sides read identically
     // laid-out parquet (file counts, encoders) — the comparison then isolates
     // data volume, not storage layout.
     Tables.names.foreach(n => scaleTable(spark, base, n, 1, oneDir))
-    Tables.names.foreach(n => scaleTable(spark, base, n, k, kDir))
+    Tables.names.foreach(n =>
+      scaleTable(spark, base, n, if (scaleOnly(n)) k else 1, kDir))
 
     def bestOf(n: Int)(body: => Unit): Double =
       (1 to n).map { _ =>

@@ -267,7 +267,7 @@ object Windows {
     // for a row-multiplying stage. Range partitioning still clusters
     // user_id (the window needs no further exchange) and the re-shuffled
     // data is one row per user, the cheapest possible thing to move.
-    val gridWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val gridWidth = s.sessionState.conf.numShufflePartitions
     val grid = Tables.events(s, d)
       .groupBy("user_id")
       .agg(date_trunc("hour", min(col("ts"))).as("h0"),

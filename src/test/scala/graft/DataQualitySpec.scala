@@ -38,6 +38,37 @@ class DataQualitySpec extends SparkSpec {
     assert(rows.size == 6 && rows.values.forall(_.getLong(1) == n))
   }
 
+  test("profile_approx: ≤5% relative error vs exact, other columns identical, one scan") {
+    val exact = DataQuality.dqProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = DataQuality.dqProfileApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      val (nde, nda) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(nda - nde).toDouble / nde <= 0.05,
+        s"$c: approx distinct $nda vs exact $nde exceeds 5% relative error")
+      // HLL++ is exact well below its sparse-mode threshold — pin it for the
+      // low-cardinality columns a profile's verdicts actually branch on
+      if (nde <= 100) assert(nda == nde, s"$c: low-cardinality estimate drifted")
+      // everything that isn't the sketch must be bit-identical to the exact pass
+      assert((1 to 2).forall(i => a.getLong(i) == e.getLong(i)) &&
+             (4 to 5).forall(i => a.isNullAt(i) == e.isNullAt(i) &&
+               (a.isNullAt(i) || a.getDouble(i) == e.getDouble(i))) &&
+             (6 to 7).forall(i => a.isNullAt(i) == e.isNullAt(i) &&
+               (a.isNullAt(i) || a.getString(i) == e.getString(i))),
+        s"$c: fused n/null/min/max drifted from the exact profile")
+    }
+    // the whole point of the approx variant: ONE scan, no Expand, no joins
+    val plan = DataQuality.dqProfileApprox(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet|InMemoryTableScan".r.findAllIn(plan).size == 1,
+      "approx profile must read the table exactly once")
+    assert(!plan.contains("Expand") && !plan.contains("Join"),
+      "approx profile must fuse into a single aggregation pass")
+  }
+
   test("scd2: exactly one current row per customer; v2 rows only for promoted") {
     // sf0.01: no customer reaches 20 orders in the sf0.001 slice, and the
     // non-empty-batch half of the invariant is the interesting one

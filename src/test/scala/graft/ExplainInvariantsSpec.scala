@@ -21,6 +21,38 @@ class ExplainInvariantsSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+  /** Structural children, descending through the wrappers AQE and codegen
+    * interpose (adaptive roots, query stages, whole-stage-codegen) so a
+    * path reflects the actual operator ancestry. Deliberately does NOT
+    * descend into `InMemoryTableScanExec.relation.cachedPlan`: the cached
+    * subtree is a separate materialization, and treating it as plan text
+    * was exactly the round-10 advisor's complaint about the string-index
+    * spelling (an InMemoryRelation's own doc_id-keyed aggregates could
+    * satisfy a substring match meant for the consumer side). */
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => Seq(w.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => Seq(i.child)
+    case other => other.children
+  }
+
+  /** Root-to-node path (inclusive) to the first node satisfying `pred`,
+    * pre-order. */
+  private def pathTo(root: SparkPlan)(pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+    if (pred(root)) Some(List(root))
+    else kids(root).view.flatMap(c => pathTo(c)(pred)).headOption.map(root :: _)
+
+  private def isShuffle(p: SparkPlan): Boolean = p match {
+    case _: ShuffleExchangeLike => true
+    case q: QueryStageExec => isShuffle(q.plan)
+    case _ => false
+  }
+
   test("join_broadcast plans a BroadcastHashJoin") {
     assert(plan(Relational.joinBroadcast(spark, sfDir)).contains("BroadcastHashJoin"))
   }
@@ -186,26 +218,66 @@ class ExplainInvariantsSpec extends SparkSpec {
     // plan: the cache's doc_id partitioning is unknown to AQE until the
     // InMemoryRelation materializes, so the INITIAL plan carries a
     // conservative exchange that runtime re-optimization elides.
-    val p = finalPlan(graft.llm.TextAnalysis.bm25(spark, sfDir))
-    val agg = p.indexOf("HashAggregate(keys=[doc_id")
-    val gen = p.indexOf("Generate stack")
-    assert(agg >= 0 && gen > agg, p.take(2000))
-    assert(!p.substring(agg, gen).contains("Exchange hashpartitioning"),
-      "scoring path re-shuffled despite doc_id-clustered cache:\n" + p.substring(agg, gen))
-    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    val df = graft.llm.TextAnalysis.bm25(spark, sfDir)
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    // walk the TREE (round-10 advisor: the string-index slice could be
+    // satisfied vacuously by InMemoryRelation's printed aggregates or by a
+    // plan-printing change): path root → the stack-unpivot Generate, then
+    // the scoring aggregate is the doc_id-keyed HashAggregate nearest the
+    // root on that path — every node strictly between it and the Generate
+    // is a true ancestor, and none may be a shuffle. Taking the NEAREST-
+    // root occurrence covers the partial+final pair: a regression that
+    // re-inserts an exchange between them lands inside the slice.
+    // the unpivot Generate is the ONLY Generate in the consumer tree — the
+    // tokenize explode lives inside the cached docstats relation, which
+    // kids() deliberately does not descend into
+    val path = pathTo(root)(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(path.isDefined, "no unpivot Generate in plan:\n" + root.toString.take(2000))
+    val nodes = path.get
+    val aggIdx = nodes.indexWhere {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.groupingExpressions.exists(_.toString.contains("doc_id"))
+      case _ => false
+    }
+    assert(aggIdx >= 0, "no doc_id-keyed scoring aggregate above the stack Generate")
+    val between = nodes.slice(aggIdx + 1, nodes.length - 1)
+    assert(!between.exists(isShuffle),
+      "scoring path re-shuffled despite doc_id-clustered cache:\n" +
+        between.map(_.nodeName).mkString(" -> "))
+    assert(root.toString.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
   }
 
   test("tfidf ranking window reads the doc_id-clustered cache with no exchange") {
     // tf is repartitioned on doc_id before caching, so the row_number
     // window must consume the InMemoryTableScan without an exchange, and
     // the rank<=5 filter must push down as WindowGroupLimit.
-    val p = plan(graft.llm.TextAnalysis.tfidf(spark, sfDir))
-    val win = p.indexOf("Window [row_number")
-    val mem = p.indexOf("InMemoryTableScan", win)
-    assert(win >= 0 && mem > win, p.take(2000))
-    assert(!p.substring(win, mem).contains("Exchange hashpartitioning"),
-      "window re-shuffled despite doc_id-clustered cache:\n" + p.substring(win, mem))
-    assert(p.contains("WindowGroupLimit"), "rank<=5 must push into the window sort")
+    val df = graft.llm.TextAnalysis.tfidf(spark, sfDir)
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    // tree walk (see bm25 above for why not string slicing): path root →
+    // the cache scan; the ranking window is the row_number WindowExec on
+    // that path, and nothing between it and the InMemoryTableScan may
+    // shuffle.
+    val path = pathTo(root)(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(path.isDefined, "no InMemoryTableScan in plan:\n" + root.toString.take(2000))
+    val nodes = path.get
+    val winIdx = nodes.indexWhere {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.windowExpression.exists(_.toString.contains("row_number"))
+      case _ => false
+    }
+    assert(winIdx >= 0, "no row_number window above the cache scan:\n" +
+      nodes.map(_.nodeName).mkString(" -> "))
+    val between = nodes.slice(winIdx + 1, nodes.length - 1)
+    assert(!between.exists(isShuffle),
+      "window re-shuffled despite doc_id-clustered cache:\n" +
+        between.map(_.nodeName).mkString(" -> "))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      "rank<=5 must push into the window sort")
   }
 
   test("ingest dedup broadcasts the batch shingle side (corpus never self-pairs)") {

@@ -38,6 +38,30 @@ def unrounded(v):
         return any(unrounded(x) for x in v)
     return False
 
+def spark_unrepresentable(duck_type):
+    """True if a DuckDB result-column type cannot round-trip through
+    Spark's parquet writer with identical semantics.
+
+    Round-10 postmortem (second gopher fail): DuckDB widens integer sum()
+    to HUGEINT (int128); Spark emits BIGINT. Every VALUE was bit-identical
+    — only the dtype differed — and this twin fetched both through Python
+    ints so HUGEINT==BIGINT silently, while the driver's hasher
+    canonicalizes dtypes and flagged it. Any oracle whose result schema
+    contains one of these types must cast it (usually `AS BIGINT`).
+    """
+    t = str(duck_type).upper()
+    if t in ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+             "UBIGINT"):
+        return True
+    if t.startswith("DECIMAL"):
+        return True
+    if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
+        # recurse into the element/field types encoded in the string
+        return any(bad in t for bad in
+                   ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
+                    "UINTEGER", "UBIGINT", "DECIMAL"))
+    return False
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -77,6 +101,15 @@ def main():
             want = con.sql(oracle[name])
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR {e}"
+            continue
+        badtypes = {c: str(t) for c, t in zip(want.columns, want.types)
+                    if spark_unrepresentable(t)}
+        if badtypes:
+            cols = ", ".join(f"{c}:{t}" for c, t in badtypes.items())
+            results[name] = (f"ORACLE-DTYPE {cols} — DuckDB result type is not "
+                             "Spark-parquet-representable (driver hash will "
+                             "fail even on identical values); cast in the "
+                             "oracle SQL (integer sums: AS BIGINT)")
             continue
         wcols = sorted(want.columns)
         wrows = want.project(", ".join(f'"{c}"' for c in wcols)).fetchall()

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * Scaling preserves workload SHAPE instead of degenerating it:
   * - every id column is remapped per copy (id + copy·stride) so keys stay
   *   distinct and join fan-outs stay 1:1 with the original;
-  * - document text gets a per-copy suffix token so exact/near-dup structure
-  *   replicates per copy instead of every doc gaining k−1 exact duplicates
-  *   (which would blow candidate pairs quadratically and measure a DIFFERENT
-  *   workload, not a bigger one);
+  * - document text gets a per-copy bijective token remap (copy tag on every
+  *   token) so exact/near-dup structure replicates per copy with DISJOINT
+  *   cross-copy shingles — a mere per-doc suffix token keeps ~all shingles
+  *   shared across copies and manufactures k-member cross-copy near-dup
+  *   clusters whose pair output grows quadratically (a DIFFERENT workload,
+  *   not a bigger one; measured and recorded round 11);
   * - embeddings get a tiny per-copy deterministic rotation-free perturbation
   *   on one coordinate (cosine structure within a copy preserved).
   * - events/orders/lineitem timestamps are kept verbatim (density grows k×,
@@ -66,9 +68,20 @@ object ScaleProbe {
           }
           val perturbed = name match {
             case "documents" =>
-              // distinct content per copy; length/ngram/dup structure intact
+              // Per-copy BIJECTIVE token remap (append a copy tag to every
+              // token): within-copy Jaccard/dup structure is preserved
+              // exactly, and shingles are DISJOINT across copies. Round-11
+              // fix — the previous spelling appended ONE suffix token per
+              // doc, which left ~all word 5-gram shingles shared across
+              // copies: every doc formed a k-member cross-copy near-dup
+              // cluster (J ≈ 0.95), so candidate pairs and the exact-verify
+              // shuffle grew QUADRATICALLY in k. That measured a degenerate
+              // workload, not a bigger one (k=64: neardup 255.9×, minhash
+              // 95.9×, 37 GB spill at k=128) — recorded in BASELINE.md as
+              // the mega-cluster stress curve.
               shifted.withColumn("text",
-                concat(col("text"), lit(if (i == 0) "" else s" zq$i")))
+                if (i == 0) col("text")
+                else regexp_replace(col("text"), "(\\S+)", "$1z" + i))
             case "embeddings" =>
               shifted.withColumn("embedding",
                 transform(col("embedding"),

@@ -100,6 +100,40 @@ object TemporalJoins {
       |  ON c.user_id = v.user_id AND c.ts >= v.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** [[joinAsof]] re-planned through the custom merge-as-of operator
+    * (SURVEY §4.3 option (b), added round 11): logical
+    * [[graft.plans.AsofJoin]] node → [[graft.plans.AsofJoinStrategy]]
+    * (via `spark.experimental.extraStrategies`, the public planner
+    * extension point) → [[graft.plans.MergeAsofExec]], a streaming
+    * two-pointer merge whose per-partition state beyond the sort is ONE
+    * buffered right row. Same DuckDB ASOF oracle and output columns as
+    * `join_asof`, so the driver hash-verifies the custom exec end to end;
+    * AsofJoinSpec additionally pins row-for-row equality with the window
+    * rewrite and the planned shape (MergeAsofExec + two sort exchanges,
+    * no window, no range join). */
+  val joinAsofMerge: Q = (s, d) => {
+    graft.plans.AsofJoinStrategy.register(s)
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // fresh aliases on EVERY right column: both sides scan the same events
+    // relation, and a custom binary node gets no analyzer self-join dedup,
+    // so the right side must carry its own attribute ids
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+    val lp = org.apache.spark.sql.graft.GraftSql.analyzed(clicks)
+    val rp = org.apache.spark.sql.graft.GraftSql.analyzed(views)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).get
+    org.apache.spark.sql.graft.GraftSql.ofRows(s,
+        graft.plans.AsofJoin(lp, rp,
+          attr(lp, "user_id"), attr(rp, "v_user_id"),
+          attr(lp, "ts"), attr(rp, "v_ts"), toleranceUs = None))
+      .select(col("event_id"), col("user_id"), col("ts"), col("view_id"))
+      .orderBy("event_id")
+  }
+
   private val weekStarts: Seq[(String, LocalDate)] = {
     val origin = LocalDate.parse("2024-01-01")
     (0 until 5).map(k => (s"wk$k", origin.plusDays(7L * k)))
@@ -186,6 +220,7 @@ object TemporalJoins {
 
   val queries: Map[String, Q] = Map(
     "join_asof" -> joinAsof,
+    "join_asof_merge" -> joinAsofMerge,
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval" -> joinInterval,
     "join_interval_bucketed" -> joinIntervalBucketed,
@@ -193,6 +228,7 @@ object TemporalJoins {
 
   val oracle: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
+    "join_asof_merge" -> joinAsofSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_interval" -> joinIntervalSql,
     "join_interval_bucketed" -> joinIntervalBucketedSql,

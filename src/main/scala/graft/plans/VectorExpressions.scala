@@ -539,5 +539,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
                            VectorFunctions.cosThreshName),
         { case Seq(a, b, t) => CosineThresholdPairs(a, b, t) }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

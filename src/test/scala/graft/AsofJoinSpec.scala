@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+/** The custom merge-as-of operator (SURVEY §4.3 option (b), round 11):
+  * `graft.plans.AsofJoin` → `AsofJoinStrategy` → `MergeAsofExec`.
+  *
+  * The driver oracle already validates `join_asof_merge` against DuckDB's
+  * native ASOF JOIN; this spec pins what the oracle can't see — equality
+  * with the union+window spelling row for row, the planned PHYSICAL shape
+  * (the custom exec, planner-inserted exchanges/sorts, no window, no range
+  * join), and the tolerance + null edge semantics of the exec itself.
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  test("merge-asof equals the union+window rewrite row for row") {
+    val viaMerge = TemporalJoins.joinAsofMerge(spark, sfDir)
+    val viaWindow = TemporalJoins.joinAsof(spark, sfDir)
+    assert(viaMerge.schema.fieldNames.toSeq == viaWindow.schema.fieldNames.toSeq)
+    assert(viaMerge.exceptAll(viaWindow).isEmpty &&
+           viaWindow.exceptAll(viaMerge).isEmpty,
+      "custom exec and window rewrite must return identical rows")
+    assert(viaMerge.count() > 0)
+  }
+
+  test("plan: MergeAsofExec with planner-owned exchanges, no window, no range join") {
+    val df = TemporalJoins.joinAsofMerge(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MergeAsof"), p.take(2000))
+    // the planner must satisfy the declared requirements itself
+    assert(p.contains("Sort ["), "children must be sorted by (key, time)")
+    assert(!p.contains("Window"), "no window buffer — that's the point")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no range-join fallback")
+  }
+
+  test("exec semantics: latest-at-or-before, tolerance, and null-key/ts edges") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.plans.AsofJoinStrategy.register(spark)
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val lSchema = StructType(Seq(
+      StructField("lid", LongType), StructField("k", LongType),
+      StructField("lt", TimestampType)))
+    val rSchema = StructType(Seq(
+      StructField("rk", LongType), StructField("rt", TimestampType),
+      StructField("rid", LongType)))
+    val lRows = Seq(
+      Row(1L, 10L, ts("2024-01-01 00:10:00")),  // matches rid 101 (00:05)
+      Row(2L, 10L, ts("2024-01-01 00:30:00")),  // matches rid 102 (00:20)
+      Row(3L, 20L, ts("2024-01-01 00:01:00")),  // before any view: null
+      Row(4L, 30L, ts("2024-01-01 09:00:00")),  // match is 8h stale
+      Row(5L, null, ts("2024-01-01 00:30:00")), // null key never matches
+      Row(6L, 40L, null))                        // null left ts: unmatched
+    val rRows = Seq(
+      Row(10L, ts("2024-01-01 00:05:00"), 101L),
+      Row(10L, ts("2024-01-01 00:20:00"), 102L),
+      Row(10L, ts("2024-01-01 00:40:00"), 103L), // after every click
+      Row(20L, ts("2024-01-01 00:02:00"), 201L),
+      Row(30L, ts("2024-01-01 01:00:00"), 301L),
+      Row(null, ts("2024-01-01 00:00:00"), 901L),
+      Row(40L, null, 902L))                      // null right ts skipped
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(lRows, 3), lSchema)
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(rRows, 2), rSchema)
+    def run(tolUs: Option[Long]): Map[Long, Option[Long]] = {
+      val lp = org.apache.spark.sql.graft.GraftSql.analyzed(l)
+      val rp = org.apache.spark.sql.graft.GraftSql.analyzed(r)
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+          graft.plans.AsofJoin(lp, rp, a(lp, "k"), a(rp, "rk"),
+            a(lp, "lt"), a(rp, "rt"), tolUs))
+        .select(col("lid"), col("rid")).collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    }
+    assert(run(None) == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None,
+                            4L -> Some(301L), 5L -> None, 6L -> None))
+    // 1h staleness: click 4's 8h-old match nulls out; fresh ones survive
+    assert(run(Some(3600L * 1000000L)) ==
+      Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None,
+          4L -> None, 5L -> None, 6L -> None))
+  }
+}

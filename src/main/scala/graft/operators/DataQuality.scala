@@ -116,10 +116,14 @@ object DataQuality {
 
   /** The 100 TB spelling of [[dqProfile]] the doc comment above promises:
     * identical profile shape, but every distinct count is an
-    * `approx_count_distinct` (HyperLogLog++ at rsd 0.01: the default 0.05
+    * `approx_count_distinct` (HyperLogLog++ at rsd 0.02: the default 0.05
     * is a standard DEVIATION, not a bound — it measured 7.3% off on a
-    * 1.5k-distinct column; 0.01 keeps the promised 5% contract at ~5σ for
-    * ~9 KB of registers per column) fused into
+    * 1.5k-distinct column — while 0.01 costs more than precision: Spark
+    * stores each HLL WORD as a separate aggregation-buffer attribute, so
+    * rsd 0.01 (p=14, 2731 words) × 6 sketches meant a 16k-column buffer
+    * row that broke codegen and ran 4.7 s at sf0.1; rsd 0.02 (p=12, 683
+    * words) keeps the promised 5% contract at ~3σ with a 4k-attribute
+    * buffer and sub-second runtime) fused into
     * the SAME single scan+aggregate as the count/min/max battery — one
     * pass over the table, no Expand, no per-column re-scans; sketch state
     * is a few KB per column regardless of data size, and the sketches
@@ -129,28 +133,30 @@ object DataQuality {
     * relative error of the exact per-column distincts, exact-equal
     * low-cardinality columns, plus exactness of the fused n/null/min/max
     * columns against [[dqProfile]] (DataQualitySpec). */
+  private val ApproxRsd = 0.02
+
   val dqProfileApprox: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val agg = o.agg(
       count(lit(1)).as("n"),
       count(col("o_orderkey")).as("nn_key"),
-      approx_count_distinct(col("o_orderkey"), 0.01).as("nd_key"),
+      approx_count_distinct(col("o_orderkey"), ApproxRsd).as("nd_key"),
       min(col("o_orderkey")).cast("double").as("mn_key"), max(col("o_orderkey")).cast("double").as("mx_key"),
       count(col("o_custkey")).as("nn_cust"),
-      approx_count_distinct(col("o_custkey"), 0.01).as("nd_cust"),
+      approx_count_distinct(col("o_custkey"), ApproxRsd).as("nd_cust"),
       min(col("o_custkey")).cast("double").as("mn_cust"), max(col("o_custkey")).cast("double").as("mx_cust"),
       count(col("o_totalprice")).as("nn_price"),
-      approx_count_distinct(col("o_totalprice"), 0.01).as("nd_price"),
+      approx_count_distinct(col("o_totalprice"), ApproxRsd).as("nd_price"),
       min(col("o_totalprice")).as("mn_price"), max(col("o_totalprice")).as("mx_price"),
       count(col("o_orderdate")).as("nn_date"),
-      approx_count_distinct(col("o_orderdate"), 0.01).as("nd_date"),
+      approx_count_distinct(col("o_orderdate"), ApproxRsd).as("nd_date"),
       min(unix_micros(col("o_orderdate").cast("timestamp"))).cast("double").as("mn_date"),
       max(unix_micros(col("o_orderdate").cast("timestamp"))).cast("double").as("mx_date"),
       count(col("o_orderstatus")).as("nn_status"),
-      approx_count_distinct(col("o_orderstatus"), 0.01).as("nd_status"),
+      approx_count_distinct(col("o_orderstatus"), ApproxRsd).as("nd_status"),
       min(col("o_orderstatus")).as("mn_status"), max(col("o_orderstatus")).as("mx_status"),
       count(col("o_orderpriority")).as("nn_prio"),
-      approx_count_distinct(col("o_orderpriority"), 0.01).as("nd_prio"),
+      approx_count_distinct(col("o_orderpriority"), ApproxRsd).as("nd_prio"),
       min(col("o_orderpriority")).as("mn_prio"), max(col("o_orderpriority")).as("mx_prio"))
     def num(name: String, nn: String, nd: String, mn: String, mx: String) =
       struct(lit(name).as("column"), col("n").as("n"),

@@ -41,6 +41,14 @@ object PlanDump {
         "broadcast side; partial+final agg on top"),
       "join_asof" -> ("single sort-partitioned window pass over the tagged " +
         "union — no range self-join"),
+      "join_asof_merge" -> ("the custom Catalyst spelling: MergeAsofExec " +
+        "with planner-inserted hash exchanges + (key, time) sorts from its " +
+        "declared requirements, streaming two-pointer merge — each side " +
+        "shuffles only its own columns, no union null-padding, no window " +
+        "frame buffer"),
+      "dq_profile_approx" -> ("single-pass profile: all six HLL sketches " +
+        "fuse into the one scan+aggregate alongside the count/min/max " +
+        "battery — no Expand, no per-column distinct branches, no joins"),
       "events_funnel" -> ("ordered funnel: filtered events shuffle once on " +
         "user_id; every later stage joins + re-aggregates on that same key " +
         "(co-partitioned, no new exchange on the fact side), and the " +

@@ -50,10 +50,19 @@ object Caching {
     * to compensate for.
     */
   def scatterIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, UnspecifiedDistribution}
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    // sparkPlan is the planner output BEFORE EnsureRequirements, so no
+    // exchange nodes exist yet — detect wideness by the contract that
+    // CREATES them: any node requiring a non-broadcast distribution gets
+    // an exchange inserted, after which the frame runs at the shuffle
+    // width and scattering buys nothing (pinned by ScatterGateSpec).
     val plan = df.queryExecution.sparkPlan
-    val alreadyWide = plan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    val alreadyWide = plan.exists(_.requiredChildDistribution.exists {
+      case UnspecifiedDistribution     => false
+      case _: BroadcastDistribution    => false
+      case _                           => true
+    })
     val leaves = plan.collectLeaves()
     val scanParts = leaves.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>

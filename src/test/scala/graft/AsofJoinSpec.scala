@@ -36,6 +36,52 @@ class AsofJoinSpec extends SparkSpec {
       "no range-join fallback")
   }
 
+  test("merge exec == driver-side brute force on 20 seeded random corpora") {
+    // unique (key, ts) per side by construction — the fixture contract the
+    // operator documents (exact-tie winners are engine-arbitrary in every
+    // as-of implementation, DuckDB's included, so ties are out of spec)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.plans.AsofJoinStrategy.register(spark)
+    val lSchema = StructType(Seq(StructField("lid", LongType),
+      StructField("k", LongType), StructField("lt", LongType)))
+    val rSchema = StructType(Seq(StructField("rk", LongType),
+      StructField("rt", LongType), StructField("rid", LongType)))
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def uniq(n: Int): Seq[(Long, Long)] = // (key, ts) pairs, unique per side
+        rnd.shuffle((0L until 500L).toList).take(n)
+          .map(t => (rnd.nextInt(8).toLong, t))
+      val lRows = uniq(60).zipWithIndex.map { case ((k, t), i) => Row(i.toLong, k, t) }
+      val rRows = uniq(80).zipWithIndex.map { case ((k, t), i) => Row(k, t, 1000L + i) }
+      val l = spark.createDataFrame(spark.sparkContext.parallelize(lRows, 3), lSchema)
+      val r = spark.createDataFrame(spark.sparkContext.parallelize(rRows, 2), rSchema)
+      val lp = org.apache.spark.sql.graft.GraftSql.analyzed(l)
+      val rp = org.apache.spark.sql.graft.GraftSql.analyzed(r)
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      // LongType time works through the same SortOrder/eval path as
+      // TimestampType (both are physical longs)
+      val got = org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+          graft.plans.AsofJoin(lp, rp, a(lp, "k"), a(rp, "rk"),
+            a(lp, "lt"), a(rp, "rt"), toleranceUs = Some(100L)))
+        .select(col("lid"), col("rid")).collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      val rIdx = rRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = lRows.map { lr =>
+        val (lid, k, t) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+        val cand = rIdx.filter(x => x._1 == k && x._2 <= t)
+        val m = if (cand.isEmpty) -1L else {
+          val best = cand.maxBy(_._2)
+          if (t - best._2 <= 100L) best._3 else -1L
+        }
+        lid -> m
+      }.toMap
+      assert(got == want, s"seed $seed: merge exec diverged from brute force")
+    }
+  }
+
   test("exec semantics: latest-at-or-before, tolerance, and null-key/ts edges") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -111,7 +111,11 @@ object FsOps {
     val srcGone = !f.exists(file)
     val inTrash = f.exists(new Path(trashRoot,
       "Current" + file.toUri.getPath))
-    f.delete(trashRoot, true)
+    // Remove ONLY the trash subtree this run created (Current/<tempdir>),
+    // never the trash root — on LocalFileSystem getTrashRoot is the user's
+    // real ~/.Trash and may hold unrelated recoverable files.
+    f.delete(new Path(trashRoot,
+      "Current" + new Path(dir.toString).toUri.getPath), true)
     f.delete(new Path(dir.toString), true)
     Seq(("chmod", if (permOk) 1 else 0),
         ("setrep", if (repOk) 1 else 0),

@@ -92,34 +92,56 @@ object Sources {
     * side routes by the write partitioner and each task opens only its
     * bucket's reader. */
   val scanMapfile: Q = (s, d) => {
-    import org.apache.hadoop.conf.Configuration
+    import s.implicits._
+    val kv = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+    val probes = Tables.customer(s, d).select(col("c_custkey"))
+      .unionAll(Tables.customer(s, d).agg(max(col("c_custkey")).as("m"))
+        .select(explode(sequence(col("m") + 1, col("m") + 5)).as("c_custkey")))
+      .as[Long]
+    mapfileRoundTrip(s, kv, probes, numBuckets = 4)
+      .toDF("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Write `kv` as a bucketed MapFile table, then indexed-probe every key in
+    * `probes`. Factored from [[scanMapfile]] so the spec can drive it with
+    * adversarial keys (negative, > 2^31) — the round-11 advice found the old
+    * hand-rolled `k.## % n` probe routing diverges from the writer's
+    * `HashPartitioner` (java.lang.Long.hashCode) exactly there. Both sides
+    * now share ONE partitioner instance, so they cannot drift. Executor
+    * closures read the SESSION Hadoop conf (broadcast via the public
+    * `SerializableWritable`; `Configuration` is a `Writable`), not a bare
+    * `new Configuration()` — keeps s3a:// credentials/settings intact. */
+  private[graft] def mapfileRoundTrip(s: SparkSession,
+      kv: org.apache.spark.sql.Dataset[(Long, String)],
+      probes: org.apache.spark.sql.Dataset[Long],
+      numBuckets: Int): org.apache.spark.sql.Dataset[(Long, String)] = {
     import org.apache.hadoop.fs.Path
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.output.MapFileOutputFormat
     import s.implicits._
     val out = tmp("mapfile") + "/data"
-    Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_name")).as[(Long, String)].rdd
-      .repartitionAndSortWithinPartitions(new org.apache.spark.HashPartitioner(4))
+    val part = new org.apache.spark.HashPartitioner(numBuckets)
+    val hconf = s.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(s.sparkContext.hadoopConfiguration))
+    kv.rdd
+      .repartitionAndSortWithinPartitions(part)
       .map { case (k, v) => (new LongWritable(k), new Text(v)) }
       .saveAsNewAPIHadoopFile(out, classOf[LongWritable], classOf[Text],
         classOf[MapFileOutputFormat], s.sparkContext.hadoopConfiguration)
-    val probes = Tables.customer(s, d).select(col("c_custkey"))
-      .unionAll(Tables.customer(s, d).agg(max(col("c_custkey")).as("m"))
-        .select(explode(sequence(col("m") + 1, col("m") + 5)).as("c_custkey")))
-    probes.as[Long].rdd.mapPartitions { it =>
+    probes.rdd.mapPartitions { it =>
       // readers open once per task (index loads into memory once); each
-      // probe routes to ITS bucket by the same partitioner arithmetic the
+      // probe routes to ITS bucket through the SAME HashPartitioner the
       // write used — one indexed get per key, the doc-comment's "each task
       // opens only its bucket's reader" story (probing all buckets was
       // measured 4x the gets for nothing)
-      val readers = MapFileOutputFormat.getReaders(new Path(out), new Configuration())
+      val readers = MapFileOutputFormat.getReaders(new Path(out), hconf.value.value)
       val key = new LongWritable()
       val value = new Text()
       val res = it.map { k =>
         key.set(k)
-        val m = k.##.%(readers.length); val bucket = if (m < 0) m + readers.length else m
-        val hit = readers(bucket).get(key, value) != null
+        val hit = readers(part.getPartition(k)).get(key, value) != null
         (k, if (hit) value.toString else null)
       }
       new Iterator[(Long, String)] {
@@ -128,8 +150,7 @@ object Sources {
         }
         def next(): (Long, String) = res.next()
       }
-    }.toDF("c_custkey", "c_name")
-      .orderBy("c_custkey")
+    }.toDS()
   }
 
   /** RCFile round-trip: Hive's row-group columnar container (the
@@ -156,11 +177,15 @@ object Sources {
     import org.apache.hadoop.io.LongWritable
     import s.implicits._
     val out = tmp("rcfile") + "/data"
+    // session conf (not a bare `new Configuration()`) so fs credentials and
+    // settings survive into the executor-side writers — s3a:// portability
+    val hconf = s.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(s.sparkContext.hadoopConfiguration))
     Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
       .as[(Long, String, Int)].rdd
       .foreachPartition { it =>
         if (it.hasNext) {
-          val conf = new Configuration()
+          val conf = new Configuration(hconf.value.value)
           conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, 3)
           val path = new Path(out,
             f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.rc")

@@ -1,0 +1,34 @@
+package graft
+
+import graft.sources.Sources
+
+/** Container-source edge cases (round 12).
+  *
+  * MapFile probe routing: the round-11 advice found the old hand-rolled
+  * `k.## % n` bucket arithmetic diverges from the writer's HashPartitioner
+  * (java.lang.Long.hashCode) for keys outside non-negative Int range —
+  * Scala's `##` for a Long that fits in Int returns the Int value, while
+  * java.lang.Long.hashCode XOR-folds the halves; they coincide ONLY on
+  * [0, 2^31). Fixture custkeys are positive-small so the bug was latent.
+  * This spec drives the shared-partitioner round-trip with keys from every
+  * regime: negative, > 2^31, Long.MinValue/MaxValue.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("mapfile probe routing matches writer buckets for negative and >2^31 keys") {
+    import spark.implicits._
+    val keys: Seq[Long] = Seq(
+      1L, 7L, 42L,
+      -1L, -7L, -2147483649L,          // negative (Int and beyond-Int range)
+      2147483648L, 4294967296L,        // > 2^31, > 2^32
+      Long.MaxValue, Long.MinValue)
+    val kv = keys.map(k => (k, s"v$k")).toDS()
+    val misses: Seq[Long] = Seq(3L, -3L, 2147483647L, 9999999999L)
+    val probes = (keys ++ misses).toDS()
+    val got = Sources.mapfileRoundTrip(spark, kv, probes, numBuckets = 4)
+      .collect().toMap
+    assert(got.size === keys.size + misses.size)
+    keys.foreach { k => assert(got(k) === s"v$k", s"hit expected for key $k") }
+    misses.foreach { k => assert(got(k) === null, s"miss expected for key $k") }
+  }
+}

@@ -54,12 +54,18 @@ def spark_unrepresentable(duck_type):
              "UBIGINT"):
         return True
     if t.startswith("DECIMAL"):
-        return True
+        # Spark holds DecimalType up to precision 38 with exact parquet
+        # round-trip semantics (round-11 advice: an unconditional DECIMAL
+        # error would hard-fail legitimate decimal oracles). Only flag
+        # precisions Spark cannot represent.
+        import re
+        m = re.match(r"DECIMAL\((\d+)", t)
+        return bool(m) and int(m.group(1)) > 38
     if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
         # recurse into the element/field types encoded in the string
         return any(bad in t for bad in
                    ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
-                    "UINTEGER", "UBIGINT", "DECIMAL"))
+                    "UINTEGER", "UBIGINT"))
     return False
 
 def main():

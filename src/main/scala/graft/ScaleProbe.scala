@@ -79,7 +79,18 @@ object ScaleProbe {
               // workload, not a bigger one (k=64: neardup 255.9×, minhash
               // 95.9×, 37 GB spill at k=128) — recorded in BASELINE.md as
               // the mega-cluster stress curve.
-              shifted.withColumn("text",
+              // SPARK_GRAFT_SCALE_TRANSFORM=megacluster resurrects the OLD
+              // degenerate transform (one suffix token per doc → every doc
+              // becomes a k-member cross-copy near-dup cluster, pair output
+              // quadratic in k) ON PURPOSE: it is the reproducible stress
+              // corpus for the neardup candidate budget
+              // (graft.llm.Dedup.NeardupCapConf). Default stays the
+              // round-11 bijective remap that preserves workload shape.
+              if (sys.env.get("SPARK_GRAFT_SCALE_TRANSFORM").contains("megacluster"))
+                shifted.withColumn("text",
+                  if (i == 0) col("text")
+                  else concat(col("text"), lit(s" graftcopytag$i")))
+              else shifted.withColumn("text",
                 if (i == 0) col("text")
                 else regexp_replace(col("text"), "(\\S+)", "$1z" + i))
             case "embeddings" =>
@@ -117,6 +128,10 @@ object ScaleProbe {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_NEARDUP_CAP=m turns the per-doc candidate budget on for
+    // the probed queries (the mega-cluster containment run).
+    sys.env.get("SPARK_GRAFT_NEARDUP_CAP").foreach(m =>
+      spark.conf.set(graft.llm.Dedup.NeardupCapConf, m))
 
     val oneDir = s"$scratch/x1"
     val kDir = s"$scratch/x$k"

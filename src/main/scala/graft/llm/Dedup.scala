@@ -108,8 +108,8 @@ object Dedup {
     * exactly. Output is identical to the naive all-pairs join (unit-tested),
     * at a fraction of the join volume.
     */
-  /** Prefix-filtered (PPJoin) candidate generation over a shingle table. */
-  private def prefixCands(sh: DataFrame): DataFrame = {
+  /** The PPJoin prefix table: each doc's rare-first prefix shingles + size. */
+  private def prefixTable(sh: DataFrame): DataFrame = {
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
@@ -117,11 +117,17 @@ object Dedup {
     // position (count over the unbounded frame) — one exchange serves both,
     // instead of a separate per-doc aggregation joined back
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val prefix = sh.join(freq, "sh")
+    sh.join(freq, "sh")
       .withColumn("pos", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(wAll))
       .where(col("pos") <= col("n_sh") - ceil(col("n_sh") * JaccardThreshold) + 1)
       .select("doc_id", "sh", "n_sh")
+  }
+
+  /** The PPJoin candidate self-join (prefix ∩ prefix ≠ ∅ + length filter),
+    * before pair-level reduction — shared by the distinct (uncapped) and
+    * weighted (capped) candidate shapes. */
+  private def prefixJoin(prefix: DataFrame): DataFrame =
     // length filter (lossless, standard PPJoin companion): J >= 4/5 forces
     // min(n1,n2) >= 0.8*max(n1,n2), stated in exact integer form (4*n <= 5*m)
     // so no float rounding can drop a true pair — prunes candidates before
@@ -132,8 +138,10 @@ object Dedup {
             col("x.n_sh") * 4 <= col("y.n_sh") * 5 &&
             col("y.n_sh") * 4 <= col("x.n_sh") * 5)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-  }
+
+  /** Prefix-filtered (PPJoin) candidate generation over a shingle table. */
+  private def prefixCands(sh: DataFrame): DataFrame =
+    prefixJoin(prefixTable(sh)).distinct()
 
   /** Naive shared-shingle candidate generation (no prefix machinery). */
   private def naiveCands(sh: DataFrame): DataFrame =
@@ -141,6 +149,52 @@ object Dedup {
       .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+
+  /** Candidate pairs WITH an overlap weight: `w` = number of shared prefix
+    * shingles (prefix path) or shared shingles (naive path) — a lower bound
+    * on the pair's true intersection, used only to RANK pairs under a
+    * candidate budget. Same shuffle volume as the distinct() form (the
+    * count is a map-side partial aggregation over the identical join). */
+  private def weightedCands(sh: DataFrame, prefixPath: Boolean): DataFrame = {
+    val joined =
+      if (prefixPath) prefixJoin(prefixTable(sh))
+      else sh.as("x")
+        .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    joined.groupBy("d1", "d2").agg(count(lit(1)).as("w"))
+  }
+
+  /** Candidate budget for the mega-cluster regime (the one measured failure
+    * boundary, BASELINE.md round-11 memory probe): on a corpus where every
+    * document has c near-identical copies, candidate pairs — and therefore
+    * exact-verify join volume and pair OUTPUT itself — grow as c²/2. A
+    * per-document budget keeps each doc's verified pairs to its top-`m`
+    * candidates by overlap weight (ties broken by partner id, so the kept
+    * set is deterministic); a pair survives if EITHER endpoint ranks it
+    * (kNN-graph semantics), bounding verified pairs ≤ 2·m·|docs| — linear
+    * in the corpus regardless of duplicate-cluster size.
+    *
+    * RECALL TRADE (the operator contract): with the cap on, output is a
+    * SUBSET of the exact operator's pairs — inside a duplicate cluster of
+    * size c > m+1 only ~m·c of the c²/2 true pairs are emitted (still ≥ the
+    * connectivity a downstream clustering needs in practice, since every
+    * doc keeps its m strongest partners). Cap OFF (the default, conf unset
+    * or 0) the operator is exactly [[neardupPairs]]' declared semantics.
+    * DedupCapSpec pins capped ⊆ uncapped and capped == uncapped when m
+    * exceeds every doc's true degree. */
+  val NeardupCapConf = "spark.graft.neardup.maxPairsPerDoc"
+
+  private def capPairs(weighted: DataFrame, m: Int): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1")).orderBy(col("w").desc, col("d2"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d2")).orderBy(col("w").desc, col("d1"))
+    weighted
+      .withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .where(col("r1") <= m || col("r2") <= m)
+      .select("d1", "d2")
+  }
 
   /** Size-adaptive switch: below this many (doc, shingle) rows the naive
     * shared-shingle candidate join is cheaper than the prefix machinery's
@@ -158,11 +212,68 @@ object Dedup {
     val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
     // the count reads the just-materialized cache — one cheap short job,
     // the price of choosing the right plan for the corpus actually present
+    val prefixPath = sh.count() >= NeardupPrefixMinShingles
+    val cap = s.conf.getOption(NeardupCapConf).map(_.toInt).getOrElse(0)
     val cands =
-      if (sh.count() < NeardupPrefixMinShingles) naiveCands(sh)
-      else prefixCands(sh)
+      if (cap > 0) capPairs(weightedCands(sh, prefixPath), cap)
+      else if (prefixPath) prefixCands(sh)
+      else naiveCands(sh)
     verifyJaccard(cands, sh, withSizes = true)
   }
+
+  /** [[neardupPairs]] with the per-document candidate budget forced to `m`
+    * — the spec entry point (the operator itself reads [[NeardupCapConf]]). */
+  def neardupPairsCapped(s: SparkSession, d: String, m: Int): DataFrame = {
+    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
+    val prefixPath = sh.count() >= NeardupPrefixMinShingles
+    verifyJaccard(capPairs(weightedCands(sh, prefixPath), m), sh, withSizes = true)
+  }
+
+  /** Registered budget default: each doc keeps its top-2 candidate partners
+    * (pairs survive if EITHER endpoint ranks them). */
+  val NeardupCapDefaultM = 2
+
+  /** The REGISTERED capped near-dup row (`llm_neardup_capped`): the
+    * deterministic reference formulation of the candidate budget, with the
+    * ranking weight = FULL shared-shingle count (the exact overlap),
+    * independent of the adaptive prefix switch — which makes it
+    * SQL-expressible and hash-oracled against DuckDB. The conf-driven path
+    * inside [[neardupPairs]] approximates the same ranking with prefix
+    * overlaps above the shingle threshold (same ≤ 2·m·|docs| bound, far
+    * cheaper weights at 100 TB); DedupCapSpec pins the two equal below the
+    * threshold and capped ⊆ uncapped always. */
+  val neardupCapped: Q = (s, d) => {
+    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
+    verifyJaccard(capPairs(weightedCands(sh, prefixPath = false), NeardupCapDefaultM),
+                  sh, withSizes = true)
+  }
+
+  val neardupCappedSql: String =
+    s"""WITH $shinglesSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |ov AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS w
+       |  FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT d1, d2,
+       |    row_number() OVER (PARTITION BY d1 ORDER BY w DESC, d2) AS r1,
+       |    row_number() OVER (PARTITION BY d2 ORDER BY w DESC, d1) AS r2
+       |  FROM ov),
+       |cand AS (SELECT d1, d2 FROM ranked WHERE r1 <= $NeardupCapDefaultM OR r2 <= $NeardupCapDefaultM),
+       |ix AS (
+       |  SELECT c.d1, c.d2, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shingles a ON a.doc_id = c.d1
+       |  JOIN shingles b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT i.d1, i.d2, i.inter, s1.n_sh AS n1, s2.n_sh AS n2,
+       |  round(cast(i.inter as double) / (s1.n_sh + s2.n_sh - i.inter), 6) AS jac6
+       |FROM ix i
+       |JOIN sizes s1 ON s1.doc_id = i.d1
+       |JOIN sizes s2 ON s2.doc_id = i.d2
+       |WHERE cast(i.inter as double) / (s1.n_sh + s2.n_sh - i.inter) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
 
   /** Prefix-filter path, forced (the 100 TB plan; adaptively chosen by
     * [[neardupPairs]] above the shingle threshold). Kept callable so the
@@ -554,6 +665,7 @@ object Dedup {
     "llm_minhash_estimate" -> minhashEstimate,
     "llm_exact_dedup" -> exactDedup,
     "llm_neardup_pairs" -> neardupPairs,
+    "llm_neardup_capped" -> neardupCapped,
     "llm_neardup_minhash" -> neardupMinhashLsh,
     "llm_simhash" -> simhash,
     "llm_substring_dedup" -> substringDedup,
@@ -586,6 +698,7 @@ object Dedup {
     "llm_minhash_estimate" -> minhashEstimateSql,
     "llm_exact_dedup" -> exactDedupSql,
     "llm_neardup_pairs" -> neardupPairsSql,
+    "llm_neardup_capped" -> neardupCappedSql,
     "llm_neardup_minhash" -> neardupMinhashSql,
     "llm_substring_dedup" -> substringDedupSql,
     "llm_substring_dedup_w16" -> substringDedupSqlAt(SpanTokensWide),

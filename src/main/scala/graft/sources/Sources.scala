@@ -215,6 +215,87 @@ object Sources {
       .orderBy("p_partkey")
   }
 
+  /** Hadoop ARchive (HAR) round-trip — the reference's small-files packing
+    * container (`hadoop archive` → `_masterindex`/`_index`/`part-N`, read
+    * through `HarFileSystem`). The MR creator tool isn't on Spark's
+    * classpath, so the WRITE half emits the public v3 layout directly:
+    * version-3 master index + one store line, an `_index` with URL-encoded
+    * entry names and `modtime+perm+owner+group` props, and the `part-0`
+    * payload concatenation. The READ half is the proof the bytes are right:
+    * Spark lists and reads the files back THROUGH THE REAL `har://`
+    * HarFileSystem (service-registered in hadoop-client-api) — any format
+    * deviation fails the open/list, and any payload corruption fails the
+    * oracle hash. Packing here is driver-side metadata work over a 25-row
+    * dim; at 100 TB the same layout shards embarrassingly: each task packs
+    * its file set into `part-N` plus an index fragment, then the fragments
+    * concatenate — exactly the reference's MR archive job shape. */
+  val scanHar: Q = (s, d) => {
+    import java.net.URLEncoder
+    import org.apache.hadoop.fs.Path
+    val dirP = tmp("har")
+    val harDir = new Path(dirP, "nations.har")
+    val f = harDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.mkdirs(harDir)
+    // the small files to pack: one region_<r>.txt per region, key-sorted
+    // "region|key|name" lines (25-row dim → driver-side packing is correct)
+    val rows = Tables.nation(s, d)
+      .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"),
+              col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val partOut = f.create(new Path(harDir, "part-0"))
+    var off = 0L
+    val entries = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, ns) =>
+      val content = ns.sortBy(_._2)
+        .map { case (_, k, n) => s"$r|$k|$n" }.mkString("", "\n", "\n")
+        .getBytes("UTF-8")
+      partOut.write(content)
+      val e = (s"region_$r.txt", off, content.length.toLong)
+      off += content.length
+      e
+    }
+    partOut.close()
+    def enc(x: String) = URLEncoder.encode(x, "UTF-8")
+    // only modtime is read back (v3 props = "mtime perm owner group")
+    val props = enc("1700000000000 420 root root")
+    val dirLine = enc("/") + " dir " + props + " 0 0 " +
+      entries.map(e => enc(e._1)).mkString(" ")
+    val fileLines = entries.map { case (name, start, len) =>
+      enc("/" + name) + s" file part-0 $start $len " + props
+    }
+    val indexBytes = (dirLine +: fileLines).mkString("", "\n", "\n").getBytes("UTF-8")
+    val idx = f.create(new Path(harDir, "_index")); idx.write(indexBytes); idx.close()
+    val master = f.create(new Path(harDir, "_masterindex"))
+    master.write(s"3\n0 ${Int.MaxValue} 0 ${indexBytes.length}\n".getBytes("UTF-8"))
+    master.close()
+    // read back through the har:// filesystem. Authority form is
+    // har://<scheme>-<host>/path; with no authority (har:///path) the
+    // underlying fs comes from fs.defaultFS — the only valid spelling for
+    // LocalFileSystem, whose host component is empty. Expand the entry glob
+    // through HarFileSystem.globStatus ourselves (a har-relative glob fed
+    // straight to spark.read logs a spurious literal-path FileNotFound).
+    val harRoot = new Path(s"har://${harDir.toUri.getPath}")
+    val harFs = harRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entryPaths = harFs.globStatus(new Path(harRoot, "region_*.txt"))
+      .map(_.getPath.toString).sorted
+    require(entryPaths.nonEmpty, s"no archive entries listed under $harRoot")
+    val lines = s.read.text(entryPaths: _*)
+    lines.select(split(col("value"), "\\|").as("p"))
+      .select(col("p")(0).cast("long").as("r_regionkey"),
+              col("p")(1).cast("long").as("n_nationkey"),
+              col("p")(2).as("n_name"))
+      .groupBy("r_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+           sum(col("n_nationkey")).as("key_sum"),
+           array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("r_regionkey")
+  }
+
+  val scanHarSql: String =
+    """SELECT n_regionkey AS r_regionkey, count(*) AS n_nations,
+      |  cast(sum(n_nationkey) as bigint) AS key_sum,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ORC round-trip — the other columnar staple of the Hadoop ecosystem,
     * built into Spark with the same pushdown/pruning machinery as parquet. */
   val scanOrc: Q = (s, d) => {
@@ -475,6 +556,7 @@ object Sources {
     "scan_sequencefile" -> scanSequencefile,
     "scan_mapfile" -> scanMapfile,
     "scan_rcfile" -> scanRcfile,
+    "scan_har" -> scanHar,
     "scan_orc" -> scanOrc,
     "scan_avro" -> scanAvro,
     "sink_parquet" -> sinkParquet,
@@ -489,6 +571,7 @@ object Sources {
     * A format bug (mangled value, dropped row, codec corruption) changes the
     * read-back relation and fails the hash-compare. */
   val oracle: Map[String, String] = Map(
+    "scan_har" -> scanHarSql,
     "scan_merge_schema" -> scanMergeSchemaSql,
     "sink_scd2" -> sinkScd2Sql,
     "sink_merge_upsert" -> sinkMergeUpsertSql,

@@ -78,14 +78,37 @@ class ScaleSpec extends SparkSpec {
     // at runtime — a literal y-filter gets constant-folded into a STATIC
     // partition filter instead (the optimizer is allowed to be smarter)
     val dim = Tables.orders(spark, sfDir)
-      .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      .where(col("o_orderkey") <= 3)
       .select(year(col("o_orderdate")).as("y")).distinct()
+    val expectedYears = dim.collect().map(_.getInt(0)).toSet
+    val totalYears = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate"))).distinct().count()
+    assert(expectedYears.size < totalYears,
+      "fixture guard: the dim filter must select a strict subset of years " +
+      "or the pruning assertion below is vacuous")
     val joined = fact.join(dim, col("o_year") === col("y"))
       .groupBy("o_year").count()
     joined.collect()
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"),
-      s"expected dynamic partition pruning in:\n$plan")
+    // typed assertions, not toString substrings (round-7 advice): the fact
+    // scan must carry a DynamicPruningExpression partition filter, and its
+    // runtime metric must show FEWER partitions read than exist on disk —
+    // pruning that actually pruned, the 100 TB star-join plan feature
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    val factScans = flattenPlan(joined.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.partitionFilters.exists(_.exists(_.isInstanceOf[DynamicPruningExpression]))
+        => f
+    }
+    assert(factScans.nonEmpty,
+      s"no scan with a DynamicPruningExpression partition filter in:\n" +
+      joined.queryExecution.executedPlan)
+    val partitionsRead = factScans.head.metrics("numPartitions").value
+    assert(partitionsRead == expectedYears.size,
+      s"expected ${expectedYears.size} partitions read, got $partitionsRead")
+    assert(partitionsRead < totalYears,
+      s"DPP read all $totalYears partitions — nothing was pruned")
+    deleteDir(out)
   }
 
   test("AQE splits a skewed shuffle partition at runtime (skew-join re-plan)") {

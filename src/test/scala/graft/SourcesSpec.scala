@@ -31,4 +31,17 @@ class SourcesSpec extends SparkSpec {
     keys.foreach { k => assert(got(k) === s"v$k", s"hit expected for key $k") }
     misses.foreach { k => assert(got(k) === null, s"miss expected for key $k") }
   }
+
+  test("har archive round-trip reads back through the real har:// filesystem") {
+    import org.apache.spark.sql.functions._
+    val got = Sources.scanHar(spark, sfDir).collect()
+    val want = graft.Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey").cast("long").as("r_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+           sum(col("n_nationkey").cast("long")).as("key_sum"),
+           array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("r_regionkey").collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    assert(got.length === 5 && got.map(_.getAs[Long]("n_nations")).sum === 25L)
+  }
 }

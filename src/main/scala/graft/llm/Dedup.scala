@@ -342,13 +342,22 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
               col("bb.band_hash").as("band_hash"))
-    val candidates = bands.as("x")
+    val pairBands = bands.as("x")
       .join(bands.as("y"),
             col("x.band") === col("y.band") &&
             col("x.band_hash") === col("y.band_hash") &&
             col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    // The 100 TB composition: LSH banding bounds WHICH pairs are candidates,
+    // the per-doc budget ([[NeardupCapConf]]) bounds HOW MANY survive to the
+    // exact verify even in the mega-cluster regime (c near-identical copies
+    // ⇒ c²/2 band-colliding pairs). Weight = number of colliding bands, a
+    // monotone Jaccard proxy (E[bands shared] = b·j^r) — same shuffle as the
+    // distinct() form, the count is a map-side partial agg.
+    val cap = s.conf.getOption(NeardupCapConf).map(_.toInt).getOrElse(0)
+    val candidates =
+      if (cap > 0) capPairs(pairBands.groupBy("d1", "d2").agg(count(lit(1)).as("w")), cap)
+      else pairBands.distinct()
     verifyJaccard(candidates, sh, withSizes = false)
   }
 

@@ -66,6 +66,25 @@ class DedupCapSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.NeardupCapConf)
   }
 
+  test("cap composes with MinHash-LSH: capped ⊆ uncapped, default path unchanged") {
+    val uncapped = Dedup.neardupMinhashLsh(spark, sfDir).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    assert(uncapped.nonEmpty)
+    spark.conf.set(Dedup.NeardupCapConf, "1")
+    try {
+      val capped = Dedup.neardupMinhashLsh(spark, sfDir).collect()
+        .map(r => key(r) -> r.toSeq).toMap
+      assert(capped.nonEmpty)
+      capped.foreach { case (k, row) =>
+        assert(uncapped.contains(k) && uncapped(k) === row,
+          s"capped LSH pair $k missing or differs from uncapped")
+      }
+    } finally spark.conf.unset(Dedup.NeardupCapConf)
+    val again = Dedup.neardupMinhashLsh(spark, sfDir).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    assert(again === uncapped, "unsetting the conf must restore exact LSH semantics")
+  }
+
   test("planted mega-cluster: capped output is linear in cluster size, not quadratic") {
     import spark.implicits._
     val c = 12 // one duplicate cluster of 12 near-identical docs

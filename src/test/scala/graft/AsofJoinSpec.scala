@@ -12,6 +12,9 @@ import graft.operators.TemporalJoins
   * (the custom exec, planner-inserted exchanges/sorts, no window, no range
   * join), and the tolerance + null edge semantics of the exec itself.
   */
+/** Top-level for the MemoryStream product encoder. */
+case class AsofClick(lid: Long, k: Long, lt: Long)
+
 class AsofJoinSpec extends SparkSpec {
 
   test("merge-asof equals the union+window rewrite row for row") {
@@ -130,5 +133,63 @@ class AsofJoinSpec extends SparkSpec {
     assert(run(Some(3600L * 1000000L)) ==
       Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None,
           4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("streaming micro-batches drive the merge exec: stream-static as-of equals batch") {
+    // The stream-static as-of enrichment shape (round-11 verdict item 6):
+    // clicks arrive as a stream, each enriched with the latest static record
+    // at-or-before its timestamp. foreachBatch applies the SAME custom
+    // AsofJoin plan per micro-batch — per-row matches depend only on the
+    // static side, so the streamed union must equal one batch run over the
+    // full input regardless of how rows split across batches (batch 2 even
+    // arrives with timestamps EARLIER than batch 1's to prove order freedom).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.graft.GraftSql
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.plans.AsofJoinStrategy.register(spark)
+    val rSchema = StructType(Seq(StructField("rk", LongType),
+      StructField("rt", LongType), StructField("rid", LongType)))
+    val rRows = Seq(Row(10L, 100L, 101L), Row(10L, 200L, 102L),
+      Row(20L, 50L, 201L), Row(30L, 999L, 301L))
+    val statics = spark.createDataFrame(
+      spark.sparkContext.parallelize(rRows, 2), rSchema)
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    def asof(left: org.apache.spark.sql.DataFrame) = {
+      val lp = GraftSql.analyzed(left)
+      val rp = GraftSql.analyzed(statics)
+      GraftSql.ofRows(spark, graft.plans.AsofJoin(lp, rp,
+          a(lp, "k"), a(rp, "rk"), a(lp, "lt"), a(rp, "rt"), None))
+        .select(col("lid"), col("rid"))
+    }
+    val batch1 = Seq(AsofClick(1L, 10L, 150L), AsofClick(2L, 10L, 250L),
+      AsofClick(3L, 20L, 40L))
+    val batch2 = Seq(AsofClick(4L, 10L, 90L),  // earlier ts than batch 1
+      AsofClick(5L, 30L, 1000L), AsofClick(6L, 99L, 500L))
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val mem = MemoryStream[AsofClick]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        asof(b).collect().foreach(r =>
+          acc.add(r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))))
+      }.start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = {
+      val it = acc.iterator(); val b = Map.newBuilder[Long, Long]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    val batched = asof((batch1 ++ batch2).toDF("lid", "k", "lt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(streamed.size === 6)
+    assert(streamed === batched)
+    // spot-pin the semantics, not just self-consistency
+    assert(streamed(1L) === 101L && streamed(2L) === 102L &&
+           streamed(4L) === -1L && streamed(6L) === -1L)
   }
 }

@@ -35,23 +35,64 @@ object AnnIvf {
       .select(col("vec_id"), col("embedding"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
 
-  /** The deterministic coarse-quantizer codebook (small; always broadcast). */
-  def centroids(s: SparkSession, d: String): DataFrame =
-    normed(s, d).where(col("vec_id") % CentroidStride === 0)
+  /** Adaptive codebook size — the textbook IVF balance nlist ≈ √n, i.e.
+    * stride ≈ √n: assignment compute O(n·√n), probe O(|Q|·nprobe·√n), cell
+    * size ≈ √n. The round-12 128× ScaleProbe showed why a FIXED stride is
+    * a scale bug: nlist = n/32 grows linearly with the corpus, so
+    * assignment materializes n·n/32 ranking rows — 2 billion at 256k
+    * vectors — and OOMs the executors. Floor = [[CentroidStride]] keeps the
+    * small fixtures on their historical codebook (√n < 32 up to ~1k
+    * vectors); `spark.graft.ivf.stride` overrides for tuning. */
+  def strideFor(s: SparkSession, d: String): Long =
+    s.conf.getOption("spark.graft.ivf.stride").map(_.toLong).getOrElse {
+      val n = Tables.embeddings(s, d).count() // parquet metadata count — cheap
+      math.max(CentroidStride.toLong, math.round(math.sqrt(n.toDouble)))
+    }
+
+  /** The deterministic coarse-quantizer codebook (every stride-th vec_id —
+    * seedless, so the index is reproducible without storing state; ≈ √n
+    * rows, always broadcast). */
+  def centroids(s: SparkSession, d: String): DataFrame = {
+    val stride = strideFor(s, d)
+    normed(s, d).where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"),
               col("nrm").as("centn"))
+  }
 
-  /** Rank all centroids per vector by cosine; keep the top `take`. */
+  /** Rank all centroids per vector by cosine; keep the top `take`.
+    *
+    * Ranking runs on SLIM rows: the n×|C| cross product projects only
+    * (vec_id, cent_id, cscore) — the embedding array never rides a shuffle
+    * or sort buffer — and the arrays rejoin 1:1 on vec_id afterwards.
+    * take=1 (the index-build path, the big side) is an argmax HASH AGG,
+    * not a window: the map-side partial `max_by` collapses each task's |C|
+    * rows per vector to one before anything shuffles, so shuffle volume is
+    * O(n), not O(n·|C|). take>1 (the probe path, the small query side)
+    * keeps the row_number window over the slim rows. */
   private def nearestCells(vecs: DataFrame, cents: DataFrame, take: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cent_id"))
-    vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+    val slim = vecs
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
               (dot(col("embedding"), col("centv")) / (col("nrm") * col("centn")))
                 .as("cscore"))
-      .withColumn("crk", row_number().over(w))
-      .where(col("crk") <= take)
+    val picked =
+      if (take == 1)
+        // maximize (cscore, -cent_id): score ties go to the smallest
+        // cent_id, matching the window ordering (cscore desc, cent_id asc)
+        slim.groupBy("vec_id")
+          .agg(max_by(col("cent_id"),
+                      struct(col("cscore"), (-col("cent_id")).as("nid")))
+                 .as("cent_id"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cscore").desc, col("cent_id"))
+        slim.withColumn("crk", row_number().over(w))
+          .where(col("crk") <= take)
+          .select(col("vec_id"), col("cent_id"))
+      }
+    picked.join(vecs, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
   }
 
   /** Inverted file: every vector labeled with its cell (nearest centroid). */

@@ -24,6 +24,22 @@ object AnnLsh {
   val NumPlanes = 6
   val Dim = 64
 
+  /** Adaptive plane count: buckets ≈ √n (planes = ⌈log₂√n⌉), the same
+    * balance as [[AnnIvf]]'s √n codebook — bucket size and bucket count
+    * both grow as √n, so candidate volume is O(|Q|·√n) instead of the
+    * O(|Q|·n/2^planes) = quadratic blowup a FIXED plane count gives when
+    * the corpus scales (found by the round-12 128× ScaleProbe alongside
+    * the IVF stride bug). Floor = [[NumPlanes]] keeps every fixture
+    * ≤ ~4k vectors on the historical 64-bucket signature; recall at scale
+    * is then tuned by multi-probing, not by letting buckets balloon.
+    * `spark.graft.lsh.planes` overrides. */
+  def planesFor(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.lsh.planes").map(_.toInt).getOrElse {
+      val n = Tables.embeddings(s, d).count()
+      math.max(NumPlanes,
+        math.ceil(math.log(math.sqrt(n.toDouble)) / math.log(2.0)).toInt)
+    }
+
   /** Deterministic ±1 hyperplane components (plane p, dimension i). */
   private def planeSign(p: Int, i: Int): Double = {
     var x = p.toLong * 2654435761L + i.toLong * 40503L + 12345L
@@ -37,13 +53,14 @@ object AnnLsh {
       element_at(col("embedding"), i + 1).cast("double") * lit(planeSign(p, i))
     }.reduce(_ + _)
 
-  private def bucketCol =
-    (0 until NumPlanes).map { p =>
+  private def bucketCol(planes: Int) =
+    (0 until planes).map { p =>
       when(projection(p) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_)).as("bucket")
 
   def signatures(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), bucketCol)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketCol(planesFor(s, d)))
 
   /** Bucketed approximate top-k: exact cosine rank inside the shared bucket. */
   def annTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {

@@ -76,7 +76,7 @@ object AnnQuantized {
       .withColumn("enorm", sqrt(dot(col("embedding"), col("embedding"))))
     val blk = e.select(
       pmod(xxhash64(col("vec_id")),
-           lit(Similarity.vectorBlocks(s, QBlocks))).as("blk"),
+           lit(Similarity.vectorBlocksFor(s, d, QBlocks))).as("blk"),
       col("vec_id"), col("label"), col("qv"), col("qnorm"))
     val qb = blk.where(col("label") === 0).groupBy("blk")
       .agg(collect_list(struct(col("vec_id"), col("qv"), col("qnorm")))

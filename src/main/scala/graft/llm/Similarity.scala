@@ -59,7 +59,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val blk = e.select(
-      pmod(xxhash64(col("vec_id")), lit(vectorBlocks(s, KnnBlocks))).as("blk"),
+      pmod(xxhash64(col("vec_id")), lit(vectorBlocksFor(s, d, KnnBlocks))).as("blk"),
       col("vec_id"), col("label"), col("embedding"), col("nrm"))
     val mem = struct(col("vec_id"), col("embedding"), col("nrm"))
     val qb = blk.where(col("label") === 0).groupBy("blk")
@@ -141,6 +141,25 @@ object Similarity {
   def vectorBlocks(s: SparkSession, default: Int): Int =
     s.conf.getOption("spark.graft.vector.blocks").map(_.toInt).getOrElse(default)
 
+  /** Auto block-size bound: ~4096 members × (64 floats + id + norm) ≈ 1.1 MB
+    * per collected block — comfortably inside a task even with B² block
+    * pairs in flight. */
+  val BlockTargetRows = 4096
+
+  /** [[vectorBlocks]] with the production sizing as the DEFAULT (round 12 —
+    * the IVF-stride lesson applied to the exact kernels): when the conf is
+    * unset, B grows as ⌈n / [[BlockTargetRows]]⌉ so a block's
+    * `collect_list` stays bounded instead of growing linearly with the
+    * corpus (a fixed default B means block size n/B → task OOM at scale).
+    * Results are B-invariant (VectorSpec), so this is purely a
+    * memory/parallelism schedule; fixtures (n ≤ 2k) keep their historical
+    * B via the per-kernel floor. */
+  def vectorBlocksFor(s: SparkSession, d: String, default: Int): Int =
+    s.conf.getOption("spark.graft.vector.blocks").map(_.toInt).getOrElse {
+      val n = Tables.embeddings(s, d).count()
+      math.max(default, math.ceil(n.toDouble / BlockTargetRows).toInt)
+    }
+
   /** Blocked exact threshold pairs — the shared 100 TB shape for the exact
     * similarity self-joins below. The declared semantics is the all-pairs
     * `a_id < b_id` theta join; this computes the IDENTICAL pair set (same
@@ -174,7 +193,7 @@ object Similarity {
     val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    blockedThresholdPairs(e, SimjoinTau, vectorBlocks(s, KnnBlocks))
+    blockedThresholdPairs(e, SimjoinTau, vectorBlocksFor(s, d, KnnBlocks))
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
       .orderBy("a_id", "b_id")
   }
@@ -229,7 +248,7 @@ object Similarity {
     // Candidates come from the blocked exact kernel (no n²-row pair join);
     // the min-id-leader resolution below is untouched — at 100 TB the same
     // anti-join accepts LSH/IVF candidates instead.
-    val drops = blockedThresholdPairs(e, NeardupEmbeddingTau, vectorBlocks(s, KnnBlocks))
+    val drops = blockedThresholdPairs(e, NeardupEmbeddingTau, vectorBlocksFor(s, d, KnnBlocks))
       .select(col("b_id").as("vec_id")).distinct()
     Tables.embeddings(s, d)
       .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
@@ -374,7 +393,7 @@ object Similarity {
 
   val knnGraph: Q = (s, d) => {
     val e = knnBase(s, d)
-    assembleGraph(e, blockedCandidates(e, vectorBlocks(s, KnnBlocks)))
+    assembleGraph(e, blockedCandidates(e, vectorBlocksFor(s, d, KnnBlocks)))
   }
 
   /** The declared exact semantics: all-pairs float cosine candidates.

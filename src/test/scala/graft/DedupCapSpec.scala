@@ -85,6 +85,44 @@ class DedupCapSpec extends SparkSpec {
     assert(again === uncapped, "unsetting the conf must restore exact LSH semantics")
   }
 
+  test("10 seeded random corpora: capped ⊆ uncapped, rows identical, bound holds") {
+    import spark.implicits._
+    val vocab = Array("alpha", "beta", "gamma", "delta", "kappa", "sigma",
+      "omega", "zeta", "theta", "lambda", "mu", "nu")
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // base docs of 8-20 tokens; each spawns 0-5 near-copies with the last
+      // token swapped (random cluster sizes, random overlap elsewhere)
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      (0 until 12).foreach { _ =>
+        val base = Seq.fill(8 + rnd.nextInt(13))(vocab(rnd.nextInt(vocab.length)))
+        (0 to rnd.nextInt(6)).foreach { c =>
+          docs += ((id, (base.init :+ s"tail$c").mkString(" ")))
+          id += 1
+        }
+      }
+      val df = docs.toSeq.map { case (i, t) =>
+        (i, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_capprop$seed").toString
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      try {
+        val uncapped = Dedup.neardupPairsAllPairs(spark, dir).collect()
+          .map(r => key(r) -> r.toSeq).toMap
+        val m = 1 + rnd.nextInt(3)
+        val capped = Dedup.neardupPairsCapped(spark, dir, m).collect()
+          .map(r => key(r) -> r.toSeq).toMap
+        capped.foreach { case (k, row) =>
+          assert(uncapped.contains(k), s"seed $seed: capped pair $k not in uncapped")
+          assert(uncapped(k) === row, s"seed $seed: row for $k differs")
+        }
+        assert(capped.size <= 2 * m * docs.size,
+          s"seed $seed: ${capped.size} pairs exceed the 2·m·|docs| bound")
+      } finally deleteDir(dir)
+    }
+  }
+
   test("planted mega-cluster: capped output is linear in cluster size, not quadratic") {
     import spark.implicits._
     val c = 12 // one duplicate cluster of 12 near-identical docs

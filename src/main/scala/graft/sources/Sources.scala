@@ -229,27 +229,22 @@ object Sources {
     * dim; at 100 TB the same layout shards embarrassingly: each task packs
     * its file set into `part-N` plus an index fragment, then the fragments
     * concatenate — exactly the reference's MR archive job shape. */
-  val scanHar: Q = (s, d) => {
+  /** Emit the public HAR v3 layout for `files` (entry name → payload) under
+    * `harDir`: `part-0` payload concatenation, `_index` with URL-encoded
+    * names and `mtime perm owner group` props, version-3 `_masterindex`.
+    * Exposed so SourcesSpec can drive encoding-hostile entry names (spaces,
+    * '+', '%', unicode) through the REAL HarFileSystem decoder. */
+  def writeHarArchive(f: org.apache.hadoop.fs.FileSystem,
+                      harDir: org.apache.hadoop.fs.Path,
+                      files: Seq[(String, Array[Byte])]): Unit = {
     import java.net.URLEncoder
     import org.apache.hadoop.fs.Path
-    val dirP = tmp("har")
-    val harDir = new Path(dirP, "nations.har")
-    val f = harDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     f.mkdirs(harDir)
-    // the small files to pack: one region_<r>.txt per region, key-sorted
-    // "region|key|name" lines (25-row dim → driver-side packing is correct)
-    val rows = Tables.nation(s, d)
-      .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"),
-              col("n_name"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val partOut = f.create(new Path(harDir, "part-0"))
     var off = 0L
-    val entries = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, ns) =>
-      val content = ns.sortBy(_._2)
-        .map { case (_, k, n) => s"$r|$k|$n" }.mkString("", "\n", "\n")
-        .getBytes("UTF-8")
+    val entries = files.map { case (name, content) =>
       partOut.write(content)
-      val e = (s"region_$r.txt", off, content.length.toLong)
+      val e = (name, off, content.length.toLong)
       off += content.length
       e
     }
@@ -267,6 +262,26 @@ object Sources {
     val master = f.create(new Path(harDir, "_masterindex"))
     master.write(s"3\n0 ${Int.MaxValue} 0 ${indexBytes.length}\n".getBytes("UTF-8"))
     master.close()
+  }
+
+  val scanHar: Q = (s, d) => {
+    import org.apache.hadoop.fs.Path
+    val dirP = tmp("har")
+    val harDir = new Path(dirP, "nations.har")
+    val f = harDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the small files to pack: one region_<r>.txt per region, key-sorted
+    // "region|key|name" lines (25-row dim → driver-side packing is correct)
+    val rows = Tables.nation(s, d)
+      .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"),
+              col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val files = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, ns) =>
+      val content = ns.sortBy(_._2)
+        .map { case (_, k, n) => s"$r|$k|$n" }.mkString("", "\n", "\n")
+        .getBytes("UTF-8")
+      (s"region_$r.txt", content)
+    }
+    writeHarArchive(f, harDir, files)
     // read back through the har:// filesystem. Authority form is
     // har://<scheme>-<host>/path; with no authority (har:///path) the
     // underlying fs comes from fs.defaultFS — the only valid spelling for

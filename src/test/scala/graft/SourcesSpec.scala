@@ -44,4 +44,38 @@ class SourcesSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
     assert(got.length === 5 && got.map(_.getAs[Long]("n_nations")).sum === 25L)
   }
+
+  test("har index URL-encoding round-trips hostile entry names through the real decoder") {
+    import org.apache.hadoop.fs.Path
+    // names that break naive index writers: space (encodes to '+'), literal
+    // '+' (must become %2B or it decodes to a space), literal '%', unicode
+    val files = Seq(
+      "plain.txt" -> "plain",
+      "with space.txt" -> "space",
+      "a+b.txt" -> "plus",
+      "pct%20.txt" -> "percent",
+      "café_中文.txt" -> "unicode")
+      .map { case (n, v) => (n, v.getBytes("UTF-8")) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_harenc").toString
+    val harDir = new Path(dir, "enc.har")
+    val f = harDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Sources.writeHarArchive(f, harDir, files)
+      val harRoot = new Path(s"har://${harDir.toUri.getPath}")
+      val harFs = harRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // list through the archive's root dir entry (decoder must report the
+      // ORIGINAL names), then open each file and check payload bytes
+      val listed = harFs.listStatus(harRoot)
+        .map(_.getPath.getName).filterNot(_.startsWith("part-")).sorted
+      assert(listed.toSeq === files.map(_._1).sorted)
+      files.foreach { case (name, bytes) =>
+        val in = harFs.open(new Path(harRoot, name))
+        val buf = new Array[Byte](bytes.length + 8)
+        val n = in.read(buf); in.close()
+        assert(n === bytes.length &&
+               java.util.Arrays.equals(buf.take(n), bytes),
+          s"payload mismatch for entry '$name'")
+      }
+    } finally deleteDir(dir)
+  }
 }

@@ -52,12 +52,13 @@ object AnnIvf {
   /** The deterministic coarse-quantizer codebook (every stride-th vec_id —
     * seedless, so the index is reproducible without storing state; ≈ √n
     * rows, always broadcast). */
-  def centroids(s: SparkSession, d: String): DataFrame = {
-    val stride = strideFor(s, d)
+  def centroids(s: SparkSession, d: String): DataFrame =
+    centroidsAt(s, d, strideFor(s, d))
+
+  private def centroidsAt(s: SparkSession, d: String, stride: Long): DataFrame =
     normed(s, d).where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"),
               col("nrm").as("centn"))
-  }
 
   /** Rank all centroids per vector by cosine; keep the top `take`.
     *
@@ -96,9 +97,12 @@ object AnnIvf {
   }
 
   /** Inverted file: every vector labeled with its cell (nearest centroid). */
-  def cellAssignments(s: SparkSession, d: String): DataFrame = {
+  def cellAssignments(s: SparkSession, d: String): DataFrame =
+    cellAssignmentsAt(s, d, strideFor(s, d))
+
+  private def cellAssignmentsAt(s: SparkSession, d: String, stride: Long): DataFrame = {
     graft.plans.VectorFunctions.register(s)
-    nearestCells(normed(s, d), centroids(s, d), 1)
+    nearestCells(normed(s, d), centroidsAt(s, d, stride), 1)
       .select(col("vec_id"), col("embedding"), col("nrm"),
               col("cent_id").as("cell"))
   }
@@ -107,7 +111,8 @@ object AnnIvf {
     * the exact operator and [[AnnLsh.annTopk]]). */
   def ivfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     graft.plans.VectorFunctions.register(s)
-    val cells = cellAssignments(s, d).transform(graft.Caching.cachedOnce) // index feeds probe + candidates
+    val stride = strideFor(s, d) // one sizing count serves build AND probe
+    val cells = cellAssignmentsAt(s, d, stride).transform(graft.Caching.cachedOnce) // index feeds probe + candidates
     val probes = Tables.embeddings(s, d).where(col("label") === 0)
       .select(col("vec_id"))
       .join(cells, "vec_id") // reuse the index's vectors+norms for queries
@@ -116,7 +121,7 @@ object AnnIvf {
     val probed = nearestCells(
       probes.select(col("q_id").as("vec_id"), col("qv").as("embedding"),
                     col("qn").as("nrm")),
-      centroids(s, d), NumProbe)
+      centroidsAt(s, d, stride), NumProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
               col("nrm").as("qn"), col("cent_id").as("cell"))
     val cands = cells.select(col("vec_id").as("c_id"), col("embedding").as("cv"),

@@ -143,12 +143,17 @@ object Dedup {
   private def prefixCands(sh: DataFrame): DataFrame =
     prefixJoin(prefixTable(sh)).distinct()
 
-  /** Naive shared-shingle candidate generation (no prefix machinery). */
-  private def naiveCands(sh: DataFrame): DataFrame =
+  /** The raw shared-shingle self-join (one row per shared shingle) —
+    * shared by the distinct (uncapped) and weighted (capped) naive shapes
+    * so the join condition cannot drift between them. */
+  private def naiveJoin(sh: DataFrame): DataFrame =
     sh.as("x")
       .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+
+  /** Naive shared-shingle candidate generation (no prefix machinery). */
+  private def naiveCands(sh: DataFrame): DataFrame =
+    naiveJoin(sh).distinct()
 
   /** Candidate pairs WITH an overlap weight: `w` = number of shared prefix
     * shingles (prefix path) or shared shingles (naive path) — a lower bound
@@ -158,9 +163,7 @@ object Dedup {
   private def weightedCands(sh: DataFrame, prefixPath: Boolean): DataFrame = {
     val joined =
       if (prefixPath) prefixJoin(prefixTable(sh))
-      else sh.as("x")
-        .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      else naiveJoin(sh)
     joined.groupBy("d1", "d2").agg(count(lit(1)).as("w"))
   }
 

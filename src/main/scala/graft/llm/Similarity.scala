@@ -154,10 +154,14 @@ object Similarity {
     * Results are B-invariant (VectorSpec), so this is purely a
     * memory/parallelism schedule; fixtures (n ≤ 2k) keep their historical
     * B via the per-kernel floor. */
-  def vectorBlocksFor(s: SparkSession, d: String, default: Int): Int =
+  def vectorBlocksFor(s: SparkSession, d: String, default: Int,
+                      fraction: Double = 1.0): Int =
     s.conf.getOption("spark.graft.vector.blocks").map(_.toInt).getOrElse {
-      val n = Tables.embeddings(s, d).count()
-      math.max(default, math.ceil(n.toDouble / BlockTargetRows).toInt)
+      // `fraction` = the share of the table the kernel actually blocks
+      // (e.g. the %5 simjoin subset, the even-id kNN-graph half) — sizing
+      // from the full count would make B ~1/fraction× the per-block target
+      val n = Tables.embeddings(s, d).count() * fraction
+      math.max(default, math.ceil(n / BlockTargetRows).toInt)
     }
 
   /** Blocked exact threshold pairs — the shared 100 TB shape for the exact
@@ -193,7 +197,8 @@ object Similarity {
     val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    blockedThresholdPairs(e, SimjoinTau, vectorBlocksFor(s, d, KnnBlocks))
+    blockedThresholdPairs(e, SimjoinTau,
+      vectorBlocksFor(s, d, KnnBlocks, fraction = 0.2)) // the %5 subset
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
       .orderBy("a_id", "b_id")
   }
@@ -393,7 +398,8 @@ object Similarity {
 
   val knnGraph: Q = (s, d) => {
     val e = knnBase(s, d)
-    assembleGraph(e, blockedCandidates(e, vectorBlocksFor(s, d, KnnBlocks)))
+    assembleGraph(e,
+      blockedCandidates(e, vectorBlocksFor(s, d, KnnBlocks, fraction = 0.5))) // even-id half
   }
 
   /** The declared exact semantics: all-pairs float cosine candidates.

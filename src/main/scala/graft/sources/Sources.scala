@@ -240,9 +240,12 @@ object Sources {
     import java.net.URLEncoder
     import org.apache.hadoop.fs.Path
     f.mkdirs(harDir)
+    // force strictness BEFORE writing: a lazy Seq (view/LazyList) mapped
+    // with a side-effecting write would defer the payload past close()
+    val strict = files.toVector
     val partOut = f.create(new Path(harDir, "part-0"))
     var off = 0L
-    val entries = files.map { case (name, content) =>
+    val entries = strict.map { case (name, content) =>
       partOut.write(content)
       val e = (name, off, content.length.toLong)
       off += content.length

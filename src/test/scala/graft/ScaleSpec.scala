@@ -70,6 +70,7 @@ class ScaleSpec extends SparkSpec {
 
   test("dynamic partition pruning reaches a partitioned fact scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
@@ -108,7 +109,7 @@ class ScaleSpec extends SparkSpec {
       s"expected ${expectedYears.size} partitions read, got $partitionsRead")
     assert(partitionsRead < totalYears,
       s"DPP read all $totalYears partitions — nothing was pruned")
-    deleteDir(out)
+    } finally deleteDir(out) // a failed assert must not leak the parquet copy
   }
 
   test("AQE splits a skewed shuffle partition at runtime (skew-join re-plan)") {

@@ -70,11 +70,13 @@ class SourcesSpec extends SparkSpec {
       assert(listed.toSeq === files.map(_._1).sorted)
       files.foreach { case (name, bytes) =>
         val in = harFs.open(new Path(harRoot, name))
-        val buf = new Array[Byte](bytes.length + 8)
-        val n = in.read(buf); in.close()
-        assert(n === bytes.length &&
-               java.util.Arrays.equals(buf.take(n), bytes),
+        val buf = new Array[Byte](bytes.length)
+        try in.readFully(0L, buf) finally in.close() // short reads are legal on read()
+        assert(java.util.Arrays.equals(buf, bytes),
           s"payload mismatch for entry '$name'")
+        val status = harFs.getFileStatus(new Path(harRoot, name))
+        assert(status.getLen === bytes.length.toLong,
+          s"length mismatch for entry '$name'")
       }
     } finally deleteDir(dir)
   }

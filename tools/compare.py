@@ -53,20 +53,31 @@ def spark_unrepresentable(duck_type):
     if t in ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
              "UBIGINT"):
         return True
-    if t.startswith("DECIMAL"):
-        # Spark holds DecimalType up to precision 38 with exact parquet
-        # round-trip semantics (round-11 advice: an unconditional DECIMAL
-        # error would hard-fail legitimate decimal oracles). Only flag
-        # precisions Spark cannot represent.
-        import re
-        m = re.match(r"DECIMAL\((\d+)", t)
-        return bool(m) and int(m.group(1)) > 38
     if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
-        # recurse into the element/field types encoded in the string
+        # recurse into the element/field types encoded in the string.
+        # Nested DECIMAL is flagged outright: the per-column width compare
+        # below (decimal_mismatches) cannot see inside nested types, and a
+        # width drift there would slip through to the driver's hasher.
         return any(bad in t for bad in
                    ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
-                    "UINTEGER", "UBIGINT"))
+                    "UINTEGER", "UBIGINT", "DECIMAL"))
     return False
+
+def decimal_mismatches(want, got):
+    """Top-level DECIMAL columns must match the Spark output's parquet type
+    EXACTLY (precision and scale). DuckDB caps DECIMAL at 38, so a
+    precision heuristic can never fire (round-12 review); the authoritative
+    driver hash canonicalizes dtypes, and e.g. DuckDB sum(DECIMAL(12,2)) =
+    DECIMAL(38,2) vs Spark's DecimalType(22,2) fails there on identical
+    values. Both schemas are in hand here — compare them instead of
+    guessing."""
+    gtypes = {c: str(t).upper() for c, t in zip(got.columns, got.types)}
+    bad = {}
+    for c, t in zip(want.columns, want.types):
+        t = str(t).upper()
+        if t.startswith("DECIMAL") and gtypes.get(c, t) != t:
+            bad[c] = f"oracle {t} vs spark {gtypes.get(c, '<missing>')}"
+    return bad
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -110,6 +121,7 @@ def main():
             continue
         badtypes = {c: str(t) for c, t in zip(want.columns, want.types)
                     if spark_unrepresentable(t)}
+        badtypes.update(decimal_mismatches(want, got))
         if badtypes:
             cols = ", ".join(f"{c}:{t}" for c, t in badtypes.items())
             results[name] = (f"ORACLE-DTYPE {cols} — DuckDB result type is not "

@@ -236,29 +236,43 @@ object Sources {
     * '+', '%', unicode) through the REAL HarFileSystem decoder. */
   def writeHarArchive(f: org.apache.hadoop.fs.FileSystem,
                       harDir: org.apache.hadoop.fs.Path,
-                      files: Seq[(String, Array[Byte])]): Unit = {
+                      files: Seq[(String, Array[Byte])],
+                      numParts: Int = 1): Unit = {
     import java.net.URLEncoder
     import org.apache.hadoop.fs.Path
     f.mkdirs(harDir)
     // force strictness BEFORE writing: a lazy Seq (view/LazyList) mapped
     // with a side-effecting write would defer the payload past close()
     val strict = files.toVector
-    val partOut = f.create(new Path(harDir, "part-0"))
-    var off = 0L
-    val entries = strict.map { case (name, content) =>
-      partOut.write(content)
-      val e = (name, off, content.length.toLong)
-      off += content.length
-      e
+    // Multi-part: files round-robin into part-0..part-(numParts-1), each
+    // with its own offset space — the index line carries the owning part
+    // name, so the parts are INDEPENDENT byte streams. This is exactly why
+    // the layout shards embarrassingly at 100 TB: each distributed task
+    // packs its file set into its own part-N plus index-line fragment, and
+    // the driver only concatenates index fragments (metadata, not data).
+    val entries = (0 until math.max(1, numParts)).flatMap { p =>
+      val mine = strict.zipWithIndex.collect {
+        case ((name, content), i) if i % math.max(1, numParts) == p => (name, content)
+      }
+      val partName = s"part-$p"
+      val partOut = f.create(new Path(harDir, partName))
+      var off = 0L
+      val es = mine.map { case (name, content) =>
+        partOut.write(content)
+        val e = (name, partName, off, content.length.toLong)
+        off += content.length
+        e
+      }
+      partOut.close()
+      es
     }
-    partOut.close()
     def enc(x: String) = URLEncoder.encode(x, "UTF-8")
     // only modtime is read back (v3 props = "mtime perm owner group")
     val props = enc("1700000000000 420 root root")
     val dirLine = enc("/") + " dir " + props + " 0 0 " +
       entries.map(e => enc(e._1)).mkString(" ")
-    val fileLines = entries.map { case (name, start, len) =>
-      enc("/" + name) + s" file part-0 $start $len " + props
+    val fileLines = entries.map { case (name, part, start, len) =>
+      enc("/" + name) + s" file $part $start $len " + props
     }
     val indexBytes = (dirLine +: fileLines).mkString("", "\n", "\n").getBytes("UTF-8")
     val idx = f.create(new Path(harDir, "_index")); idx.write(indexBytes); idx.close()

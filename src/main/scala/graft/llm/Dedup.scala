@@ -380,21 +380,35 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** The 64 signature bits partitioned into MaxHamming+1 = 9 non-empty
-    * contiguous bands (one 8-bit band + eight 7-bit bands, since 64 = 8+8·7).
-    * Pigeonhole guarantee: a pair with Hamming distance <= 8 differs in at
-    * most 8 bands, so it must agree EXACTLY on at least one of the 9.
-    * Exposed for the no-zero-mask test in LlmSpec. */
-  def simhashBandMasks: Seq[Long] = {
-    val nBands = SimhashMaxHamming + 1
-    val base = 64 / nBands            // 7
-    val extra = 64 % nBands           // 1 band gets an extra bit
+  /** The 64 signature bits partitioned into `nBands` non-empty contiguous
+    * bands (widths differ by at most one bit). */
+  private def bandMasksFor(nBands: Int): Seq[Long] = {
+    val base = 64 / nBands
+    val extra = 64 % nBands           // `extra` bands get one more bit
     val widths = Seq.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
     val los = widths.scanLeft(0)(_ + _).init
     widths.zip(los).map { case (w, lo) =>
       (if (w == 64) -1L else (1L << w) - 1) << lo
     }
   }
+
+  /** MaxHamming+1 = 9 bands (one 8-bit + eight 7-bit, 64 = 8+8·7).
+    * Pigeonhole guarantee: a pair with Hamming distance <= 8 differs in at
+    * most 8 bands, so it must agree EXACTLY on at least one of the 9.
+    * Exposed for the no-zero-mask test in LlmSpec. */
+  def simhashBandMasks: Seq[Long] = bandMasksFor(SimhashMaxHamming + 1)
+
+  /** MaxHamming+2 = 10 bands for the PAIR-KEY refinement (the Manku-style
+    * table scheme): <= 8 differing bits dirty at most 8 of the 10 bands, so
+    * at least TWO are clean and the pair agrees exactly on at least one of
+    * the C(10,2) = 45 band pairs. A pair key carries 12-14 bits instead of
+    * a single band's 7 — 2^13 vs 2^7 bucket values — so band-bucket join
+    * collisions drop ~64x per table at the cost of 45/9 = 5x explode rows:
+    * the right trade once collisions (Σ bucket², quadratic in n) dominate
+    * the linear explode, i.e. on large corpora. Found by the round-12 k=64
+    * probe: the single-band join measured 320x on 64x data (bucket size
+    * n/128 grows linearly — the fixed-bucket disease). */
+  def simhashBandMasks10: Seq[Long] = bandMasksFor(SimhashMaxHamming + 2)
 
   /** SimHash near pairs at Hamming distance <= 8, via pigeonhole banding:
     * split the 64-bit signature into MaxHamming+1 = 9 non-empty bands — a
@@ -403,16 +417,37 @@ object Dedup {
     * the all-pairs cross join, and each candidate is verified with the true
     * bit_count. Output identical to the quadratic formulation (unit-tested);
     * rows-only for the driver (xxhash64 has no DuckDB twin). */
-  val simhash: Q = (s, d) => {
+  /** Corpus size at which the pair-key (45-table) candidate scheme beats
+    * single-band: collisions Σ bucket² grow quadratically while the extra
+    * explode volume is linear, so the crossover is early; 100k keeps every
+    * fixture on the historical single-band plan (spec pins both == the
+    * quadratic reference). */
+  val SimhashPairKeyMinDocs = 100000L
+
+  /** Shared candidate machinery: band (or band-pair) keyed self-join +
+    * exact bit_count verify. Both key schemes are LOSSLESS (pigeonhole), so
+    * output is identical — only candidate volume differs. */
+  def simhashPairsAt(s: SparkSession, d: String, pairKeys: Boolean): DataFrame = {
     // cache: the 64-accumulator signature aggregation feeds both join sides
     // and all bands — computing it once matters more than anything downstream
     val sigs = simhashSignatures(s, d).transform(graft.Caching.cachedOnce)
-    val bandStructs = simhashBandMasks.zipWithIndex.map { case (mask, b) =>
-      struct(lit(b).as("band"),
-             col("simhash").bitwiseAND(lit(mask)).as("band_bits"))
-    }
+    val keyStructs =
+      if (!pairKeys)
+        simhashBandMasks.zipWithIndex.map { case (mask, b) =>
+          struct(lit(b).as("band"),
+                 col("simhash").bitwiseAND(lit(mask)).as("band_bits"))
+        }
+      else {
+        val masks = simhashBandMasks10
+        for {
+          i <- masks.indices
+          j <- masks.indices if i < j
+        } yield struct(lit(i * masks.size + j).as("band"),
+                       col("simhash").bitwiseAND(lit(masks(i) | masks(j)))
+                         .as("band_bits"))
+      }
     val banded = sigs.select(col("doc_id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("bb"))
+        explode(array(keyStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
               col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
     banded.as("x")
@@ -425,6 +460,13 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= SimhashMaxHamming)
       .orderBy("d1", "d2")
+  }
+
+  val simhash: Q = (s, d) => {
+    // size the key scheme from the parquet metadata count (cheap, no job
+    // over the signature aggregation)
+    val pairKeys = Tables.documents(s, d).count() >= SimhashPairKeyMinDocs
+    simhashPairsAt(s, d, pairKeys)
   }
 
   /** Quadratic reference formulation for the banding equivalence test. */

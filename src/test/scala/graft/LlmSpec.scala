@@ -100,19 +100,27 @@ class LlmSpec extends SparkSpec {
     val naive = Dedup.simhashAllPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == naive)
+    // the scale key scheme (45 band-pair tables, forced) is lossless too:
+    // <= 8 dirty bits leave >= 2 of the 10 bands clean, so some PAIR key
+    // matches exactly — identical output, ~2^6x fewer bucket collisions
+    val paired = Dedup.simhashPairsAt(spark, sfDir, pairKeys = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(paired == naive)
   }
 
   test("simhash band masks: 9 non-empty disjoint bands covering all 64 bits") {
-    val masks = Dedup.simhashBandMasks
-    assert(masks.length == Dedup.SimhashMaxHamming + 1)
-    // no degenerate band: a zero mask would turn its equi-join into the
-    // all-pairs cross join the banding exists to avoid (round-1 advice)
-    masks.foreach(m => assert(m != 0L, s"zero mask in $masks"))
-    // pairwise disjoint and jointly exhaustive over the 64 signature bits —
-    // exhaustive is what makes the pigeonhole guarantee (hamming <= 8 ⇒
-    // some band agrees exactly) actually hold
-    masks.combinations(2).foreach { case Seq(a, b) => assert((a & b) == 0L) }
-    assert(masks.reduce(_ | _) == -1L)
+    for (masks <- Seq(Dedup.simhashBandMasks, Dedup.simhashBandMasks10)) {
+      // no degenerate band: a zero mask would turn its equi-join into the
+      // all-pairs cross join the banding exists to avoid (round-1 advice)
+      masks.foreach(m => assert(m != 0L, s"zero mask in $masks"))
+      // pairwise disjoint and jointly exhaustive over the 64 signature bits —
+      // exhaustive is what makes the pigeonhole guarantee (hamming <= 8 ⇒
+      // some band / some band pair agrees exactly) actually hold
+      masks.combinations(2).foreach { case Seq(a, b) => assert((a & b) == 0L) }
+      assert(masks.reduce(_ | _) == -1L)
+    }
+    assert(Dedup.simhashBandMasks.length == Dedup.SimhashMaxHamming + 1)
+    assert(Dedup.simhashBandMasks10.length == Dedup.SimhashMaxHamming + 2)
   }
 
   test("simhash: duplicate documents get identical signatures (hamming 0)") {

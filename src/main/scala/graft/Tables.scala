@@ -54,6 +54,32 @@ object Tables {
     }
   }
 
+  /** Memoized fixture row count (round-12 advisor): index/bucket sizing
+    * (`AnnIvf.nlistFor`, `AnnLsh.planesFor`, `Similarity.vectorBlocksFor`,
+    * `Dedup.simhash`) reads a table count on EVERY operator invocation —
+    * cheap per call (parquet footer metadata), but repeated across queries
+    * in one session for a dataset that is immutable by the same contract
+    * [[load]]'s plan memo relies on. One count job per (session, path),
+    * under the same `spark.graft.tables.memoizePlans` escape hatch. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  def countOf(spark: SparkSession, dir: String, name: String): Long = {
+    val memoize =
+      spark.conf.get("spark.graft.tables.memoizePlans", "true").toBoolean
+    if (!memoize) load(spark, dir, name).count()
+    else {
+      val k = (spark, s"$dir/$name.parquet")
+      countMemo.get(k) match {
+        case null => // count OUTSIDE the bin lock (it runs a Spark job)
+          val n = java.lang.Long.valueOf(load(spark, dir, name).count())
+          val prev = countMemo.putIfAbsent(k, n)
+          (if (prev == null) n else prev).longValue()
+        case cached => cached.longValue()
+      }
+    }
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

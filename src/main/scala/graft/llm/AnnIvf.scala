@@ -45,7 +45,7 @@ object AnnIvf {
     * vectors); `spark.graft.ivf.stride` overrides for tuning. */
   def strideFor(s: SparkSession, d: String): Long =
     s.conf.getOption("spark.graft.ivf.stride").map(_.toLong).getOrElse {
-      val n = Tables.embeddings(s, d).count() // parquet metadata count — cheap
+      val n = Tables.countOf(s, d, "embeddings") // memoized parquet metadata count
       math.max(CentroidStride.toLong, math.round(math.sqrt(n.toDouble)))
     }
 

@@ -35,7 +35,7 @@ object AnnLsh {
     * `spark.graft.lsh.planes` overrides. */
   def planesFor(s: SparkSession, d: String): Int =
     s.conf.getOption("spark.graft.lsh.planes").map(_.toInt).getOrElse {
-      val n = Tables.embeddings(s, d).count()
+      val n = Tables.countOf(s, d, "embeddings") // memoized (round-12 advisor)
       math.max(NumPlanes,
         math.ceil(math.log(math.sqrt(n.toDouble)) / math.log(2.0)).toInt)
     }

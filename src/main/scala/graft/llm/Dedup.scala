@@ -187,16 +187,67 @@ object Dedup {
     * exceeds every doc's true degree. */
   val NeardupCapConf = "spark.graft.neardup.maxPairsPerDoc"
 
+  /** Candidate pair with the partner doc and its overlap weight — the typed
+    * input/element of [[TopPartners]]. */
+  case class PartnerW(p: Long, w: Long)
+  /** Aggregation buffer: the current top-`m` partners, ordered best-first
+    * by (w desc, partner asc) — a bounded struct so map-side partial
+    * aggregation keeps at most `m` rows of state per key (and the shuffle
+    * writes at most `m` partners per key per mapper). */
+  case class TopBuf(items: Seq[PartnerW])
+
+  /** Bounded top-`m`-partners-per-key aggregate (round-12 verdict #5): the
+    * window spelling (`row_number` by d1 then by d2) sorted the FULL
+    * candidate set twice — in the mega-cluster regime that set is the
+    * irreducible c²/2 enumeration, so both windows sorted the largest
+    * intermediate in the job. This partial aggregation keeps only `m`
+    * (w, partner) entries of state per endpoint map-side, so the per-endpoint
+    * shuffles carry ≤ m·|keys| rows instead of the full candidate set and no
+    * global sort of candidates remains anywhere in the capped plan. Kept-set
+    * semantics are EXACTLY the window spelling's: rank by (w desc, partner
+    * asc), keep ranks ≤ m (DedupCapSpec pins the equality). */
+  private class TopPartners(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[PartnerW, TopBuf, TopBuf] {
+    private def better(a: PartnerW, b: PartnerW): Boolean =
+      a.w > b.w || (a.w == b.w && a.p < b.p)
+    private def insert(b: TopBuf, in: PartnerW): TopBuf = {
+      val xs = b.items
+      if (xs.length >= m && !better(in, xs.last)) b
+      else {
+        val i = xs.indexWhere(e => better(in, e)) match {
+          case -1 => xs.length
+          case x  => x
+        }
+        TopBuf(((xs.take(i) :+ in) ++ xs.drop(i)).take(m))
+      }
+    }
+    override def zero: TopBuf = TopBuf(Vector.empty)
+    override def reduce(b: TopBuf, in: PartnerW): TopBuf = insert(b, in)
+    override def merge(a: TopBuf, b: TopBuf): TopBuf = b.items.foldLeft(a)(insert)
+    override def finish(b: TopBuf): TopBuf = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[TopBuf] =
+      org.apache.spark.sql.Encoders.product[TopBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[TopBuf] =
+      org.apache.spark.sql.Encoders.product[TopBuf]
+  }
+
   private def capPairs(weighted: DataFrame, m: Int): DataFrame = {
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("d1")).orderBy(col("w").desc, col("d2"))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("d2")).orderBy(col("w").desc, col("d1"))
-    weighted
-      .withColumn("r1", row_number().over(w1))
-      .withColumn("r2", row_number().over(w2))
-      .where(col("r1") <= m || col("r2") <= m)
-      .select("d1", "d2")
+    val top = udaf(new TopPartners(m))
+    // Both branches share the identical `weighted` subplan up to its
+    // (d1, d2) aggregation exchange, which the planner's exchange-reuse
+    // rule materializes once; each branch then re-keys by ONE endpoint with
+    // the bounded partial above. A pair survives if EITHER endpoint ranks
+    // it (kNN-graph semantics), so the kept sets union (then dedupe — both
+    // endpoints may rank the same pair) at ≤ 2·m·|docs| rows.
+    val byD1 = weighted.groupBy(col("d1"))
+      .agg(top(col("d2"), col("w")).as("t"))
+      .select(col("d1"), explode(col("t.items")).as("e"))
+      .select(col("d1"), col("e.p").as("d2"))
+    val byD2 = weighted.groupBy(col("d2"))
+      .agg(top(col("d1"), col("w")).as("t"))
+      .select(col("d2"), explode(col("t.items")).as("e"))
+      .select(col("e.p").as("d1"), col("d2"))
+    byD1.union(byD2).distinct()
   }
 
   /** Size-adaptive switch: below this many (doc, shingle) rows the naive
@@ -465,7 +516,7 @@ object Dedup {
   val simhash: Q = (s, d) => {
     // size the key scheme from the parquet metadata count (cheap, no job
     // over the signature aggregation)
-    val pairKeys = Tables.documents(s, d).count() >= SimhashPairKeyMinDocs
+    val pairKeys = Tables.countOf(s, d, "documents") >= SimhashPairKeyMinDocs
     simhashPairsAt(s, d, pairKeys)
   }
 

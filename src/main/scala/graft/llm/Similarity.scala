@@ -160,7 +160,7 @@ object Similarity {
       // `fraction` = the share of the table the kernel actually blocks
       // (e.g. the %5 simjoin subset, the even-id kNN-graph half) — sizing
       // from the full count would make B ~1/fraction× the per-block target
-      val n = Tables.embeddings(s, d).count() * fraction
+      val n = Tables.countOf(s, d, "embeddings") * fraction // memoized count
       math.max(default, math.ceil(n / BlockTargetRows).toInt)
     }
 

@@ -137,6 +137,14 @@ object Sources {
       // opens only its bucket's reader" story (probing all buckets was
       // measured 4x the gets for nothing)
       val readers = MapFileOutputFormat.getReaders(new Path(out), hconf.value.value)
+      // readers(i) == bucket i only because getReaders sorts part files by
+      // name AND the new-API MapFile RecordWriter eagerly creates output
+      // for empty partitions (round-12 advisor) — if either ever changes
+      // (or a part file is lost), probes would silently mis-route; drift
+      // fails loudly here instead.
+      require(readers.length == numBuckets,
+        s"MapFile table at $out has ${readers.length} part files, " +
+        s"expected $numBuckets — probe routing would mis-route")
       val key = new LongWritable()
       val value = new Text()
       val res = it.map { k =>
@@ -244,6 +252,14 @@ object Sources {
     // force strictness BEFORE writing: a lazy Seq (view/LazyList) mapped
     // with a side-effecting write would defer the payload past close()
     val strict = files.toVector
+    // Flat entry names only (round-12 advisor): a '/' in a name would be
+    // URL-encoded into the index as a child of '/' with no intermediate
+    // dir entry — an archive HarFileSystem can't list or resolve. Fail at
+    // write time instead of producing a silently corrupt archive.
+    require(strict.forall(!_._1.contains("/")),
+      s"writeHarArchive packs flat entry names only; nested paths need " +
+      s"intermediate dir index entries: " +
+      strict.collect { case (n, _) if n.contains("/") => n }.mkString(", "))
     // Multi-part: files round-robin into part-0..part-(numParts-1), each
     // with its own offset space — the index line carries the owning part
     // name, so the parts are INDEPENDENT byte streams. This is exactly why

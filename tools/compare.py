@@ -77,6 +77,13 @@ def decimal_mismatches(want, got):
         t = str(t).upper()
         if t.startswith("DECIMAL") and gtypes.get(c, t) != t:
             bad[c] = f"oracle {t} vs spark {gtypes.get(c, '<missing>')}"
+        elif (not t.startswith("DECIMAL")
+              and gtypes.get(c, "").startswith("DECIMAL")):
+            # one-sided decimal (round-12 advisor): Spark wrote DECIMAL but
+            # the oracle produced DOUBLE/other — the dtype drift would slip
+            # past the gate and surface as a confusing driver-hash failure
+            # on identical values.
+            bad[c] = f"oracle {t} vs spark {gtypes[c]} (one-sided DECIMAL)"
     return bad
 
 def main():

@@ -30,9 +30,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val built = fn(spark, sfDir)
+        // comparator-side total order for sort-free registered queries —
+        // must match the oracle SQL's ORDER BY (see SparkEntry.dumpSort)
+        val dump = SparkEntry.dumpSort.get(name)
+          .map(ks => built.orderBy(ks.head, ks.tail: _*)).getOrElse(built)
+        dump.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = String.valueOf(e)
       }

@@ -260,6 +260,67 @@ object Dedup {
     * output (LlmSpec pins prefix == naive explicitly, at every scale). */
   val NeardupPrefixMinShingles = 2000000L
 
+  /** Mega-clique regime guardrail (round-12 verdict #3). The k=128/k=256
+    * probes measured the one way the EXACT pair operator dies at scale:
+    * inside a duplicate clique of size c every pair genuinely collides, so
+    * candidate enumeration — and with the cap off, the verify join and the
+    * output too — grows as c²/2, and the failure mode on a real cluster is
+    * executor-disk exhaustion hours in, fixable by a conf the user never
+    * saw. This converts that measured boundary into a runtime diagnostic:
+    * one aggregation over the (already materialized) shingle table upper-
+    * bounds the candidate enumeration as Σ_sh f·(f-1)/2 and compares it to
+    * a per-doc budget. Over `warnPairsPerDoc` (default 1,000) it logs an
+    * actionable warning naming [[NeardupCapConf]] and the representative-
+    * based escapes; over `failPairsPerDoc` (conf
+    * `spark.graft.neardup.failPairsPerDoc`, default off) it fails fast
+    * instead. The bound uses RAW shingle frequencies, so for the prefix
+    * path it over-estimates (prefix filtering prunes common shingles) —
+    * the right direction for a guardrail, and regime detection is about
+    * orders of magnitude, not precision.
+    *
+    * Wired inside [[neardupPairs]] only on the exact (cap-off) path and
+    * only above [[NeardupPrefixMinShingles]] — small corpora (every
+    * fixture, the bench) never pay the extra aggregation, and below that
+    * size the quadratic cannot hurt anyway. */
+  val NeardupWarnPairsPerDocConf = "spark.graft.neardup.warnPairsPerDoc"
+  val NeardupFailPairsPerDocConf = "spark.graft.neardup.failPairsPerDoc"
+
+  /** Returns Some(diagnostic message) when the candidate-enumeration upper
+    * bound exceeds `budgetPairsPerDoc · nDocs`, None when the corpus is
+    * inside the budget. Pure function of the shingle table — the spec
+    * drives it directly with a planted mega-cluster and with the fixture. */
+  def candidateVolumeDiagnostic(sh: DataFrame, nDocs: Long,
+                                budgetPairsPerDoc: Long): Option[String] = {
+    val r = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * (col("f") - 1)).as("pairs2_ub"), // stays LongType (SQL `/` would widen to double)
+           max(col("f")).as("max_bucket")).head()
+    val pairsUb = (if (r.isNullAt(0)) 0L else r.getLong(0)) / 2
+    val maxBucket = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val budget = budgetPairsPerDoc * math.max(1L, nDocs)
+    if (pairsUb <= budget) None
+    else Some(
+      s"near-dup candidate enumeration upper bound is $pairsUb shared-shingle " +
+      s"pairs (~${pairsUb / math.max(1L, nDocs)} per doc over $nDocs docs; " +
+      s"largest shingle bucket $maxBucket) — a mega-duplicate-cluster regime " +
+      s"where exact pair output grows quadratically in cluster size. Set " +
+      s"$NeardupCapConf (per-doc candidate budget, linear output) or " +
+      s"deduplicate representatives first (llm_exact_dedup / llm_semdedup).")
+  }
+
+  private[graft] def guardCandidateVolume(s: SparkSession, d: String, sh: DataFrame): Unit = {
+    val warnAt = s.conf.getOption(NeardupWarnPairsPerDocConf).map(_.toLong)
+      .getOrElse(1000L)
+    val failAt = s.conf.getOption(NeardupFailPairsPerDocConf).map(_.toLong)
+      .getOrElse(0L)
+    val nDocs = Tables.countOf(s, d, "documents")
+    if (failAt > 0)
+      candidateVolumeDiagnostic(sh, nDocs, failAt).foreach { msg =>
+        throw new IllegalStateException(s"$NeardupFailPairsPerDocConf exceeded: $msg") }
+    else
+      candidateVolumeDiagnostic(sh, nDocs, warnAt).foreach { msg =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg) }
+  }
+
   val neardupPairs: Q = (s, d) => {
     // shingling (regex split + 5-gram transform + distinct) is the expensive
     // narrow stage and feeds five plan branches — materialize it once
@@ -268,6 +329,10 @@ object Dedup {
     // the price of choosing the right plan for the corpus actually present
     val prefixPath = sh.count() >= NeardupPrefixMinShingles
     val cap = s.conf.getOption(NeardupCapConf).map(_.toInt).getOrElse(0)
+    // exact path on a big corpus: check the measured mega-clique boundary
+    // BEFORE the verify join can exhaust executor disk (capped runs are
+    // volume-bounded by construction and skip the diagnostic)
+    if (cap == 0 && prefixPath) guardCandidateVolume(s, d, sh)
     val cands =
       if (cap > 0) capPairs(weightedCands(sh, prefixPath), cap)
       else if (prefixPath) prefixCands(sh)
@@ -409,6 +474,10 @@ object Dedup {
     // monotone Jaccard proxy (E[bands shared] = b·j^r) — same shuffle as the
     // distinct() form, the count is a map-side partial agg.
     val cap = s.conf.getOption(NeardupCapConf).map(_.toInt).getOrElse(0)
+    // same mega-clique guardrail as the prefix path: exact (cap-off) runs
+    // on big corpora check the enumeration bound before the verify join
+    if (cap == 0 && sh.count() >= NeardupPrefixMinShingles)
+      guardCandidateVolume(s, d, sh)
     val candidates =
       if (cap > 0) capPairs(pairBands.groupBy("d1", "d2").agg(count(lit(1)).as("w")), cap)
       else pairBands.distinct()
@@ -461,6 +530,17 @@ object Dedup {
     * n/128 grows linearly — the fixed-bucket disease). */
   def simhashBandMasks10: Seq[Long] = bandMasksFor(SimhashMaxHamming + 2)
 
+  /** MaxHamming+3 = 11 bands for the TRIPLE-KEY rung (round-12 verdict #2):
+    * <= 8 differing bits dirty at most 8 of the 11 bands, so at least THREE
+    * are clean and the pair agrees exactly on at least one of the
+    * C(11,3) = 165 band triples. A triple key carries ~17-18 bits (vs a
+    * pair's 12-14, a single band's 7), cutting per-table bucket collisions
+    * another ~2^4-2^5x for 165/45 ≈ 3.7x more explode rows — the next rung
+    * of the same collision-vs-explode trade, worth it once the pair-key
+    * scheme's Σ bucket² term dominates again (the residual 75.9x-on-64x the
+    * round-12 probe measured is exactly that term at ~320k docs). */
+  def simhashBandMasks11: Seq[Long] = bandMasksFor(SimhashMaxHamming + 3)
+
   /** SimHash near pairs at Hamming distance <= 8, via pigeonhole banding:
     * split the 64-bit signature into MaxHamming+1 = 9 non-empty bands — a
     * pair within distance 8 MUST agree exactly on at least one band, so
@@ -475,28 +555,42 @@ object Dedup {
     * quadratic reference). */
   val SimhashPairKeyMinDocs = 100000L
 
-  /** Shared candidate machinery: band (or band-pair) keyed self-join +
-    * exact bit_count verify. Both key schemes are LOSSLESS (pigeonhole), so
-    * output is identical — only candidate volume differs. */
-  def simhashPairsAt(s: SparkSession, d: String, pairKeys: Boolean): DataFrame = {
+  /** Corpus size at which the triple-key (165-table) rung takes over from
+    * pair keys: the round-12 probe measured the pair scheme's residual
+    * super-linearity (75.9x on 64x ≈ 320k docs) as the Σ bucket² term of
+    * ~13-bit keys; triples trade a 3.7x explode for another ~2^4x fewer
+    * collisions per table, the winning side of the trade from a few
+    * hundred-k docs on. `spark.graft.simhash.cleanBands` overrides. */
+  val SimhashTripleKeyMinDocs = 250000L
+  val SimhashCleanBandsConf = "spark.graft.simhash.cleanBands"
+
+  /** One join-key struct per guaranteed-clean-band combination: with
+    * `masks.length` bands and at most [[SimhashMaxHamming]] dirty bits,
+    * any combination size c <= masks.length - MaxHamming is lossless by
+    * pigeonhole — some c-subset of bands is fully clean, so the pair
+    * agrees exactly on that combination's concatenated bits. */
+  private def comboKeyStructs(masks: Seq[Long], c: Int): Seq[Column] =
+    masks.indices.combinations(c).toSeq.zipWithIndex.map { case (combo, id) =>
+      val m = combo.map(masks).reduce(_ | _)
+      struct(lit(id).as("band"),
+             col("simhash").bitwiseAND(lit(m)).as("band_bits"))
+    }
+
+  /** Shared candidate machinery: band / band-pair / band-triple keyed
+    * self-join + exact bit_count verify. Every key scheme is LOSSLESS
+    * (pigeonhole over `cleanBands` = 1, 2, 3 guaranteed-clean bands of
+    * 9/10/11), so output is identical — only candidate volume differs. */
+  def simhashPairsAt(s: SparkSession, d: String, cleanBands: Int): DataFrame = {
     // cache: the 64-accumulator signature aggregation feeds both join sides
     // and all bands — computing it once matters more than anything downstream
     val sigs = simhashSignatures(s, d).transform(graft.Caching.cachedOnce)
-    val keyStructs =
-      if (!pairKeys)
-        simhashBandMasks.zipWithIndex.map { case (mask, b) =>
-          struct(lit(b).as("band"),
-                 col("simhash").bitwiseAND(lit(mask)).as("band_bits"))
-        }
-      else {
-        val masks = simhashBandMasks10
-        for {
-          i <- masks.indices
-          j <- masks.indices if i < j
-        } yield struct(lit(i * masks.size + j).as("band"),
-                       col("simhash").bitwiseAND(lit(masks(i) | masks(j)))
-                         .as("band_bits"))
-      }
+    val keyStructs = cleanBands match {
+      case 1 => comboKeyStructs(simhashBandMasks, 1)    //  9 tables,  ~7-bit keys
+      case 2 => comboKeyStructs(simhashBandMasks10, 2)  //  45 tables, 12-14-bit keys
+      case 3 => comboKeyStructs(simhashBandMasks11, 3)  // 165 tables, ~17-18-bit keys
+      case other => throw new IllegalArgumentException(
+        s"$SimhashCleanBandsConf must be 1, 2, or 3 (got $other)")
+    }
     val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array(keyStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
@@ -514,10 +608,17 @@ object Dedup {
   }
 
   val simhash: Q = (s, d) => {
-    // size the key scheme from the parquet metadata count (cheap, no job
-    // over the signature aggregation)
-    val pairKeys = Tables.countOf(s, d, "documents") >= SimhashPairKeyMinDocs
-    simhashPairsAt(s, d, pairKeys)
+    // size the key scheme from the (memoized) parquet metadata count — the
+    // fixture floor keeps every test corpus on the historical single-band
+    // plan, the probe regimes climb the pair- then triple-key rungs
+    val n = Tables.countOf(s, d, "documents")
+    val cleanBands = s.conf.getOption(SimhashCleanBandsConf).map(_.toInt)
+      .getOrElse {
+        if (n >= SimhashTripleKeyMinDocs) 3
+        else if (n >= SimhashPairKeyMinDocs) 2
+        else 1
+      }
+    simhashPairsAt(s, d, cleanBands)
   }
 
   /** Quadratic reference formulation for the banding equivalence test. */

@@ -53,8 +53,35 @@ object Similarity {
     * That spelling survives as [[simsearchTopkExact]], the unit-pinned
     * specification; kernel scores are the same sequential fold, so the
     * emitted score6 is bit-identical. */
+  /** Exact-kNN boundary advisory (round-12 verdict #7). The 128× probe
+    * measured where brute force stops being the right operator: exact
+    * top-k is O(|Q|·n) compute, and with both sides scaling it crossed
+    * linear at 153.8× on 128× data, while IVF answered the same corpus
+    * 7.6× faster absolute (BASELINE.md round-12). Exact means exact — no
+    * silent semantic switch — but past the measured boundary the operator
+    * says so: a warning names the ANN rows, the same pattern as the
+    * near-dup mega-clique guardrail. `spark.graft.simsearch.adviseAnnAbove`
+    * tunes the corpus-size trigger (vectors; 0 disables). */
+  val SimsearchAdviseAnnAboveConf = "spark.graft.simsearch.adviseAnnAbove"
+  val SimsearchAdviseAnnAboveDefault = 100000L
+
+  /** Some(advisory) when an n-vector corpus is past the measured
+    * brute-force boundary, None inside it. Pure — asserted in ScaleSpec. */
+  def exactKnnAdvisory(n: Long, threshold: Long): Option[String] =
+    if (threshold <= 0 || n < threshold) None
+    else Some(
+      s"exact top-k similarity is O(|Q|·n) compute; at n=$n vectors " +
+      s"(>= $threshold) the brute-force kernel is past its measured scale " +
+      s"boundary (crossed linear at the 128x probe). Prefer " +
+      s"llm_simsearch_ivf / llm_simsearch_lsh (IVF measured 7.6x faster " +
+      s"absolute at that depth) unless exact semantics are required.")
+
   val simsearchTopk: Q = (s, d) => {
     graft.plans.VectorFunctions.register(s)
+    val threshold = s.conf.getOption(SimsearchAdviseAnnAboveConf)
+      .map(_.toLong).getOrElse(SimsearchAdviseAnnAboveDefault)
+    exactKnnAdvisory(Tables.countOf(s, d, "embeddings"), threshold)
+      .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
               sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))

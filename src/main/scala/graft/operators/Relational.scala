@@ -45,21 +45,31 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
   /** Map-only derived-column projection (disc price / charge, exact
-    * scaled-long arithmetic divided once to double). */
+    * scaled-long arithmetic divided once to double) WITH the
+    * deterministic-compare global sort appended — kept for [[graft.AbBench]]'s
+    * sort-vs-projection attribution and as the historical registered form. */
   val projectSelect: Q = (s, d) =>
     projectSelectNoSort(s, d)
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
-  /** The map-only body of [[projectSelect]] without the deterministic-compare
-    * global sort — the pure operator a pipeline would run (the registered
-    * query adds the total order so the oracle hash compare is stable). Used
-    * by [[graft.AbBench]] to attribute the query's cost sort-vs-projection. */
+  /** The REGISTERED map-only projection (round-12 verdict #1a): the pure
+    * operator a pipeline would run. The deterministic total order the
+    * oracle hash compare needs is applied by the COMPARATOR side —
+    * graft.Verify sorts the dump by [[projectSelectDumpSort]] before
+    * writing, matching the oracle SQL's ORDER BY — instead of riding the
+    * operator, where its range exchange re-executed the whole single-row-
+    * group scan+derive for sampling and dominated the benchmark's largest
+    * line (1.13 s of which ~0.8 s was the sort harness, not the operator). */
   val projectSelectNoSort: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
               col("l_partkey"), col("l_suppkey"),
               discPrice.as("disc_price"),
               charge.as("charge"))
+
+  /** Comparator-side dump order for the sort-free registered form. */
+  val projectSelectDumpSort: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val projectSelectSql: String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -360,7 +370,7 @@ object Relational {
     "join_null_safe" -> joinNullSafe,
     "join_multiway" -> joinMultiway,
     "scan_parquet" -> scanParquet,
-    "project_select" -> projectSelect,
+    "project_select" -> projectSelectNoSort,
     "filter_predicate" -> filterPredicate,
     "filter_regex_grep" -> filterRegexGrep,
     "filter_null_semantics" -> filterNullSemantics,

@@ -282,6 +282,17 @@ object Sources {
       partOut.close()
       es
     }
+    writeHarIndex(f, harDir, entries)
+  }
+
+  /** Write the v3 `_index` + `_masterindex` for already-packed `entries`
+    * of (name, partName, startOffset, length) — the driver-side metadata
+    * concatenation both packers share. */
+  private def writeHarIndex(f: org.apache.hadoop.fs.FileSystem,
+                            harDir: org.apache.hadoop.fs.Path,
+                            entries: Seq[(String, String, Long, Long)]): Unit = {
+    import java.net.URLEncoder
+    import org.apache.hadoop.fs.Path
     def enc(x: String) = URLEncoder.encode(x, "UTF-8")
     // only modtime is read back (v3 props = "mtime perm owner group")
     val props = enc("1700000000000 420 root root")
@@ -297,24 +308,75 @@ object Sources {
     master.close()
   }
 
+  /** Executor-side HAR packing (round-12 verdict #6) — the 100 TB shape of
+    * the archive job. `files` is a (name STRING, payload BINARY) frame;
+    * EACH TASK packs its partition's entries into its own `part-<pid>`
+    * (parts are independent byte streams — offsets are part-local in the
+    * v3 layout, which is exactly why it shards embarrassingly) and emits
+    * only (name, part, offset, length) index fragments. The driver's
+    * `.collect()` sees METADATA ONLY — a few dozen bytes per entry — and
+    * concatenates it into `_index`/`_masterindex`; payload bytes never
+    * leave the executors. Empty partitions write no part file (index lines
+    * name their part explicitly, so part numbering may have holes). */
+  def writeHarArchiveDistributed(s: SparkSession,
+                                 harDir: org.apache.hadoop.fs.Path,
+                                 files: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = harDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.mkdirs(harDir)
+    val hconf = s.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(s.sparkContext.hadoopConfiguration))
+    val dirStr = harDir.toString
+    val entries = files.select(col("name"), col("payload")).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val mine = it.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toVector
+        if (mine.isEmpty) Iterator.empty
+        else {
+          mine.foreach { case (n, _) => require(!n.contains("/"),
+            s"HAR packs flat entry names only, got: $n") }
+          val fs = new Path(dirStr).getFileSystem(hconf.value.value)
+          val partName = s"part-$pid"
+          val out = fs.create(new Path(new Path(dirStr), partName))
+          var off = 0L
+          val lines = mine.map { case (name, content) =>
+            out.write(content)
+            val e = (name, partName, off, content.length.toLong)
+            off += content.length
+            e
+          }
+          out.close()
+          lines.iterator
+        }
+      }.collect().toSeq
+    require(entries.map(_._1).distinct.size == entries.size,
+      "duplicate HAR entry names across partitions")
+    writeHarIndex(f, harDir, entries.sortBy(_._1))
+  }
+
   val scanHar: Q = (s, d) => {
     import org.apache.hadoop.fs.Path
     val dirP = tmp("har")
     val harDir = new Path(dirP, "nations.har")
-    val f = harDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     // the small files to pack: one region_<r>.txt per region, key-sorted
-    // "region|key|name" lines (25-row dim → driver-side packing is correct)
-    val rows = Tables.nation(s, d)
-      .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"),
-              col("n_name"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    val files = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, ns) =>
-      val content = ns.sortBy(_._2)
-        .map { case (_, k, n) => s"$r|$k|$n" }.mkString("", "\n", "\n")
-        .getBytes("UTF-8")
-      (s"region_$r.txt", content)
-    }
-    writeHarArchive(f, harDir, files)
+    // "region|key|name" lines — packed EXECUTOR-SIDE (round-12 verdict #6):
+    // the entry frame hash-partitions across 2 parts and each task writes
+    // its own part-N + index fragment; only metadata reaches the driver.
+    // The 25-row dim drives the same path a 100 TB archive job runs.
+    val files = Tables.nation(s, d)
+      .select(col("n_regionkey").cast("long").as("r"),
+              col("n_nationkey").cast("long").as("k"), col("n_name"))
+      .groupBy("r")
+      .agg(array_sort(collect_list(struct(col("k"), col("n_name")))).as("ns"))
+      .select(
+        concat(lit("region_"), col("r").cast("string"), lit(".txt")).as("name"),
+        encode(concat(array_join(transform(col("ns"),
+          e => concat(col("r").cast("string"), lit("|"),
+                      e.getField("k").cast("string"), lit("|"),
+                      e.getField("n_name"))), "\n"), lit("\n")), "UTF-8")
+          .as("payload"))
+      .repartition(2, col("r"))
+      .sortWithinPartitions("name") // deterministic part-local offsets
+    writeHarArchiveDistributed(s, harDir, files)
     // read back through the har:// filesystem. Authority form is
     // har://<scheme>-<host>/path; with no authority (har:///path) the
     // underlying fs comes from fs.defaultFS — the only valid spelling for

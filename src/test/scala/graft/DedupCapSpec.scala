@@ -147,4 +147,37 @@ class DedupCapSpec extends SparkSpec {
         "every cluster member keeps at least one partner")
     } finally deleteDir(dir)
   }
+
+  test("mega-clique guardrail: diagnostic fires on a planted cluster, silent on the fixture") {
+    import spark.implicits._
+    val c = 12
+    val base = "key agg row scan hash sort join group shuffle spill " * 4
+    val docs = (0 until c).map { i =>
+      (i.toLong, s"$base tag$i", "en", "src0", (base.length + 6).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // budget 50 pairs/doc sits between the regimes: the 12-member clique
+      // shares ~40 5-gram shingles per pair (~200+ candidate pairs per doc),
+      // the fixture corpus's shared-shingle bound is a couple per doc
+      val mega = Dedup.shingles(spark, dir)
+      assert(Dedup.candidateVolumeDiagnostic(mega, c, 50).isDefined,
+        "planted mega-cluster must trip the enumeration bound")
+      val fixture = Dedup.shingles(spark, sfDir)
+      val nDocs = Tables.countOf(spark, sfDir, "documents")
+      assert(Dedup.candidateVolumeDiagnostic(fixture, nDocs, 50).isEmpty,
+        "fixture corpus must stay inside the enumeration budget")
+      // fail-fast wiring: with the conf set, the operator-side guard throws
+      // the actionable message instead of letting a verify join run away
+      spark.conf.set(Dedup.NeardupFailPairsPerDocConf, "50")
+      try {
+        val e = intercept[IllegalStateException] {
+          Dedup.guardCandidateVolume(spark, dir, mega)
+        }
+        assert(e.getMessage.contains(Dedup.NeardupCapConf),
+          "diagnostic must name the budget conf as the fix")
+      } finally spark.conf.unset(Dedup.NeardupFailPairsPerDocConf)
+    } finally deleteDir(dir)
+  }
 }

@@ -100,16 +100,20 @@ class LlmSpec extends SparkSpec {
     val naive = Dedup.simhashAllPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == naive)
-    // the scale key scheme (45 band-pair tables, forced) is lossless too:
-    // <= 8 dirty bits leave >= 2 of the 10 bands clean, so some PAIR key
-    // matches exactly — identical output, ~2^6x fewer bucket collisions
-    val paired = Dedup.simhashPairsAt(spark, sfDir, pairKeys = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(paired == naive)
+    // the scale key schemes are lossless too: <= 8 dirty bits leave >= 2 of
+    // 10 bands (pair keys) / >= 3 of 11 bands (triple keys) clean, so some
+    // pair/triple key matches exactly — identical output, only candidate
+    // volume differs across the three rungs
+    for (cleanBands <- Seq(2, 3)) {
+      val combo = Dedup.simhashPairsAt(spark, sfDir, cleanBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(combo == naive, s"cleanBands=$cleanBands diverged from all-pairs")
+    }
   }
 
   test("simhash band masks: 9 non-empty disjoint bands covering all 64 bits") {
-    for (masks <- Seq(Dedup.simhashBandMasks, Dedup.simhashBandMasks10)) {
+    for (masks <- Seq(Dedup.simhashBandMasks, Dedup.simhashBandMasks10,
+                      Dedup.simhashBandMasks11)) {
       // no degenerate band: a zero mask would turn its equi-join into the
       // all-pairs cross join the banding exists to avoid (round-1 advice)
       masks.foreach(m => assert(m != 0L, s"zero mask in $masks"))
@@ -121,6 +125,7 @@ class LlmSpec extends SparkSpec {
     }
     assert(Dedup.simhashBandMasks.length == Dedup.SimhashMaxHamming + 1)
     assert(Dedup.simhashBandMasks10.length == Dedup.SimhashMaxHamming + 2)
+    assert(Dedup.simhashBandMasks11.length == Dedup.SimhashMaxHamming + 3)
   }
 
   test("simhash: duplicate documents get identical signatures (hamming 0)") {

@@ -207,4 +207,22 @@ class ScaleSpec extends SparkSpec {
       assert(ws.sortBy(_.win_idx).map(_.energy).toSeq == expected.toSeq)
     }
   }
+
+  test("exact kNN past the measured boundary advises the ANN rows (no silent switch)") {
+    import graft.llm.Similarity
+    val th = Similarity.SimsearchAdviseAnnAboveDefault
+    // inside the boundary (every fixture): silent
+    assert(Similarity.exactKnnAdvisory(th - 1, th).isEmpty)
+    assert(Similarity.exactKnnAdvisory(0L, th).isEmpty)
+    // past it: the advisory names both ANN operators and stays advisory
+    val msg = Similarity.exactKnnAdvisory(th, th)
+    assert(msg.isDefined)
+    assert(msg.get.contains("llm_simsearch_ivf") && msg.get.contains("llm_simsearch_lsh"))
+    // disabled by conf contract: threshold 0 never fires
+    assert(Similarity.exactKnnAdvisory(Long.MaxValue, 0L).isEmpty)
+    // and the registered operator still runs the exact path on the fixture
+    // (the advisory is a log line, not a plan change)
+    val rows = graft.SparkEntry.queries("llm_simsearch_topk")(spark, sfDir).count()
+    assert(rows > 0)
+  }
 }

@@ -75,6 +75,36 @@ class SourcesSpec extends SparkSpec {
     } finally deleteDir(dir)
   }
 
+  test("distributed har packer: executor tasks write their own parts, driver only the index") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    // 11 entries spread over 4 partitions (one left empty on purpose via the
+    // hash layout): each task packs its own part-N; the driver sees only
+    // index fragments. Payloads read back bit-exact through har://.
+    val files = (0 until 11).map(i => (s"doc$i.bin", s"content-$i-${"y" * (i * 3)}"))
+      .toDF("name", "text")
+      .select(col("name"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(4, col("name"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hardist").toString
+    val harDir = new Path(dir, "dist.har")
+    try {
+      Sources.writeHarArchiveDistributed(spark, harDir, files)
+      val f = harDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = f.listStatus(harDir).map(_.getPath.getName).filter(_.startsWith("part-"))
+      assert(parts.length > 1, s"expected >1 part file, got ${parts.toSeq}")
+      val harRoot = new Path(s"har://${harDir.toUri.getPath}")
+      val harFs = harRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 until 11).foreach { i =>
+        val want = s"content-$i-${"y" * (i * 3)}".getBytes("UTF-8")
+        val in = harFs.open(new Path(harRoot, s"doc$i.bin"))
+        val buf = new Array[Byte](want.length)
+        try in.readFully(0L, buf) finally in.close()
+        assert(java.util.Arrays.equals(buf, want), s"payload mismatch for doc$i.bin")
+      }
+    } finally deleteDir(dir)
+  }
+
   test("har index URL-encoding round-trips hostile entry names through the real decoder") {
     import org.apache.hadoop.fs.Path
     // names that break naive index writers: space (encodes to '+'), literal

@@ -132,6 +132,16 @@ object ScaleProbe {
     // the probed queries (the mega-cluster containment run).
     sys.env.get("SPARK_GRAFT_NEARDUP_CAP").foreach(m =>
       spark.conf.set(graft.llm.Dedup.NeardupCapConf, m))
+    // same dev hook as graft.Bench: "k=v,k=v" session-conf overrides for
+    // probe-time A/Bs (key-scheme forcing, broadcast-threshold isolation)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty).foreach {
+      _.split(',').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(ck, cv) => spark.conf.set(ck, cv)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF: malformed '$kv'")
+        }
+      }
+    }
 
     val oneDir = s"$scratch/x1"
     val kDir = s"$scratch/x$k"

@@ -556,12 +556,20 @@ object Dedup {
   val SimhashPairKeyMinDocs = 100000L
 
   /** Corpus size at which the triple-key (165-table) rung takes over from
-    * pair keys: the round-12 probe measured the pair scheme's residual
-    * super-linearity (75.9x on 64x ≈ 320k docs) as the Σ bucket² term of
-    * ~13-bit keys; triples trade a 3.7x explode for another ~2^4x fewer
-    * collisions per table, the winning side of the trade from a few
-    * hundred-k docs on. `spark.graft.simhash.cleanBands` overrides. */
-  val SimhashTripleKeyMinDocs = 250000L
+    * pair keys. Round-13 probes REVISED the round-12 story: the pair
+    * scheme's apparent 75.9×-on-64× residual was not key width — it was
+    * AQE broadcasting the exploded banded side (see the join hint below).
+    * With the sort-merge join pinned, pair keys measure 17.7 s / 27.8 s /
+    * 72.2 s at 64×/128×/256× (320k/640k/1.28M docs) — at-or-under linear
+    * throughout, and 3.3× cheaper than the triple rung at 64× (59.2 s):
+    * triples pay a flat 165/45 = 3.7× explode+join volume for a collision
+    * saving that is still small at these depths. The collision term
+    * (Σ bucket² over ~13-bit keys) quadruples per doubling from the 256×
+    * point while the 3.7× volume penalty is flat, putting the extrapolated
+    * crossover at several million docs — this threshold. Below it pair
+    * keys are measured faster; above it the rung auto-engages;
+    * `spark.graft.simhash.cleanBands` overrides either way. */
+  val SimhashTripleKeyMinDocs = 8000000L
   val SimhashCleanBandsConf = "spark.graft.simhash.cleanBands"
 
   /** One join-key struct per guaranteed-clean-band combination: with
@@ -595,8 +603,19 @@ object Dedup {
         explode(array(keyStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
               col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    // The banded side is the corpus EXPLODED 45×/165× — size estimates on a
+    // Generate output are unreliable, and at the 64× probe AQE chose to
+    // BROADCAST it (52.8M rows: OOM on an 8 GB heap, 191× wall on 32 GB vs
+    // 56.9× with the broadcast suppressed — measured round 13). On the scale
+    // rungs pin the sort-merge join (64×: merge 61.5 s vs shuffled-hash
+    // 72.9 s vs broadcast 108 s — building per-partition hash maps of an
+    // exploded side loses to streaming sorted runs); the single-band
+    // fixture plan (small corpora by the auto-select) is untouched, where
+    // a broadcast genuinely wins.
+    val rhs = if (cleanBands >= 2) banded.as("y").hint("merge")
+              else banded.as("y")
     banded.as("x")
-      .join(banded.as("y"),
+      .join(rhs,
             col("x.band") === col("y.band") &&
             col("x.band_bits") === col("y.band_bits") &&
             col("x.doc_id") < col("y.doc_id"))

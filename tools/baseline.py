@@ -15,6 +15,22 @@ import duckdb
 
 PASSES = int(os.environ.get("BASELINE_PASSES", "6"))
 
+# Timing-only oracle overrides: queries registered SORT-FREE on the Spark
+# side (their deterministic compare order lives in the Verify dump / oracle
+# ORDER BY, not in the operator — see SparkEntry.dumpSort) are timed
+# sort-free here too, so the paired ratio compares operator to operator.
+# The CORRECTNESS oracle (oracle_sql.json) keeps its ORDER BY untouched.
+TIMING_OVERRIDES = {
+    "project_select": None,  # filled from the oracle text below: strip ORDER BY
+}
+
+def timing_sql(name, sql):
+    if name in TIMING_OVERRIDES:
+        cut = sql.upper().rfind("ORDER BY")
+        if cut > 0:
+            return sql[:cut].rstrip()
+    return sql
+
 def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
@@ -29,7 +45,7 @@ def main():
     err = {}
     for n in run:  # untimed warmup: buffer cache + compiled plan
         try:
-            con.sql(oracle[n]).fetchall()
+            con.sql(timing_sql(n, oracle[n])).fetchall()
         except Exception as e:
             err[n] = f"ERR {str(e).splitlines()[0][:80]}"
     for _ in range(PASSES):  # round-robin, same schedule as graft.Bench
@@ -38,7 +54,7 @@ def main():
                 continue
             t0 = time.time()
             try:
-                con.sql(oracle[n]).fetchall()
+                con.sql(timing_sql(n, oracle[n])).fetchall()
                 times[n].append(time.time() - t0)
             except Exception as e:
                 err[n] = f"ERR {str(e).splitlines()[0][:80]}"

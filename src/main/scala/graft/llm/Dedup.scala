@@ -187,67 +187,42 @@ object Dedup {
     * exceeds every doc's true degree. */
   val NeardupCapConf = "spark.graft.neardup.maxPairsPerDoc"
 
-  /** Candidate pair with the partner doc and its overlap weight — the typed
-    * input/element of [[TopPartners]]. */
-  case class PartnerW(p: Long, w: Long)
-  /** Aggregation buffer: the current top-`m` partners, ordered best-first
-    * by (w desc, partner asc) — a bounded struct so map-side partial
-    * aggregation keeps at most `m` rows of state per key (and the shuffle
-    * writes at most `m` partners per key per mapper). */
-  case class TopBuf(items: Seq[PartnerW])
-
-  /** Bounded top-`m`-partners-per-key aggregate (round-12 verdict #5): the
-    * window spelling (`row_number` by d1 then by d2) sorted the FULL
-    * candidate set twice — in the mega-cluster regime that set is the
-    * irreducible c²/2 enumeration, so both windows sorted the largest
-    * intermediate in the job. This partial aggregation keeps only `m`
-    * (w, partner) entries of state per endpoint map-side, so the per-endpoint
-    * shuffles carry ≤ m·|keys| rows instead of the full candidate set and no
-    * global sort of candidates remains anywhere in the capped plan. Kept-set
-    * semantics are EXACTLY the window spelling's: rank by (w desc, partner
-    * asc), keep ranks ≤ m (DedupCapSpec pins the equality). */
-  private class TopPartners(m: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[PartnerW, TopBuf, TopBuf] {
-    private def better(a: PartnerW, b: PartnerW): Boolean =
-      a.w > b.w || (a.w == b.w && a.p < b.p)
-    private def insert(b: TopBuf, in: PartnerW): TopBuf = {
-      val xs = b.items
-      if (xs.length >= m && !better(in, xs.last)) b
-      else {
-        val i = xs.indexWhere(e => better(in, e)) match {
-          case -1 => xs.length
-          case x  => x
-        }
-        TopBuf(((xs.take(i) :+ in) ++ xs.drop(i)).take(m))
-      }
-    }
-    override def zero: TopBuf = TopBuf(Vector.empty)
-    override def reduce(b: TopBuf, in: PartnerW): TopBuf = insert(b, in)
-    override def merge(a: TopBuf, b: TopBuf): TopBuf = b.items.foldLeft(a)(insert)
-    override def finish(b: TopBuf): TopBuf = b
-    override def bufferEncoder: org.apache.spark.sql.Encoder[TopBuf] =
-      org.apache.spark.sql.Encoders.product[TopBuf]
-    override def outputEncoder: org.apache.spark.sql.Encoder[TopBuf] =
-      org.apache.spark.sql.Encoders.product[TopBuf]
-  }
-
+  /** Per-endpoint top-`m` ranking of the weighted candidate set — the
+    * stacked `row_number` window spelling, KEPT DELIBERATELY after a
+    * measured A/B against the "bounded top-m partial aggregation" rewrite
+    * (round-12 verdict #5; both spellings probed at k=64 megacluster,
+    * 320k docs / ~10.1M candidate pairs, same session protocol):
+    *
+    *   - window spelling (this code): 50.0 s  (round-12 record, re-held)
+    *   - typed top-m Aggregator (udaf): 113.7 s — 2.3× SLOWER
+    *   - same + objectHashAggregate fallbackThreshold 128 → 1M: 123.5 s
+    *
+    * Why the verdict's suggested aggregation loses here: in the mega-cluster
+    * regime the candidate set has ~c/2 rows per endpoint KEY spread over 32
+    * mappers — about ONE row per key per mapper — so a map-side partial
+    * reduction has nothing to combine and the full set reaches the final
+    * aggregate regardless. That final aggregate is an object-buffer
+    * TypedImperativeAggregate: ObjectHashAggregateExec falls back to
+    * sort-based at 128 in-memory keys (and raising the threshold just trades
+    * the sort for 320k-entry-per-task object hash maps — measured slightly
+    * worse), so it SORTS the same intermediate the windows sort, paying
+    * per-row encoder deserialization and immutable-buffer allocation churn
+    * on top. The window spelling sorts UnsafeRows with the radix sorter and
+    * streams row_number with zero allocation — 2.3× faster absolute on the
+    * irreducible c²/2 enumeration. Kept-set semantics: rank by (w desc,
+    * partner asc), keep a pair if EITHER endpoint ranks it ≤ m (kNN-graph
+    * semantics) ⇒ output ≤ 2·m·|docs| (DedupCapSpec pins subset/equality/
+    * bound; BASELINE.md round-13 records the A/B). */
   private def capPairs(weighted: DataFrame, m: Int): DataFrame = {
-    val top = udaf(new TopPartners(m))
-    // Both branches share the identical `weighted` subplan up to its
-    // (d1, d2) aggregation exchange, which the planner's exchange-reuse
-    // rule materializes once; each branch then re-keys by ONE endpoint with
-    // the bounded partial above. A pair survives if EITHER endpoint ranks
-    // it (kNN-graph semantics), so the kept sets union (then dedupe — both
-    // endpoints may rank the same pair) at ≤ 2·m·|docs| rows.
-    val byD1 = weighted.groupBy(col("d1"))
-      .agg(top(col("d2"), col("w")).as("t"))
-      .select(col("d1"), explode(col("t.items")).as("e"))
-      .select(col("d1"), col("e.p").as("d2"))
-    val byD2 = weighted.groupBy(col("d2"))
-      .agg(top(col("d1"), col("w")).as("t"))
-      .select(col("d2"), explode(col("t.items")).as("e"))
-      .select(col("e.p").as("d1"), col("d2"))
-    byD1.union(byD2).distinct()
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1")).orderBy(col("w").desc, col("d2"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d2")).orderBy(col("w").desc, col("d1"))
+    weighted
+      .withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .where(col("r1") <= m || col("r2") <= m)
+      .select("d1", "d2")
   }
 
   /** Size-adaptive switch: below this many (doc, shingle) rows the naive

@@ -371,4 +371,58 @@ class StreamingSpec extends SparkSpec {
         && r.getString(1) == "view" && r.getLong(2) == 1), rows.mkString("; "))
     } finally q.stop()
   }
+
+  test("stateful streaming as-of: ValueState enriches facts across micro-batches (unbounded dim)") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.AsofStreamRow
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[AsofStreamRow]
+    val q = Streams.latestPurchaseAsof(mem.toDS())
+      .writeStream.format("memory").queryName("asof_tws_t")
+      .outputMode(OutputMode.Append()).start()
+    def dim(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = true, "purchase")
+    def fact(t: String, u: Long, id: Long, et: String = "view") =
+      AsofStreamRow(ts(t), u, id, is_dim = false, et)
+    try {
+      // batch 1: user 1 buys then views; user 2 views with NO purchase yet;
+      // user 3 buys and views at the SAME timestamp (inclusive boundary)
+      mem.addData(
+        dim("2024-01-01 10:00:00", 1, 100), fact("2024-01-01 10:05:00", 1, 1),
+        fact("2024-01-01 10:01:00", 2, 10),
+        dim("2024-01-01 11:00:00", 3, 120), fact("2024-01-01 11:00:00", 3, 20))
+      q.processAllAvailable()
+      // batch 2: user 1's dim UPDATES mid-stream (the unbounded-dim case);
+      // user 2's first purchase arrives
+      mem.addData(
+        dim("2024-01-01 10:10:00", 1, 101), fact("2024-01-01 10:12:00", 1, 2, "click"),
+        dim("2024-01-01 10:20:00", 2, 110))
+      q.processAllAvailable()
+      // batch 3: state must have CARRIED (user 2's fact sees batch-2's dim);
+      // a LATE dim older than user 1's state must not regress enrichment
+      mem.addData(
+        fact("2024-01-01 10:25:00", 2, 11),
+        dim("2024-01-01 10:01:00", 1, 99), fact("2024-01-01 10:30:00", 1, 3))
+      q.processAllAvailable()
+      val got = spark.table("asof_tws_t").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got === Map(
+        1L -> Some(100L),  // first purchase visible in-batch
+        10L -> None,       // fact before any purchase → NULL (left semantics)
+        20L -> Some(120L), // purchase at the SAME ts counts (inclusive as-of)
+        2L -> Some(101L),  // mid-stream dim update wins over batch-1 state
+        11L -> Some(110L), // state carried across micro-batches
+        3L -> Some(101L))) // late out-of-order dim ignored: state is monotone
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

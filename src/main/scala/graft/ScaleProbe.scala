@@ -150,9 +150,20 @@ object ScaleProbe {
     // 1× goes through the same write path so both sides read identically
     // laid-out parquet (file counts, encoders) — the comparison then isolates
     // data volume, not storage layout.
-    Tables.names.foreach(n => scaleTable(spark, base, n, 1, oneDir))
+    // SPARK_GRAFT_SCALE_REUSE=1 skips tables whose output dir already has a
+    // parquet _SUCCESS marker — at k≥64 the fixture rewrite dominates probe
+    // wall-clock, and back-to-back probes of different QUERIES on the same
+    // (k, tables, transform) corpus shouldn't each pay it. The caller owns
+    // cache coherence: delete the scratch dir when k, the scaled-table set,
+    // or the transform changes.
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").exists(_ == "1")
+    def written(dir: String, n: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$n.parquet/_SUCCESS"))
     Tables.names.foreach(n =>
-      scaleTable(spark, base, n, if (scaleOnly(n)) k else 1, kDir))
+      if (!(reuse && written(oneDir, n))) scaleTable(spark, base, n, 1, oneDir))
+    Tables.names.foreach(n =>
+      if (!(reuse && written(kDir, n)))
+        scaleTable(spark, base, n, if (scaleOnly(n)) k else 1, kDir))
 
     def bestOf(n: Int)(body: => Unit): Double =
       (1 to n).map { _ =>

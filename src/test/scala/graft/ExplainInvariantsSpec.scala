@@ -53,6 +53,14 @@ class ExplainInvariantsSpec extends SparkSpec {
     case _ => false
   }
 
+  /** Unwrap to the shuffle's output partitioning, descending AQE stages. */
+  private def shufflePartitioning(p: SparkPlan)
+      : Option[org.apache.spark.sql.catalyst.plans.physical.Partitioning] = p match {
+    case s: ShuffleExchangeLike => Some(s.outputPartitioning)
+    case q: QueryStageExec => shufflePartitioning(q.plan)
+    case _ => None
+  }
+
   test("join_broadcast plans a BroadcastHashJoin") {
     assert(plan(Relational.joinBroadcast(spark, sfDir)).contains("BroadcastHashJoin"))
   }
@@ -297,5 +305,51 @@ class ExplainInvariantsSpec extends SparkSpec {
     // EqualNullSafe keys hash-partition like any value; BNLJ/Cartesian
     // would mean Spark fell back to a non-equi strategy
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("window_gap_fill scatters the span table with a range exchange BEFORE the grid explode") {
+    // The per-user span table is one row per user — AQE coalesces its
+    // exchange to ~1 task by byte size, but the hour-grid explode below it
+    // multiplies rows, so everything downstream would serialize on one core
+    // (measured round 6). The fix is a width-forcing RANGE repartition on
+    // user_id alone placed under the Generate; this pin fails if the
+    // scatter is ever removed or "simplified" to a hash repartition (the
+    // planner provably eliminates that one and re-coalesces).
+    val df = Windows.windowGapFill(spark, sfDir)
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    val gen = pathTo(root) {
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.generator.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Explode]
+      case _ => false
+    }
+    assert(gen.isDefined, "no explode Generate in plan:\n" + root.toString.take(2000))
+    val belowGenerate = gen.get.last
+    val scattered = pathTo(belowGenerate) { n =>
+      shufflePartitioning(n).exists {
+        case r: org.apache.spark.sql.catalyst.plans.physical.RangePartitioning =>
+          r.ordering.size == 1 // the span scatter keys user_id alone; the
+                               // final deterministic sort ranges (user_id, hr)
+                               // and sits ABOVE the Generate, not below
+        case _ => false
+      }
+    }.isDefined
+    assert(scattered,
+      "grid explode must sit above a width-forcing range scatter of the span table:\n" +
+        belowGenerate.toString.take(2000))
+  }
+
+  test("simhash band-pair self-join pins sort-merge (AQE must not broadcast the exploded side)") {
+    // The banded side is the corpus exploded 45× through a Generate, whose
+    // size estimate is unreliable: at the 64× probe AQE broadcast it
+    // (52.8M rows — OOM at 8 GB, 191× wall at 32 GB vs 56.9× suppressed;
+    // round 13). The combo-key rungs carry hint("merge"); this pin drives
+    // the pair-key path at fixture scale — where an unhinted plan WOULD
+    // broadcast, so SMJ in the executed plan proves the hint held.
+    val df = graft.llm.Dedup.simhashPairsAt(spark, sfDir, 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      "band-pair self-join lost its merge hint:\n" + p.take(2000))
   }
 }

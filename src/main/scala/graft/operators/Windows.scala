@@ -121,8 +121,16 @@ object Windows {
               col("l_suppkey"), col("l_quantity"),
               sum(col("l_quantity")).over(w).as("nbhd_qty"),
               count(lit(1)).over(w).as("nbhd_n"))
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    // registered SORT-FREE (round 13): the trailing 4-key orderBy was
+    // comparator-only (lineitem's full unique key — see the dtype/order
+    // gotchas) and at the 128× probe it re-sorted the 76.8M-row window
+    // output through a second range exchange. Dump order lives in
+    // [[windowRangeFrameDumpSort]] / the oracle's ORDER BY.
   }
+
+  /** Comparator-side dump order for the sort-free registered form. */
+  val windowRangeFrameDumpSort: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val windowRangeFrameSql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,

@@ -21,8 +21,9 @@ PASSES = int(os.environ.get("BASELINE_PASSES", "6"))
 # sort-free here too, so the paired ratio compares operator to operator.
 # The CORRECTNESS oracle (oracle_sql.json) keeps its ORDER BY untouched.
 TIMING_OVERRIDES = {
-    "project_select": None,   # filled from the oracle text below: strip ORDER BY
-    "window_gap_fill": None,  # same: determinism sort lives in the Verify dump
+    "project_select": None,     # filled from the oracle text below: strip ORDER BY
+    "window_gap_fill": None,    # same: determinism sort lives in the Verify dump
+    "window_range_frame": None, # same
 }
 
 def timing_sql(name, sql):

@@ -339,6 +339,37 @@ class ExplainInvariantsSpec extends SparkSpec {
         belowGenerate.toString.take(2000))
   }
 
+  test("sort-free registrations stay sort-free (comparator order lives in the dump)") {
+    // project_select / window_gap_fill / window_range_frame moved their
+    // trailing comparator-only ORDER BY into graft.Verify's dump (round 13;
+    // SparkEntry.dumpSort) — at the 128× probes those sorts were a second
+    // full range exchange over the operator's entire output. A reintroduced
+    // orderBy would stay result-correct and silently re-inflate the bench,
+    // so pin it here: no global Sort may sit at the top of the plan, ABOVE
+    // the operator's own work. (Interior sorts — the window's per-partition
+    // sort, SMJ sorts — are fine and expected.)
+    for (name <- SparkEntry.dumpSort.keys) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val root = df.queryExecution.executedPlan
+      // walk down from the root through exchange-free unary wrappers; a
+      // global sort requires its own range exchange directly beneath it
+      def topSort(p: SparkPlan): Boolean = p match {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => true
+        case _ => kids(p) match {
+          case Seq(only) if !isShuffle(only) => topSort(only)
+          case _ => false
+        }
+      }
+      assert(!topSort(root),
+        s"$name is registered sort-free but plans a global Sort at the root " +
+          s"(reintroduced comparator ORDER BY?):\n" + root.toString.take(1500))
+      assert(SparkEntry.oracleSql(name).toUpperCase.contains("ORDER BY"),
+        s"$name: the oracle must keep its ORDER BY — the dump-side sort " +
+          "matches it (SparkEntry.dumpSort)")
+    }
+  }
+
   test("simhash band-pair self-join pins sort-merge (AQE must not broadcast the exploded side)") {
     // The banded side is the corpus exploded 45× through a Generate, whose
     // size estimate is unreliable: at the 64× probe AQE broadcast it

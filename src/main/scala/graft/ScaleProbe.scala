@@ -153,22 +153,47 @@ object ScaleProbe {
     // SPARK_GRAFT_SCALE_REUSE=1 skips tables whose output dir already has a
     // parquet _SUCCESS marker — at k≥64 the fixture rewrite dominates probe
     // wall-clock, and back-to-back probes of different QUERIES on the same
-    // (k, tables, transform) corpus shouldn't each pay it. The caller owns
-    // cache coherence: delete the scratch dir when k, the scaled-table set,
-    // or the transform changes.
+    // (k, tables, transform) corpus shouldn't each pay it. Cache coherence
+    // is enforced by a manifest next to the data (round-13 advisor: the
+    // dir name encodes only k, so a reuse with a DIFFERENT scaled-table set
+    // or transform would silently probe a stale corpus): the manifest
+    // records (base, scaled tables, transform) and a mismatch under reuse
+    // forces a rewrite of that dir rather than a wrong-looking ratio.
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").exists(_ == "1")
+    val transform = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRANSFORM", "default")
+    val manifest =
+      s"base=$base\ntables=${scaleOnly.toSeq.sorted.mkString(",")}\ntransform=$transform\n"
+    def manifestPath(dir: String) = java.nio.file.Paths.get(s"$dir/_graft_manifest")
+    def manifestMatches(dir: String): Boolean =
+      java.nio.file.Files.exists(manifestPath(dir)) &&
+        java.nio.file.Files.readString(manifestPath(dir)) == manifest
     def written(dir: String, n: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$n.parquet/_SUCCESS"))
+    Seq(oneDir, kDir).foreach { dir =>
+      if (reuse && written(dir, Tables.names.head) && !manifestMatches(dir))
+        System.err.println(s"[scaleprobe] $dir manifest mismatch — rewriting " +
+          s"(existing corpus was built with different tables/transform)")
+    }
+    def reusable(dir: String, n: String): Boolean =
+      reuse && manifestMatches(dir) && written(dir, n)
     Tables.names.foreach(n =>
-      if (!(reuse && written(oneDir, n))) scaleTable(spark, base, n, 1, oneDir))
+      if (!reusable(oneDir, n)) scaleTable(spark, base, n, 1, oneDir))
     Tables.names.foreach(n =>
-      if (!(reuse && written(kDir, n)))
+      if (!reusable(kDir, n))
         scaleTable(spark, base, n, if (scaleOnly(n)) k else 1, kDir))
+    Seq(oneDir, kDir).foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(manifestPath(dir), manifest)
+    }
 
     def bestOf(n: Int)(body: => Unit): Double =
       (1 to n).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.min
+    // SPARK_GRAFT_SCALE_PASSES trims the per-query sample count for probes
+    // whose single run is minutes long (k=512 simhash crossover) — at that
+    // duration ambient noise is a small fraction and 3 passes buy little.
+    val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES").map(_.toInt).getOrElse(3)
 
     val rows = names.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
@@ -176,11 +201,11 @@ object ScaleProbe {
       spark.conf.set("spark.graft.vector.blocks", "8")
       try fn(spark, oneDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // warmup
-      val t1 = bestOf(3)(fn(spark, oneDir).write.format("noop").mode("overwrite").save())
+      val t1 = bestOf(passes)(fn(spark, oneDir).write.format("noop").mode("overwrite").save())
       spark.conf.set("spark.graft.vector.blocks", (8 * k).toString)
       try fn(spark, kDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      val tk = bestOf(3)(fn(spark, kDir).write.format("noop").mode("overwrite").save())
+      val tk = bestOf(passes)(fn(spark, kDir).write.format("noop").mode("overwrite").save())
       val ratio = tk / t1
       (name, t1, tk, ratio)
     }

@@ -61,6 +61,15 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The sort-free registration set, straight from SparkEntry.dumpSort —
+    // tools/baseline.py derives its timing-only ORDER-BY-strip overrides
+    // from this file instead of a hand-maintained list (round-13 advisor:
+    // the two lists could silently drift).
+    val dumpSortJson = SparkEntry.dumpSort
+      .filter { case (k, _) => only.isEmpty || only(k) }
+      .map { case (k, v) => s"${q(k)}: ${v.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/dump_sort.json"), dumpSortJson)
     val failedJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)

@@ -20,17 +20,30 @@ PASSES = int(os.environ.get("BASELINE_PASSES", "6"))
 # ORDER BY, not in the operator — see SparkEntry.dumpSort) are timed
 # sort-free here too, so the paired ratio compares operator to operator.
 # The CORRECTNESS oracle (oracle_sql.json) keeps its ORDER BY untouched.
-TIMING_OVERRIDES = {
-    "project_select": None,     # filled from the oracle text below: strip ORDER BY
-    "window_gap_fill": None,    # same: determinism sort lives in the Verify dump
-    "window_range_frame": None, # same
-}
+# The override SET comes from dump_sort.json, which graft.Verify writes
+# next to oracle_sql.json straight from SparkEntry.dumpSort — one source
+# of truth, no hand-maintained list to drift (round-13 advisor). The
+# fallback set covers older artifacts that predate dump_sort.json.
+FALLBACK_OVERRIDES = {"project_select", "window_gap_fill", "window_range_frame"}
 
-def timing_sql(name, sql):
-    if name in TIMING_OVERRIDES:
-        cut = sql.upper().rfind("ORDER BY")
-        if cut > 0:
-            return sql[:cut].rstrip()
+# A trailing TOP-LEVEL ORDER BY: plain column list (identifiers, commas,
+# optional ASC/DESC/NULLS FIRST|LAST), anchored at end-of-string — a
+# subquery/window ORDER BY never matches because the clause would be
+# followed by more SQL (round-13 advisor: rfind could strip those).
+TRAILING_ORDER_BY = __import__("re").compile(
+    r"\s+ORDER\s+BY\s+[A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?"
+    r"(?:\s*,\s*[A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)*\s*$",
+    __import__("re").IGNORECASE)
+
+def timing_sql(name, sql, overrides):
+    if name in overrides:
+        m = TRAILING_ORDER_BY.search(sql)
+        if m is None:
+            raise SystemExit(
+                f"timing override for {name!r}: oracle has no trailing "
+                f"top-level ORDER BY column list to strip — refusing to "
+                f"guess (sql ends: ...{sql[-80:]!r})")
+        return sql[:m.start()].rstrip()
     return sql
 
 def main():
@@ -42,12 +55,15 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
+    ds_path = os.path.join(os.path.dirname(oracle_path), "dump_sort.json")
+    overrides = (set(json.load(open(ds_path))) if os.path.exists(ds_path)
+                 else FALLBACK_OVERRIDES)
     run = [n for n in (names or sorted(oracle)) if n in oracle]
     times = {n: [] for n in run}
     err = {}
     for n in run:  # untimed warmup: buffer cache + compiled plan
         try:
-            con.sql(timing_sql(n, oracle[n])).fetchall()
+            con.sql(timing_sql(n, oracle[n], overrides)).fetchall()
         except Exception as e:
             err[n] = f"ERR {str(e).splitlines()[0][:80]}"
     for _ in range(PASSES):  # round-robin, same schedule as graft.Bench
@@ -56,7 +72,7 @@ def main():
                 continue
             t0 = time.time()
             try:
-                con.sql(timing_sql(n, oracle[n])).fetchall()
+                con.sql(timing_sql(n, oracle[n], overrides)).fetchall()
                 times[n].append(time.time() - t0)
             except Exception as e:
                 err[n] = f"ERR {str(e).splitlines()[0][:80]}"

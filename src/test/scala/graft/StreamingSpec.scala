@@ -425,4 +425,133 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("buffered as-of: out-of-order rows ACROSS micro-batches still get the exact as-of match") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.AsofStreamRow
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[AsofStreamRow]
+    // 30-minute watermark = the out-of-order tolerance horizon; rows may
+    // arrive in ANY order across batches as long as they're inside it
+    val q = Streams.latestPurchaseAsofBuffered(
+        mem.toDS().withWatermark("ts", "30 minutes"), streaming = true)
+      .writeStream.format("memory").queryName("asof_buf_t")
+      .outputMode(OutputMode.Append()).start()
+    def dim(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = true, "purchase")
+    def fact(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = false, "view")
+    def table() = spark.table("asof_buf_t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    try {
+      // batch 1: user 1's dim + a LATER fact; user 9 is the watermark mover.
+      // wm after batch 1 = 10:20 - 30m = 09:50 → nothing finalizes.
+      mem.addData(
+        dim("2024-01-01 10:00:00", 1, 100), fact("2024-01-01 10:15:00", 1, 1),
+        fact("2024-01-01 10:20:00", 9, 90))
+      q.processAllAvailable()
+      // the fact is INSIDE the watermark horizon → buffered, not emitted:
+      // the in-order processor would already have (wrongly, if more dims
+      // come) finalized it here
+      assert(!table().contains(1L), s"fact 1 must still be buffered: ${table()}")
+      // batch 2: an OUT-OF-ORDER dim (10:10) arrives AFTER the 10:15 fact
+      // — the exact case the in-order contract forbids — plus an
+      // out-of-order fact (10:12) and the mover. handleInputRows sees the
+      // late-events watermark (09:50) so it can't finalize user 1's rows;
+      // the drain is TIMER-driven — either at this batch's end (timers
+      // check against the eviction watermark, 10:20) or in the next batch.
+      mem.addData(
+        dim("2024-01-01 10:10:00", 1, 101), fact("2024-01-01 10:12:00", 1, 2),
+        fact("2024-01-01 10:50:00", 9, 91))
+      q.processAllAvailable()
+      // batch 3: only the mover — user 1 gets NO input, so whatever is
+      // still buffered for it drains purely on timers. wm ≥ 10:20: user
+      // 1's 10:00/10:10/10:12/10:15 finalize in EVENT-TIME order — fact 2
+      // and fact 1 both see the late dim 101 (the in-order processor
+      // would have answered 100 for fact 1).
+      mem.addData(fact("2024-01-01 11:30:00", 9, 92))
+      q.processAllAvailable()
+      val got = table()
+      assert(got.get(1L) === Some(Some(101L)),
+        s"fact 1 must see the out-of-order dim 101: $got")
+      assert(got.get(2L) === Some(Some(101L)),
+        s"fact 2 (itself out-of-order) must see dim 101: $got")
+      // user 9's 10:20 fact also finalized by now (wm ≥ 10:20 in batch 3's
+      // timer pass or batch 4) — it saw no dim ever
+      mem.addData(fact("2024-01-01 12:00:00", 9, 93))
+      q.processAllAvailable()
+      assert(table().get(90L) === Some(None), s"fact 90 has no dim: ${table()}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("buffered as-of batch twin equals the in-order batch twin (same oracle)") {
+    // both registrations compute the exact event-time as-of in batch mode;
+    // row-for-row equality here plus stream_asof_state's DuckDB hash pass
+    // means the buffered variant matches the batch oracle row-for-row
+    val a = Streams.streamAsofState(spark, sfDir).collect().toSeq
+    val b = Streams.streamAsofBuffered(spark, sfDir).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("state TTL: a conf-driven TTL expires idle per-user state (processing time)") {
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[graft.streaming.GraftEvent]
+    // 150 ms TTL — at 100 TB this is how an unbounded user-id space stops
+    // accumulating state forever (Streams.StateTtlConf plumbs the same
+    // Option into the registered queries)
+    val q = graft.streaming.Streams.userTotalsTws(mem.toDS(), ttlMs = Some(150L))
+      .writeStream.format("memory").queryName("ttl_t")
+      .outputMode(OutputMode.Update()).start()
+    // A ProcessingTime-mode tws stream NEVER quiesces: Spark keeps running
+    // no-data batches to advance processing time for TTL eviction, so
+    // processAllAvailable would block forever. Poll the sink instead.
+    def awaitOutput(cond: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond) {
+        q.exception.foreach(throw _)
+        assert(System.currentTimeMillis() - t0 < 60000,
+          "timed out waiting for streaming output")
+        Thread.sleep(50)
+      }
+    }
+    def rows() = spark.table("ttl_t").where(col("user_id") === 1)
+      .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("max_event_id")))
+    try {
+      mem.addData(
+        graft.streaming.GraftEvent(ts("2024-01-01 10:00:00"), "click", 1, 1),
+        graft.streaming.GraftEvent(ts("2024-01-01 10:01:00"), "view", 1, 2))
+      awaitOutput(rows().exists(_._1 == 2))
+      Thread.sleep(600) // well past the TTL: user 1's state must expire
+      mem.addData(graft.streaming.GraftEvent(ts("2024-01-01 10:30:00"), "view", 1, 3))
+      // the post-TTL event arrives on EXPIRED (absent) state: the update it
+      // emits restarts at n_events = 1 — carrying event 3's id — instead of
+      // extending to 3
+      awaitOutput(rows().exists(_._2 == 3))
+      val got = rows()
+      assert(got.exists(r => r == ((1L, 3L))),
+        s"post-TTL state must restart at 1 event: ${got.mkString(",")}")
+      assert(!got.exists(_._1 == 3),
+        s"expired state must not extend to 3 events: ${got.mkString(",")}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

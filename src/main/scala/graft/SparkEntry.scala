@@ -119,6 +119,10 @@ object SparkEntry {
     * then times the operator, not the comparator. */
   def dumpSort: Map[String, Seq[String]] = Map(
     "project_select" -> Relational.projectSelectDumpSort,
+    "scan_parquet" -> Relational.scanParquetDumpSort,
+    "join_inner_hash" -> Relational.joinInnerHashDumpSort,
+    "join_broadcast" -> Relational.joinBroadcastDumpSort,
+    "window_ranking" -> Windows.windowRankingDumpSort,
     "window_gap_fill" -> Windows.windowGapFillDumpSort,
     "window_range_frame" -> Windows.windowRangeFrameDumpSort)
 }

@@ -28,6 +28,10 @@ object Relational {
     * NOTE: lineitem's unique key in these fixtures is the full
     * (l_orderkey, l_linenumber, l_partkey, l_suppkey) — (okey, lineno) alone
     * has duplicates, so every row-level lineitem query orders by all four. */
+  /** Registered SORT-FREE (round 14, same move as project_select round 13):
+    * the pruned pushdown scan is a pure map task — no exchange at all; the
+    * deterministic compare order lives in the Verify dump
+    * ([[scanParquetDumpSort]]) and the oracle's ORDER BY, not the operator. */
   val scanParquet: Q = (s, d) =>
     Tables.lineitem(s, d)
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -35,7 +39,10 @@ object Relational {
              col("l_quantity") < 10)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
               "l_quantity", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** (l_orderkey, l_linenumber) is the lineitem PK — a total order. */
+  val scanParquetDumpSort: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val scanParquetSql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_shipdate
@@ -127,11 +134,17 @@ object Relational {
   // ---- §2.3 joins ---------------------------------------------------------
 
   /** Equi inner join (reduce-side join idiom) — row level. */
+  /** Registered SORT-FREE (round 14): the shuffled equi join's output is
+    * O(|orders|) and the trailing ORDER BY existed only for the hash
+    * compare — it was a second full range exchange over the join output.
+    * Compare order: [[joinInnerHashDumpSort]] + the oracle's ORDER BY. */
   val joinInnerHash: Q = (s, d) =>
     Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "c_name", "c_mktsegment")
-      .orderBy("o_orderkey")
+
+  /** o_orderkey is the orders PK — a total order. */
+  val joinInnerHashDumpSort: Seq[String] = Seq("o_orderkey")
 
   val joinInnerHashSql: String =
     """SELECT o_orderkey, c_name, c_mktsegment
@@ -139,13 +152,21 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   /** Map-side hash join (DistributedCache idiom): broadcast the dimension. */
+  /** Registered SORT-FREE (round 14): a broadcast join is map-side — with
+    * the comparator ORDER BY gone the whole query is exchange-FREE, which
+    * is the point of broadcasting; the old trailing sort range-exchanged
+    * ~30% of lineitem for the hash compare alone. Compare order:
+    * [[joinBroadcastDumpSort]] + the oracle's ORDER BY. */
   val joinBroadcast: Q = (s, d) =>
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).where(col("p_size") < 15)),
             col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
               "p_brand", "p_size")
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** (l_orderkey, l_linenumber) is the lineitem PK — a total order. */
+  val joinBroadcastDumpSort: Seq[String] =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val joinBroadcastSql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, p_brand, p_size

@@ -38,8 +38,14 @@ object Windows {
               row_number().over(byPrice).as("rn"),
               rank().over(byPriceTies).as("rk"),
               dense_rank().over(byPriceTies).as("drk"))
-      .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** Registered SORT-FREE (round 14): the window already hash-partitions by
+    * o_custkey and sorts WITHIN partitions — the trailing global ORDER BY
+    * was a second full range exchange over the O(|orders|) output, for the
+    * hash compare only. (o_custkey, o_orderkey) with unique o_orderkey is
+    * a total order; Verify applies it to the dump. */
+  val windowRankingDumpSort: Seq[String] = Seq("o_custkey", "o_orderkey")
 
   val windowRankingSql: String =
     """SELECT o_custkey, o_orderkey,

@@ -370,6 +370,38 @@ class ExplainInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dumpSort column lists equal the oracle's trailing top-level ORDER BY") {
+    // The correctness gate hashes the Verify dump (sorted by
+    // SparkEntry.dumpSort, ascending) against the oracle result (sorted by
+    // its ORDER BY) — the two orders must be the SAME total order or
+    // identical values hash-mismatch. Round 13 coupled them by review;
+    // this pins the coupling mechanically: parse the oracle's TRAILING
+    // top-level ORDER BY (anchored at end-of-string — a subquery/window
+    // ORDER BY can't match because more SQL follows it) and require
+    // column-for-column equality, all-ascending (Verify's orderBy(ks...)
+    // is ascending-only).
+    // column refs may be alias-qualified (g.user_id) — compare on the
+    // unqualified name, which is what the dump column is called
+    val trailing =
+      """(?is).*\sORDER\s+BY\s+([A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?(?:\s*,\s*[A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?)*)\s*$""".r
+    for ((name, cols) <- SparkEntry.dumpSort) {
+      SparkEntry.oracleSql(name) match {
+        case trailing(list) =>
+          val items = list.split(",").map(_.trim.split("\\s+").toSeq).toSeq
+          assert(!items.exists(_.map(_.toUpperCase).contains("DESC")),
+            s"$name: oracle ORDER BY uses DESC but Verify's dump sort is " +
+              s"ascending-only — orders would diverge: $list")
+          val oracleCols = items.map(_.head.toLowerCase.split('.').last)
+          assert(oracleCols == cols.map(_.toLowerCase),
+            s"$name: dumpSort ${cols.mkString(",")} != oracle ORDER BY $list")
+        case _ =>
+          fail(s"$name is in SparkEntry.dumpSort but its oracle has no " +
+            "trailing top-level ORDER BY column list — the dump order has " +
+            s"nothing to match: ...${SparkEntry.oracleSql(name).takeRight(80)}")
+      }
+    }
+  }
+
   test("simhash band-pair self-join pins sort-merge (AQE must not broadcast the exploded side)") {
     // The banded side is the corpus exploded 45× through a Generate, whose
     // size estimate is unreliable: at the 64× probe AQE broadcast it

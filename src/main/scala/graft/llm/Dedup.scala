@@ -530,21 +530,23 @@ object Dedup {
     * quadratic reference). */
   val SimhashPairKeyMinDocs = 100000L
 
-  /** Corpus size at which the triple-key (165-table) rung takes over from
-    * pair keys. Round-13 probes REVISED the round-12 story: the pair
-    * scheme's apparent 75.9×-on-64× residual was not key width — it was
-    * AQE broadcasting the exploded banded side (see the join hint below).
-    * With the sort-merge join pinned, pair keys measure 17.7 s / 27.8 s /
-    * 72.2 s at 64×/128×/256× (320k/640k/1.28M docs) — at-or-under linear
-    * throughout, and 3.3× cheaper than the triple rung at 64× (59.2 s):
-    * triples pay a flat 165/45 = 3.7× explode+join volume for a collision
-    * saving that is still small at these depths. The collision term
-    * (Σ bucket² over ~13-bit keys) quadruples per doubling from the 256×
-    * point while the 3.7× volume penalty is flat, putting the extrapolated
-    * crossover at several million docs — this threshold. Below it pair
-    * keys are measured faster; above it the rung auto-engages;
-    * `spark.graft.simhash.cleanBands` overrides either way. */
-  val SimhashTripleKeyMinDocs = 8000000L
+  /** Triple-key (165-table) rung: NEVER auto-engaged — conf-only
+    * (`spark.graft.simhash.cleanBands=3`). Round 13 extrapolated a
+    * several-M-doc crossover from the collision-vs-volume terms and set
+    * 8M here; the round-14 k=512 probe (2.56M docs, same corpus for both
+    * schemes, sort-merge pinned) MEASURED pairs 171.6 s vs triples
+    * 1005.6 s — the triple deficit WIDENED from 3.3× at 64× (320k docs)
+    * to 5.9×, because both schemes' collision terms grow together while
+    * the 165/45 = 3.7× explode+join volume penalty never amortizes (the
+    * bigger exploded side also spills first). Full pair-key curve:
+    * 17.7 / 27.8 / 72.2 / 171.6 s at 64/128/256/512× — 2.4× per doubling
+    * at the top end, so even at 4×/doubling beyond, pairs stay ahead of
+    * a triple scheme paying the same growth on 3.7× the base. No measured
+    * regime where triples win → no auto threshold; the rung stays
+    * implemented, pinned lossless, and conf-selectable for corpora whose
+    * signature distribution (unlike this one's) makes 12-14-bit pair
+    * buckets degenerate. */
+  val SimhashTripleKeyMinDocs = Long.MaxValue
   val SimhashCleanBandsConf = "spark.graft.simhash.cleanBands"
 
   /** One join-key struct per guaranteed-clean-band combination: with

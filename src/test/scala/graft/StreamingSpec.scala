@@ -494,6 +494,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("buffered as-of: restart recovery — buffered rows and timers survive the checkpoint") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.AsofStreamRow
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_asofbuf").toString
+    val mem = MemoryStream[AsofStreamRow]
+    def dim(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = true, "purchase")
+    def fact(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = false, "view")
+    val seen = new scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]
+    def start() = Streams.latestPurchaseAsofBuffered(
+        mem.toDS().withWatermark("ts", "30 minutes"), streaming = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      // fact 1 lands in the ListState BUFFER (wm after batch 1 = 09:50,
+      // nothing finalizes) — then the query dies
+      mem.addData(
+        dim("2024-01-01 10:00:00", 1, 100), fact("2024-01-01 10:15:00", 1, 1),
+        fact("2024-01-01 10:20:00", 9, 90))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    q1.awaitTermination()
+    assert(seen.synchronized(seen.isEmpty), s"nothing must emit pre-restart: $seen")
+    // data arriving while the query is DOWN: an out-of-order dim OLDER
+    // than the buffered fact, plus a watermark mover
+    mem.addData(
+      dim("2024-01-01 10:10:00", 1, 101), fact("2024-01-01 10:50:00", 9, 91))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the RECOVERED buffer still holds fact 1; the post-restart dim 101
+      // (ts before fact 1, arrival after AND across a restart) must win —
+      // this exercises recovery of the ListState buffer, the lastDim
+      // ValueState, and the event-time timers together
+      val got = seen.synchronized(seen.toMap)
+      assert(got.get(1L) === Some(Some(101L)),
+        s"buffered fact must see the post-restart out-of-order dim: $got")
+    } finally {
+      q2.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("buffered as-of batch twin equals the in-order batch twin (same oracle)") {
     // both registrations compute the exact event-time as-of in batch mode;
     // row-for-row equality here plus stream_asof_state's DuckDB hash pass

@@ -45,6 +45,29 @@ object Bench {
     "stream_session",    // session_window aggregation (batch mode)
     "skew_salted_join")  // salted skew-join technique
 
+  /** Per-query weak flag (round-13 verdict #6): diff each timed query
+    * against the RECORDED per-query DuckDB baseline and flag >2× rows.
+    * The fixed-floor exclusion (baseline < 0.25 s) is BASELINE.md's own
+    * reading guide: under it the ratio measures Spark's per-query constant
+    * (task scheduling, stage setup), not a plan defect — with it applied,
+    * a quiet window flags nothing, so any entry here is a real regression
+    * or a loud ambient spike worth a re-run. Baselines are sf0.1-specific;
+    * at other SFs (or with no baseline file) the list stays empty rather
+    * than flagging noise. */
+  def weakList(results: Seq[(String, Option[Double])], baselinePath: String,
+               sfDir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(baselinePath)
+    if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      val base = entry.findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      results.collect {
+        case (n, Some(t)) if base.get(n).exists(b => b >= 0.25 && t > 2 * b) => n
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // Timing runs measure the ANN operators' ANN path alone — the recall
     // audit (a brute-force exact scan joined onto the result) is a
@@ -197,28 +220,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nFailed = results.count(_._2.isEmpty)
-    // Per-query weak flag (round-13 verdict #6): diff each timed query
-    // against the RECORDED per-query DuckDB baseline and flag >2× rows.
-    // The fixed-floor exclusion (baseline < 0.25 s) is BASELINE.md's own
-    // reading guide: under it the ratio measures Spark's per-query constant
-    // (task scheduling, stage setup), not a plan defect — with it applied,
-    // a quiet window flags nothing, so any entry here is a real regression
-    // or a loud ambient spike worth a re-run. Baselines are sf0.1-specific;
-    // at other SFs the list stays empty rather than flagging noise.
-    val weak: Seq[String] = {
-      val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE_FILE",
-        "tools/duckdb_per_query_sf0.1.json")
-      val p = java.nio.file.Paths.get(baselinePath)
-      if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(p)) Seq.empty
-      else {
-        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-        val base = entry.findAllMatchIn(java.nio.file.Files.readString(p))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        results.collect {
-          case (n, Some(t)) if base.get(n).exists(b => b >= 0.25 && t > 2 * b) => n
-        }
-      }
-    }
+    val weak = weakList(results, sys.env.getOrElse("SPARK_GRAFT_BASELINE_FILE",
+      "tools/duckdb_per_query_sf0.1.json"), sfDir)
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"weak":$weakJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -553,6 +553,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("buffered as-of: randomized fully-shuffled stream equals the exact as-of") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.AsofStreamRow
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rnd = new scala.util.Random(20260815L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 5 users × 60 rows over one day, ~25% dims, ms-precision random times
+    val rows = (for (u <- 1L to 5L; i <- 1 to 60) yield {
+      val t = new Timestamp(base + rnd.nextInt(24 * 3600) * 1000L + rnd.nextInt(1000))
+      val isDim = rnd.nextInt(4) == 0
+      AsofStreamRow(t, u, u * 1000 + i, isDim, if (isDim) "purchase" else "view")
+    }).toVector
+    // independent plain-Scala reference: per user, event-time order (dims
+    // before facts at equal ts), monotone latest-(ts,id) dim cell
+    def exactAsof(rs: Seq[AsofStreamRow]): Map[Long, Option[Long]] =
+      rs.groupBy(_.user_id).values.flatMap { users =>
+        var cur: Option[(Long, Long)] = None
+        users.sortBy(r => (r.ts.getTime, if (r.is_dim) 0 else 1, r.event_id))
+          .flatMap { r =>
+            if (r.is_dim) {
+              if (cur.forall(c => c._1 < r.ts.getTime ||
+                                  (c._1 == r.ts.getTime && c._2 < r.event_id)))
+                cur = Some((r.ts.getTime, r.event_id))
+              None
+            } else Some(r.event_id -> cur.map(_._2))
+          }
+      }.toMap
+    val expected = exactAsof(rows)
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty),
+      "fixture must exercise both matched and before-first-dim facts")
+    // the 2-day watermark delay exceeds the 1-day data span, so NO arrival
+    // order can make a row late — a full shuffle is within the out-of-order
+    // tolerance by construction; a far-future mover then drains everything
+    val shuffled = rnd.shuffle(rows)
+    val mover = AsofStreamRow(new Timestamp(base + 6L * 24 * 3600 * 1000L),
+      999L, 999999L, is_dim = false, "view")
+    val mem = MemoryStream[AsofStreamRow]
+    val q = Streams.latestPurchaseAsofBuffered(
+        mem.toDS().withWatermark("ts", "2 days"), streaming = true)
+      .writeStream.format("memory").queryName("asof_rand_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shuffled.grouped(45).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(mover)
+      q.processAllAvailable()
+      val got = spark.table("asof_rand_t").where(col("user_id") =!= 999L)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got == expected,
+        s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("buffered as-of batch twin equals the in-order batch twin (same oracle)") {
     // both registrations compute the exact event-time as-of in batch mode;
     // row-for-row equality here plus stream_asof_state's DuckDB hash pass

@@ -51,19 +51,37 @@ object Bench {
     * reading guide: under it the ratio measures Spark's per-query constant
     * (task scheduling, stage setup), not a plan defect — with it applied,
     * a quiet window flags nothing, so any entry here is a real regression
-    * or a loud ambient spike worth a re-run. Baselines are sf0.1-specific;
-    * at other SFs (or with no baseline file) the list stays empty rather
-    * than flagging noise. */
+    * or a loud ambient spike worth a re-run.
+    *
+    * Returns None ("weak":null on the bench line) when NO baseline applied —
+    * file missing/unparseable, or the file's own recorded `_sf` scale factor
+    * is not an exact path segment of sfDir — so a mislocated baseline can't
+    * masquerade as a genuinely quiet window (round-14 ADVICE). The file is
+    * parsed as real JSON, numeric non-underscore fields only, so prose in
+    * `_comment` can never be ingested as a baseline entry. */
   def weakList(results: Seq[(String, Option[Double])], baselinePath: String,
-               sfDir: String): Seq[String] = {
+               sfDir: String): Option[Seq[String]] = {
+    import org.json4s._
     val p = java.nio.file.Paths.get(baselinePath)
-    if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(p)) Seq.empty
-    else {
-      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-      val base = entry.findAllMatchIn(java.nio.file.Files.readString(p))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      results.collect {
-        case (n, Some(t)) if base.get(n).exists(b => b >= 0.25 && t > 2 * b) => n
+    val fields: Option[List[JField]] =
+      if (!java.nio.file.Files.exists(p)) None
+      else scala.util.Try(org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(p))).toOption.collect { case JObject(fs) => fs }
+    fields.flatMap { fs =>
+      // exact-segment match: contains("sf0.1") also matched sf0.12/sf0.15
+      val recordedSf = fs.collectFirst { case JField("_sf", JString(s)) => s }
+      val segments = sfDir.split('/').filter(_.nonEmpty).toSet
+      if (!recordedSf.exists(segments.contains)) None
+      else {
+        val base: Map[String, Double] = fs.iterator.collect {
+          case JField(k, JDouble(d)) if !k.startsWith("_") => k -> d
+          case JField(k, JInt(i)) if !k.startsWith("_") => k -> i.toDouble
+          case JField(k, JLong(l)) if !k.startsWith("_") => k -> l.toDouble
+          case JField(k, JDecimal(d)) if !k.startsWith("_") => k -> d.toDouble
+        }.toMap
+        Some(results.collect {
+          case (n, Some(t)) if base.get(n).exists(b => b >= 0.25 && t > 2 * b) => n
+        })
       }
     }
   }
@@ -222,7 +240,9 @@ object Bench {
     val nFailed = results.count(_._2.isEmpty)
     val weak = weakList(results, sys.env.getOrElse("SPARK_GRAFT_BASELINE_FILE",
       "tools/duckdb_per_query_sf0.1.json"), sfDir)
-    val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // null ⇒ no baseline applied (absent file / sf mismatch) — NOT a quiet run
+    val weakJson = weak.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .getOrElse("null")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"weak":$weakJson,"sf":"$sfDir"}""")
     spark.stop()
   }

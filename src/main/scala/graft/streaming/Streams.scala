@@ -174,8 +174,17 @@ class BufferedAsofProcessor
     * rest and arm a timer so they drain even if this key goes quiet. */
   private def flush(wmMs: Long): Iterator[(Long, Long, String, Option[Long])] = {
     val (ready, rest) = buf.get().toVector.partition(_.ts.getTime < wmMs)
-    if (rest.isEmpty) buf.clear() else buf.put(rest.toArray)
-    if (rest.nonEmpty) {
+    if (rest.isEmpty) {
+      buf.clear()
+      // buffer fully drained: a timer armed earlier would now fire a
+      // pointless no-op flush — remove it so drained keys hold no timers
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    } else {
+      // ready.isEmpty ⇒ the ListState already holds exactly `rest`
+      // (appends land before flush, nothing was removed), so skip the
+      // rewrite: a key inside a long watermark horizon would otherwise
+      // pay an O(horizon) RocksDB write per micro-batch
+      if (ready.nonEmpty) buf.put(rest.toArray)
       // keep exactly one armed timer per key: registering a duplicate
       // expiry WARNs, and stale earlier timers fire pointless flushes
       val want = rest.iterator.map(_.ts.getTime).min + 1L

@@ -382,8 +382,11 @@ class ExplainInvariantsSpec extends SparkSpec {
     // is ascending-only).
     // column refs may be alias-qualified (g.user_id) — compare on the
     // unqualified name, which is what the dump column is called
+    // grammar kept IDENTICAL to tools/baseline.py's TRAILING_ORDER_BY
+    // (incl. the optional NULLS FIRST|LAST suffix) so an oracle the timing
+    // tool can strip is always one this spec can parse (round-14 ADVICE)
     val trailing =
-      """(?is).*\sORDER\s+BY\s+([A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?(?:\s*,\s*[A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?)*)\s*$""".r
+      """(?is).*\sORDER\s+BY\s+([A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?(?:\s*,\s*[A-Za-z0-9_.]+(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)*)\s*$""".r
     for ((name, cols) <- SparkEntry.dumpSort) {
       SparkEntry.oracleSql(name) match {
         case trailing(list) =>

@@ -94,9 +94,31 @@ object ScaleProbe {
                 if (i == 0) col("text")
                 else regexp_replace(col("text"), "(\\S+)", "$1z" + i))
             case "embeddings" =>
-              shifted.withColumn("embedding",
+              // SPARK_GRAFT_SCALE_TRANSFORM=randvec (round-15 recall audit):
+              // replace every vector with a deterministic hash-derived
+              // pseudo-random one — a corpus with NO neighborhood structure,
+              // the known-hard ANN regime that brackets the default
+              // transform's near-dup-heavy (easy-recall) regime from below.
+              if (sys.env.get("SPARK_GRAFT_SCALE_TRANSFORM").contains("randvec"))
+                shifted.withColumn("embedding",
+                  transform(col("embedding"), (v, j) =>
+                    ((pmod(xxhash64(col("vec_id") * lit(64L) + j.cast("long")),
+                           lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0))
+                      .cast("float")))
+              else shifted.withColumn("embedding",
                 transform(col("embedding"),
                   (v, j) => when(j === 0, v + lit(i.toFloat * 1e-4f)).otherwise(v)))
+            case "events"
+                if sys.env.get("SPARK_GRAFT_SCALE_TRANSFORM").contains("hotkey") =>
+              // SPARK_GRAFT_SCALE_TRANSFORM=hotkey (round-15 validation item
+              // 3): collapse every even event_id onto ONE global user —
+              // ~50% of the scaled stream lands on a single key, the
+              // worst-case skew for keyed-state operators (stream_asof_*
+              // keyed by user_id funnel that half through one task and one
+              // state partition). Evenness survives the copy-stride shift
+              // (stride is even), so the hot share stays ~50% at every k.
+              shifted.withColumn("user_id",
+                when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
             case _ => shifted
           }
           perturbed
@@ -104,6 +126,85 @@ object ScaleProbe {
         copies.reduce(_ unionByName _)
       }
     out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+
+  /** Build (or reuse) the 1× and k× corpora under `scratch`; returns
+    * (oneDir, kDir). Shared by the timing probe and [[RecallProbe]].
+    *
+    * 1× goes through the same write path so both sides read identically
+    * laid-out parquet (file counts, encoders) — the comparison then isolates
+    * data volume, not storage layout.
+    *
+    * Env: SPARK_GRAFT_SCALE_TABLES (comma list; only these get the k×
+    * treatment, rest land 1×), SPARK_GRAFT_SCALE_TRANSFORM (documents
+    * transform selector), SPARK_GRAFT_SCALE_REUSE=1 skips tables whose
+    * output dir already has a parquet _SUCCESS marker — at k≥64 the fixture
+    * rewrite dominates probe wall-clock, and back-to-back probes of
+    * different QUERIES on the same (k, tables, transform) corpus shouldn't
+    * each pay it. Cache coherence is enforced by a manifest next to the
+    * data (round-13 advisor: the dir name encodes only k, so a reuse with a
+    * DIFFERENT scaled-table set or transform would silently probe a stale
+    * corpus): the manifest records (base, scaled tables, transform) and a
+    * mismatch under reuse forces a rewrite of that dir rather than a
+    * wrong-looking ratio. */
+  def buildCorpus(spark: SparkSession, base: String, k: Int,
+                  scratch: String): (String, String) = {
+    val oneDir = s"$scratch/x1"
+    val kDir = s"$scratch/x$k"
+    val scaleOnly: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Tables.names.toSet)
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").exists(_ == "1")
+    val transform = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRANSFORM", "default")
+    val manifest =
+      s"base=$base\ntables=${scaleOnly.toSeq.sorted.mkString(",")}\ntransform=$transform\n"
+    def manifestPath(dir: String) = java.nio.file.Paths.get(s"$dir/_graft_manifest")
+    def manifestMatches(dir: String): Boolean =
+      java.nio.file.Files.exists(manifestPath(dir)) &&
+        java.nio.file.Files.readString(manifestPath(dir)) == manifest
+    def written(dir: String, n: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$n.parquet/_SUCCESS"))
+    Seq(oneDir, kDir).foreach { dir =>
+      if (reuse && written(dir, Tables.names.head) && !manifestMatches(dir))
+        System.err.println(s"[scaleprobe] $dir manifest mismatch — rewriting " +
+          s"(existing corpus was built with different tables/transform)")
+    }
+    def reusable(dir: String, n: String): Boolean =
+      reuse && manifestMatches(dir) && written(dir, n)
+    Tables.names.foreach(n =>
+      if (!reusable(oneDir, n)) scaleTable(spark, base, n, 1, oneDir))
+    Tables.names.foreach(n =>
+      if (!reusable(kDir, n))
+        scaleTable(spark, base, n, if (scaleOnly(n)) k else 1, kDir))
+    Seq(oneDir, kDir).foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(manifestPath(dir), manifest)
+    }
+    (oneDir, kDir)
+  }
+
+  /** Spill/memory tally for the constrained-heap validation
+    * (SPARK_GRAFT_SCALE_SPILL=1): sums task-level spill bytes and tracks the
+    * peak per-task execution memory across every task that runs while armed.
+    * Confirms the heavy shapes SPILL instead of OOM when the executor heap
+    * is production-sized (a 100 TB cluster gives an executor 4-16 GiB, not
+    * the sandbox's 128 GiB). */
+  private class SpillTally extends org.apache.spark.scheduler.SparkListener {
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        disk.addAndGet(m.diskBytesSpilled)
+        mem.addAndGet(m.memoryBytesSpilled)
+        peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = { disk.set(0); mem.set(0); peak.set(0) }
+    def report: String =
+      f"spill disk=${disk.get / 1e6}%.0f MB mem=${mem.get / 1e6}%.0f MB " +
+      f"peakTaskMem=${peak.get / 1e6}%.0f MB"
   }
 
   def main(args: Array[String]): Unit = {
@@ -143,57 +244,45 @@ object ScaleProbe {
       }
     }
 
-    val oneDir = s"$scratch/x1"
-    val kDir = s"$scratch/x$k"
-    val scaleOnly: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Tables.names.toSet)
-    // 1× goes through the same write path so both sides read identically
-    // laid-out parquet (file counts, encoders) — the comparison then isolates
-    // data volume, not storage layout.
-    // SPARK_GRAFT_SCALE_REUSE=1 skips tables whose output dir already has a
-    // parquet _SUCCESS marker — at k≥64 the fixture rewrite dominates probe
-    // wall-clock, and back-to-back probes of different QUERIES on the same
-    // (k, tables, transform) corpus shouldn't each pay it. Cache coherence
-    // is enforced by a manifest next to the data (round-13 advisor: the
-    // dir name encodes only k, so a reuse with a DIFFERENT scaled-table set
-    // or transform would silently probe a stale corpus): the manifest
-    // records (base, scaled tables, transform) and a mismatch under reuse
-    // forces a rewrite of that dir rather than a wrong-looking ratio.
-    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").exists(_ == "1")
-    val transform = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRANSFORM", "default")
-    val manifest =
-      s"base=$base\ntables=${scaleOnly.toSeq.sorted.mkString(",")}\ntransform=$transform\n"
-    def manifestPath(dir: String) = java.nio.file.Paths.get(s"$dir/_graft_manifest")
-    def manifestMatches(dir: String): Boolean =
-      java.nio.file.Files.exists(manifestPath(dir)) &&
-        java.nio.file.Files.readString(manifestPath(dir)) == manifest
-    def written(dir: String, n: String): Boolean =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$n.parquet/_SUCCESS"))
-    Seq(oneDir, kDir).foreach { dir =>
-      if (reuse && written(dir, Tables.names.head) && !manifestMatches(dir))
-        System.err.println(s"[scaleprobe] $dir manifest mismatch — rewriting " +
-          s"(existing corpus was built with different tables/transform)")
-    }
-    def reusable(dir: String, n: String): Boolean =
-      reuse && manifestMatches(dir) && written(dir, n)
-    Tables.names.foreach(n =>
-      if (!reusable(oneDir, n)) scaleTable(spark, base, n, 1, oneDir))
-    Tables.names.foreach(n =>
-      if (!reusable(kDir, n))
-        scaleTable(spark, base, n, if (scaleOnly(n)) k else 1, kDir))
-    Seq(oneDir, kDir).foreach { dir =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.writeString(manifestPath(dir), manifest)
-    }
+    val (oneDir, kDir) = buildCorpus(spark, base, k, scratch)
 
     def bestOf(n: Int)(body: => Unit): Double =
       (1 to n).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.min
+    // Shuffle-file reclamation BETWEEN timing phases (round 15): a probe
+    // JVM with a 48-80 GiB heap almost never GCs, so the weak-ref
+    // ContextCleaner never releases finished-pass shuffle files — at k=512
+    // the PPJoin's tens-of-GB shingle shuffles accumulated across
+    // warmup+timed invocations until the DISK filled mid-probe (two dead
+    // runs, 40 GB of orphaned blockmgr dirs). periodicGC.interval was tried
+    // first and REJECTED: a timer-driven full GC of a mega-heap lands
+    // inside timed passes and reads as a 10-15 s pause (measured: the 1×
+    // CC pass inflated 1.25 s → 16.7 s). Explicit GC between phases
+    // reclaims the dead passes' files with zero measurement pollution; the
+    // sleep lets the cleaner's async deletion drain.
+    def reclaimShuffles(): Unit = { System.gc(); Thread.sleep(2000) }
+    // Between QUERIES the session cache is also dropped: cachedOnce entries
+    // (the PPJoin pair caches) hold strong refs to their full shuffle
+    // LINEAGE via the CacheManager, so GC alone can never release those
+    // files — at 512× the two CC variants' pinned pair chains alone
+    // exceeded the disk. Never called between a query's own phases: the
+    // warmup-populates / timed-pass-reuses cache protocol (round 13) is
+    // what the probe measures.
+    def dropCachesBetweenQueries(): Unit = {
+      spark.catalog.clearCache()
+      reclaimShuffles()
+    }
     // SPARK_GRAFT_SCALE_PASSES trims the per-query sample count for probes
     // whose single run is minutes long (k=512 simhash crossover) — at that
     // duration ambient noise is a small fraction and 3 passes buy little.
     val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES").map(_.toInt).getOrElse(3)
+    val spill: Option[SpillTally] =
+      if (sys.env.get("SPARK_GRAFT_SCALE_SPILL").contains("1")) {
+        val t = new SpillTally
+        spark.sparkContext.addSparkListener(t)
+        Some(t)
+      } else None
 
     val rows = names.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
@@ -201,12 +290,33 @@ object ScaleProbe {
       spark.conf.set("spark.graft.vector.blocks", "8")
       try fn(spark, oneDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // warmup
+      reclaimShuffles()
       val t1 = bestOf(passes)(fn(spark, oneDir).write.format("noop").mode("overwrite").save())
+      // rounds-at-depth diagnostic for the iterative CC variants: report
+      // the iteration count alongside wall time (round-15 validation item —
+      // the star variant's reason to exist is its O(log n) round bound)
+      def ccRounds(): Option[Int] = name match {
+        case "llm_dedup_clusters" => Some(graft.llm.Curation.lastPropagationRounds)
+        case "llm_dedup_clusters_star" => Some(graft.llm.Curation.lastStarRounds)
+        case _ => None
+      }
+      val rounds1 = ccRounds()
       spark.conf.set("spark.graft.vector.blocks", (8 * k).toString)
+      reclaimShuffles()
       try fn(spark, kDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      reclaimShuffles()
+      spill.foreach(_.reset()) // tally the timed k× passes only
       val tk = bestOf(passes)(fn(spark, kDir).write.format("noop").mode("overwrite").save())
+      reclaimShuffles()
+      spill.foreach(t => println(s"[scaleprobe] $name ${k}x ${t.report}"))
+      for (r1 <- rounds1; rk <- ccRounds())
+        println(s"[scaleprobe] $name rounds: ${r1} at 1x -> ${rk} at ${k}x")
       val ratio = tk / t1
+      // row printed immediately: a crash later in the list (e.g. an OOM on
+      // a heavier query) must not lose the measurements already taken
+      println(f"[scaleprobe] $name%-22s t1=$t1%8.3f tk=$tk%8.3f ratio=$ratio%7.2f")
+      dropCachesBetweenQueries()
       (name, t1, tk, ratio)
     }
     println(f"%n== ScaleProbe k=$k base=$base ==")

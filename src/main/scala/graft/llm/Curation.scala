@@ -22,6 +22,13 @@ import graft.Tables
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Dev diagnostic: iteration count of the most recent CC invocation in
+    * this JVM (propagation / alternating-star), read by [[graft.ScaleProbe]]
+    * to report rounds-at-depth alongside wall time. Not part of the library
+    * surface; -1 = not yet run. */
+  @volatile var lastPropagationRounds: Int = -1
+  @volatile var lastStarRounds: Int = -1
+
   // ---- near-dup cluster resolution (connected components) -----------------
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
@@ -86,6 +93,7 @@ object Curation {
       labels = joined.select("id", "lbl")
       rounds += 1
     }
+    lastPropagationRounds = rounds
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
@@ -188,6 +196,7 @@ object Curation {
       sig = nextSig
       rounds += 1
     }
+    lastStarRounds = rounds
     // converged graph is a star per component: non-min nodes point at the min
     val labels = nodes
       .join(e.select(col("src").as("id"), col("dst")), Seq("id"), "left")

@@ -130,6 +130,17 @@ class LatestDimAsofProcessor(ttlMs: Option[Long] = None)
   * DuckDB oracle as the in-order variant. Timers exist only in EventTime
   * mode, and Spark forbids TTL outside ProcessingTime mode, so the state
   * here is TTL-less; horizon-bounded buffering is the expiry story. */
+object BufferedAsofProcessor {
+  /** Dev diagnostic (local-mode JVM-wide): full-buffer ListState rewrites
+    * performed by [[BufferedAsofProcessor.flush]]. The round-15 fix skips
+    * the rewrite on batches that flush nothing — a key inside a long
+    * watermark horizon previously paid an O(horizon) state write per
+    * micro-batch — and the StreamingSpec write-amplification case pins that
+    * by asserting this stays 0 across no-flush batches. Not part of the
+    * library surface. */
+  val stateRewrites = new java.util.concurrent.atomic.AtomicLong
+}
+
 class BufferedAsofProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AsofStreamRow, (Long, Long, String, Option[Long])] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
@@ -184,7 +195,10 @@ class BufferedAsofProcessor
       // (appends land before flush, nothing was removed), so skip the
       // rewrite: a key inside a long watermark horizon would otherwise
       // pay an O(horizon) RocksDB write per micro-batch
-      if (ready.nonEmpty) buf.put(rest.toArray)
+      if (ready.nonEmpty) {
+        BufferedAsofProcessor.stateRewrites.incrementAndGet()
+        buf.put(rest.toArray)
+      }
       // keep exactly one armed timer per key: registering a duplicate
       // expiry WARNs, and stale earlier timers fire pointless flushes
       val want = rest.iterator.map(_.ts.getTime).min + 1L

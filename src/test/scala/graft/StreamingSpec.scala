@@ -494,6 +494,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("buffered as-of: a batch that flushes nothing performs NO buffer rewrite (write amplification)") {
+    // Round-15 fix (r14 verdict finding #1): flush() used to re-put the
+    // whole ListState buffer every micro-batch even when the watermark
+    // passed nothing — O(batches × horizon) write amplification on a key
+    // inside a long horizon. Pin the fix mechanically: across several
+    // batches where the watermark never reaches key 1's buffered rows, the
+    // JVM-wide rewrite counter must not move.
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{AsofStreamRow, BufferedAsofProcessor}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[AsofStreamRow]
+    val q = Streams.latestPurchaseAsofBuffered(
+        mem.toDS().withWatermark("ts", "30 minutes"), streaming = true)
+      .writeStream.format("memory").queryName("asof_buf_noamp")
+      .outputMode(OutputMode.Append()).start()
+    def dim(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = true, "purchase")
+    def fact(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = false, "view")
+    def table() = spark.table("asof_buf_noamp").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val base = BufferedAsofProcessor.stateRewrites.get()
+    try {
+      // key 1 buffers a dim + facts; mover key 9 keeps the watermark ~30
+      // minutes behind them, so NOTHING finalizes for several batches
+      mem.addData(
+        dim("2024-01-01 10:00:00", 1, 100), fact("2024-01-01 10:05:00", 1, 1),
+        fact("2024-01-01 10:15:00", 9, 90))
+      q.processAllAvailable()
+      mem.addData(fact("2024-01-01 10:10:00", 1, 2),
+                  fact("2024-01-01 10:16:00", 9, 91))
+      q.processAllAvailable()
+      mem.addData(fact("2024-01-01 10:17:00", 9, 92))
+      q.processAllAvailable()
+      mem.addData(fact("2024-01-01 10:18:00", 9, 93))
+      q.processAllAvailable()
+      assert(!table().contains(1L) && !table().contains(2L),
+        s"key 1 must still be fully buffered: ${table()}")
+      assert(BufferedAsofProcessor.stateRewrites.get() === base,
+        "no-flush batches must not rewrite the ListState buffer")
+      // now drain: the mover pushes the watermark past everything — key 1's
+      // rows finalize in event-time order (partial flushes past this point
+      // MAY legitimately rewrite the remaining buffer)
+      mem.addData(fact("2024-01-01 12:00:00", 9, 94))
+      q.processAllAvailable()
+      mem.addData(fact("2024-01-01 13:00:00", 9, 95))
+      q.processAllAvailable()
+      val got = table()
+      assert(got.get(1L) === Some(Some(100L)), s"fact 1 sees dim 100: $got")
+      assert(got.get(2L) === Some(Some(100L)), s"fact 2 sees dim 100: $got")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("buffered as-of: restart recovery — buffered rows and timers survive the checkpoint") {
     implicit val sq = spark.sqlContext
     import graft.streaming.AsofStreamRow

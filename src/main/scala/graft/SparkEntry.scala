@@ -121,8 +121,14 @@ object SparkEntry {
     "project_select" -> Relational.projectSelectDumpSort,
     "scan_parquet" -> Relational.scanParquetDumpSort,
     "join_inner_hash" -> Relational.joinInnerHashDumpSort,
-    "join_broadcast" -> Relational.joinBroadcastDumpSort,
-    "window_ranking" -> Windows.windowRankingDumpSort,
-    "window_gap_fill" -> Windows.windowGapFillDumpSort,
-    "window_range_frame" -> Windows.windowRangeFrameDumpSort)
+    "join_broadcast" -> Relational.joinBroadcastDumpSort) ++
+    Windows.dumpSort ++
+    Scalar.dumpSort ++
+    Streams.dumpSort ++
+    SetOps.dumpSort ++
+    Behavioral.dumpSort ++
+    Classics.dumpSort ++
+    Sources.dumpSort ++
+    Multimodal.dumpSort ++
+    Curation.dumpSort
 }

@@ -98,7 +98,6 @@ object Classics {
       .where(col("v2raw") > 100)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
               col("l_suppkey"), graft.Dsl.round6(col("v2raw")).as("v2"))
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
   val mrChainSql: String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -236,5 +235,17 @@ object Classics {
     "mr_grep" -> mrGrepSql,
     "mr_chain" -> mrChainSql,
     "mr_streaming_udf" -> mrStreamingUdfSql,
+  )
+
+  /** Registered SORT-FREE (round 15). mr_chain: the job-chain's value is
+    * the filter→derive pipeline, not an output order; the lineitem PK
+    * quadruple is the compare order. mr_join: this row DELEGATES to the
+    * (round-14 sort-free) joinInnerHash, so it needs its own dump entry —
+    * without one its compare passed only because AQE's broadcast plan
+    * happens to preserve the orders-scan order (latent fragility, fixed
+    * here). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "mr_chain" -> Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    "mr_join" -> Seq("o_orderkey"),
   )
 }

@@ -99,7 +99,6 @@ object Curation {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
               col("cluster_size"),
               when(col("id") === col("lbl"), 1).otherwise(0).as("is_survivor"))
-      .orderBy("doc_id")
   }
 
   // -- alternating-star CC: the O(log n)-round scale path -------------------
@@ -208,7 +207,6 @@ object Curation {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
               col("cluster_size"),
               when(col("id") === col("lbl"), 1).otherwise(0).as("is_survivor"))
-      .orderBy("doc_id")
   }
 
   /** Oracle: transitive closure via recursive CTE over the same exact-Jaccard
@@ -797,5 +795,14 @@ object Curation {
     "llm_seq_pack" -> seqPackSql,
     "llm_mix_rebalance" -> mixRebalanceSql,
     "llm_inverted_index" -> invertedIndexSql,
+  )
+
+  /** Registered SORT-FREE (round 15): cluster labels have no semantic
+    * order — downstream dedup consumes them as a keyed lookup (see
+    * curationE2e) — and the trailing sort ran in every pass of the suite's
+    * slowest query. doc_id is unique (one label row per doc). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "llm_dedup_clusters" -> Seq("doc_id"),
+    "llm_dedup_clusters_star" -> Seq("doc_id"),
   )
 }

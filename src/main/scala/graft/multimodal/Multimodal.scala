@@ -186,9 +186,10 @@ object Multimodal {
       resizePayloads(mediaTable(s, d)).toDF()
         .orderBy("doc_id")
     }),
+    // sort-free (round 15): (doc_id, win_idx) is the window PK; the global
+    // sort was comparator-only — Verify applies it (see dumpSort below)
     "mm_audio_window" -> ((s, d) => {
       audioWindows(mediaTable(s, d)).toDF()
-        .orderBy("doc_id", "win_idx")
     }),
     "mm_decode_stub" -> ((s, d) => {
       decodeFeatures(mediaTable(s, d)).toDF()
@@ -244,5 +245,12 @@ object Multimodal {
          |  cast(least($FrameBytes, n - fi * $FrameBytes) as int) AS frame_bytes,
          |  md5(substr(text, cast(fi * $FrameBytes + 1 as int), $FrameBytes)) AS frame_checksum
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+
+  /** Registered SORT-FREE (round 15): per-window rows out of a
+    * mapPartitions kernel have no semantic global order; the trailing sort
+    * was comparator-only. (doc_id, win_idx) is the window PK. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "mm_audio_window" -> Seq("doc_id", "win_idx"),
   )
 }

@@ -344,7 +344,6 @@ object Behavioral {
         when(col("n_views") > 0,
           round(col("purchase_cents").cast("double") / 100.0 / col("n_views"), 6))
           .as("per_view6"))
-      .orderBy("user_id", "session_idx")
   }
 
   val eventsAttributionSql: String =
@@ -392,4 +391,11 @@ object Behavioral {
     "events_markov" -> eventsMarkovSql,
     "events_ab_test" -> eventsAbTestSql,
     "events_attribution" -> eventsAttributionSql)
+
+  /** Registered SORT-FREE (round 15): per-session attribution rows are a
+    * keyed result, not a report; (user_id, session_idx) is the session PK.
+    * Verify applies this; equals the oracle's trailing ORDER BY. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "events_attribution" -> Seq("user_id", "session_idx"),
+  )
 }

@@ -88,7 +88,6 @@ object SetOps {
   val setExceptAll: Q = (s, d) =>
     Tables.orders(s, d).select("o_custkey")
       .exceptAll(urgent(s, d).select("o_custkey"))
-      .orderBy("o_custkey")
 
   val setExceptAllSql: String =
     """SELECT o_custkey FROM orders
@@ -125,5 +124,12 @@ object SetOps {
     "set_intersect_all" -> setIntersectAllSql,
     "set_except_all" -> setExceptAllSql,
     "distinct_rows" -> distinctRowsSql,
+  )
+
+  /** Registered SORT-FREE (round 15): bag difference has no semantic order;
+    * ties on o_custkey are IDENTICAL single-column rows, so any tie order
+    * compares equal. Verify applies this; equals the oracle's ORDER BY. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "set_except_all" -> Seq("o_custkey"),
   )
 }

@@ -79,7 +79,6 @@ object Windows {
               lag(col("value"), 1).over(w).as("prev_value"),
               lead(col("event_type"), 1).over(w).as("next_type"),
               round6(col("value") - lag(col("value"), 1).over(w)).as("delta"))
-      .orderBy("user_id", "event_id")
   }
 
   val windowLagLeadSql: String =
@@ -100,7 +99,6 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"),
               (sum(cents(col("o_totalprice"))).over(w) / 100.0).as("running_spend"),
               count(lit(1)).over(w).as("running_orders"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   val windowRunningRowsSql: String =
@@ -155,7 +153,6 @@ object Windows {
       .select(col("user_id"), col("event_id"),
               first(col("event_type")).over(w).as("first_type"),
               last(col("event_type")).over(w).as("last_type"))
-      .orderBy("user_id", "event_id")
   }
 
   val windowFirstLastSql: String =
@@ -225,7 +222,6 @@ object Windows {
       .agg(count(lit(1)).as("n_events"),
            min(col("ts")).as("s_start"),
            max(col("ts")).as("s_end"))
-      .orderBy("user_id", "session_idx")
   }
 
   val windowSessionGapSql: String =
@@ -485,5 +481,22 @@ object Windows {
     "sort_topk" -> sortTopkSql,
     "sort_secondary" -> sortSecondarySql,
     "limit_offset" -> limitOffsetSql,
+  )
+
+  /** Registered SORT-FREE (round 15, extending the round-12/14 set): a
+    * partitioned window's semantics is the PER-PARTITION order its frame
+    * declares — the trailing global ORDER BY was comparator-only, a second
+    * full range exchange over O(input) output. Keys are total orders (the
+    * source PK, or group key + the dense session index). Verify applies
+    * these; each equals its oracle's trailing ORDER BY. The sort_* family
+    * keeps its sorts: there the total order IS the semantics. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "window_ranking" -> windowRankingDumpSort,
+    "window_gap_fill" -> windowGapFillDumpSort,
+    "window_range_frame" -> windowRangeFrameDumpSort,
+    "window_lag_lead" -> Seq("user_id", "event_id"),
+    "window_running_rows" -> Seq("o_custkey", "o_orderkey"),
+    "window_first_last" -> Seq("user_id", "event_id"),
+    "window_session_gap" -> Seq("user_id", "session_idx"),
   )
 }

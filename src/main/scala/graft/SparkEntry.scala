@@ -130,5 +130,6 @@ object SparkEntry {
     Classics.dumpSort ++
     Sources.dumpSort ++
     Multimodal.dumpSort ++
-    Curation.dumpSort
+    Curation.dumpSort ++
+    TextAnalysis.dumpSort
 }

@@ -150,7 +150,6 @@ object Scalar {
         concat_ws("|", slice(sort_array(col("toks")), 1, 5)).as("first5_sorted"),
         concat_ws("|", transform(col("toks"), t => upper(t))).as("upper_toks"),
         concat_ws("|", filter(col("toks"), t => length(t) > 5)).as("long_toks"))
-      .orderBy("doc_id")
 
   val fnArraySql: String =
     """SELECT doc_id,
@@ -405,5 +404,6 @@ object Scalar {
     "fn_map" -> Seq("event_id"),
     "fn_bitwise" -> Seq("o_orderkey"),
     "fn_variant" -> Seq("event_id"),
+    "fn_array" -> Seq("doc_id"),
   )
 }

@@ -118,7 +118,6 @@ object TextAnalysis {
                    min(col("n_chars")).as("min_chars"),
                    max(col("n_chars")).as("max_chars")),
             Seq("lang"))
-      .orderBy("lang")
 
   val textStatsSql: String =
     s"""WITH $toksSqlCte,
@@ -210,7 +209,6 @@ object TextAnalysis {
         round6(col("sum_len").cast("double") / col("n_toks")).as("mean_tok_len"),
         round6(col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
         round6(col("n_chars").cast("double") / col("n_toks")).as("chars_per_tok"))
-      .orderBy("doc_id")
   }
 
   val qualityScoreSql: String =
@@ -368,7 +366,6 @@ object TextAnalysis {
           (acc, x) => acc + (x.getField("cnt").cast("double") / col("n")) *
             log(x.getField("cnt").cast("double") / col("n"))), 6).as("entropy6"))
       .withColumn("low_entropy", when(col("entropy6") < 2.8, 1).otherwise(0))
-      .orderBy("doc_id")
   }
 
   val entropyFilterSql: String =
@@ -537,7 +534,6 @@ object TextAnalysis {
         size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("ws_toks"),
         size(regexp_extract_all(lower(col("text")), lit("([a-z]{1,4})"), lit(1))).as("bpeish_toks"),
         length(col("text")).as("n_chars2"))
-      .orderBy("doc_id")
 
   val tokenCountSql: String =
     """SELECT doc_id,
@@ -558,7 +554,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         aggregate(toksArr, lit(0L),
           (acc, t) => pmod(acc * 31L + code(t), lit(2147483647L))).as("rhash"))
-      .orderBy("doc_id")
   }
 
   val rollingHashSql: String =
@@ -857,7 +852,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("dsir_micro"))
       .withColumn("avg_logratio", round6(col("dsir_micro").cast("double") / col("n_toks")))
       .select("doc_id", "n_toks", "dsir_micro", "avg_logratio")
-      .orderBy("doc_id")
   }
 
   val dsirWeightsSql: String =
@@ -911,7 +905,6 @@ object TextAnalysis {
         round6(col("nll_micro_sum").cast("double") / col("toks")))
       .select("lang", "bucket", "docs", "toks", "nll_micro_sum",
               "weighted_mean_nll")
-      .orderBy("lang", "bucket")
   }
 
   val perplexityBucketSql: String =
@@ -1137,7 +1130,6 @@ object TextAnalysis {
         round6(coalesce(col("n_masked"), lit(0L)).cast("double") / col("n_toks"))
           .as("corruption_rate"),
         coalesce(col("masked_md5"), lit("")).as("masked_md5"))
-      .orderBy("doc_id")
   }
 
   val spanCorruptionSql: String =
@@ -1622,5 +1614,21 @@ object TextAnalysis {
     "llm_ngrams" -> ngramsSql,
     "llm_sentiment_lexicon" -> sentimentSql,
     "llm_multimodal_struct" -> multimodalStructSql,
+  )
+
+  /** Registered SORT-FREE (round 15, second tranche): per-document scores
+    * and per-group rollups are keyed lookups downstream — the trailing
+    * ORDER BY was comparator-only. Keys are unique (one row per doc /
+    * lang / (lang, bucket)). Verify applies these; each equals its
+    * oracle's trailing ORDER BY (ExplainInvariantsSpec pins it). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "llm_dsir_weights" -> Seq("doc_id"),
+    "llm_perplexity_bucket" -> Seq("lang", "bucket"),
+    "llm_token_count" -> Seq("doc_id"),
+    "llm_rolling_hash" -> Seq("doc_id"),
+    "llm_text_stats" -> Seq("lang"),
+    "llm_quality_score" -> Seq("doc_id"),
+    "llm_entropy_filter" -> Seq("doc_id"),
+    "llm_span_corruption" -> Seq("doc_id"),
   )
 }

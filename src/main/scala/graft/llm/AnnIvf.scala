@@ -27,6 +27,13 @@ object AnnIvf {
   val CentroidStride = 32
   val NumProbe = 2
 
+  /** `spark.graft.ivf.numProbe` overrides the probed-cell count — the IVF
+    * recall knob for a structureless corpus (recall vs nprobe measured at
+    * 64× in BASELINE.md); candidate volume grows linearly with it. */
+  def numProbeFor(s: SparkSession): Int =
+    math.max(1, s.conf.getOption("spark.graft.ivf.numProbe").map(_.toInt)
+      .getOrElse(NumProbe))
+
   import graft.plans.VectorFunctions.dot
 
   /** (vec_id, embedding, nrm) with precomputed L2 norm. */
@@ -121,7 +128,7 @@ object AnnIvf {
     val probed = nearestCells(
       probes.select(col("q_id").as("vec_id"), col("qv").as("embedding"),
                     col("qn").as("nrm")),
-      centroidsAt(s, d, stride), NumProbe)
+      centroidsAt(s, d, stride), numProbeFor(s))
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
               col("nrm").as("qn"), col("cent_id").as("cell"))
     val cands = cells.select(col("vec_id").as("c_id"), col("embedding").as("cv"),

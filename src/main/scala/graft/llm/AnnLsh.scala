@@ -9,20 +9,38 @@ import graft.Tables
   *
   * Signature: `NumPlanes` pseudo-random ±1 hyperplanes (components derived
   * from a fixed LCG — deterministic, seedless at runtime); each vector hashes
-  * to a bucket = the sign-bit string of its projections. Query probes only
-  * its own bucket (plus Hamming-1 neighbors via the multiProbe flag) and
-  * ranks candidates by exact cosine.
+  * to a bucket = the sign-bit string of its projections. Query probes its own
+  * bucket plus [[multiProbeFor]] Hamming-1 neighbors chosen QUERY-DIRECTED —
+  * the flipped planes are those with the smallest |projection| (the bits the
+  * query was least confident about, the buckets most likely to hide a true
+  * neighbor: the classic multi-probe LSH refinement) — and ranks candidates
+  * by exact cosine. Each candidate lives in exactly one bucket and the
+  * probed bucket ids are pairwise distinct, so the probe join needs no
+  * post-dedup.
   *
   * 100 TB shape: bucketing replaces the all-pairs cross join with an
   * equi-join on bucket id — candidate volume drops from |Q|·|C| to
-  * |Q|·E[bucket size], and both sides shuffle-partition on the bucket key.
-  * Recall is tuned by NumPlanes (fewer planes → bigger buckets → higher
-  * recall, more compute) and multi-probing. Recall vs the exact baseline is
+  * (1+m)·|Q|·E[bucket size], and both sides shuffle-partition on the bucket
+  * key. Recall is tuned by NumPlanes (fewer planes → bigger buckets → higher
+  * recall, more compute) and `spark.graft.lsh.multiProbe` (more probes →
+  * higher recall at linearly more candidate compute — the knob for a
+  * structureless corpus where √n own-bucket probing alone decays; recall
+  * vs m measured at 64× in BASELINE.md). Recall vs the exact baseline is
   * pinned by a unit test.
   */
 object AnnLsh {
   val NumPlanes = 6
   val Dim = 64
+
+  /** Default extra Hamming-1 probes per query (own bucket + 2). */
+  val MultiProbe = 2
+
+  /** `spark.graft.lsh.multiProbe` overrides; clamped to the plane count
+    * (can't flip more bits than the signature has). */
+  def multiProbeFor(s: SparkSession, planes: Int): Int =
+    math.min(planes, math.max(0,
+      s.conf.getOption("spark.graft.lsh.multiProbe").map(_.toInt)
+        .getOrElse(MultiProbe)))
 
   /** Adaptive plane count: buckets ≈ √n (planes = ⌈log₂√n⌉), the same
     * balance as [[AnnIvf]]'s √n codebook — bucket size and bucket count
@@ -62,16 +80,39 @@ object AnnLsh {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), bucketCol(planesFor(s, d)))
 
-  /** Bucketed approximate top-k: exact cosine rank inside the shared bucket. */
+  /** Bucketed approximate top-k: exact cosine rank inside the probed
+    * buckets (own + m query-directed Hamming-1 flips). The query side
+    * recomputes its projections rather than reusing the cached signature —
+    * multi-probe needs the per-plane MARGINS, not just the sign bits, and
+    * the label=0 query set is the small side (~10% of the corpus), so the
+    * extra planes·Dim multiply-adds never touch the big side. */
   def annTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     graft.plans.VectorFunctions.register(s)
     import graft.plans.VectorFunctions.dot
-    val sig = signatures(s, d).transform(graft.Caching.cachedOnce) // feeds both join sides
+    val planes = planesFor(s, d)
+    val m = multiProbeFor(s, planes)
+    val sig = signatures(s, d).transform(graft.Caching.cachedOnce) // candidate side
+    // (|proj|, 1<<plane) per plane; array_sort orders by margin asc (bit asc
+    // on ties) — the flip order of query-directed multi-probe.
+    val flips = array((0 until planes).map { p =>
+      struct(abs(element_at(col("projs"), p + 1)).as("margin"),
+             lit(1L << p).as("bit"))
+    }: _*)
+    val bucketFromProjs = (0 until planes).map { p =>
+      when(element_at(col("projs"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val probes =
+      if (m == 0) array(col("bucket"))
+      else concat(array(col("bucket")),
+        transform(slice(array_sort(flips), 1, m),
+          x => col("bucket").bitwiseXOR(x.getField("bit"))))
     val queries = Tables.embeddings(s, d).where(col("label") === 0)
-      .select(col("vec_id").as("q_id"))
-      .join(sig.withColumnRenamed("vec_id", "q_id"), "q_id")
-      .select(col("q_id"), col("embedding").as("qv"), col("bucket"),
-              sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      .select(col("vec_id").as("q_id"), col("embedding"),
+              array((0 until planes).map(projection): _*).as("projs"))
+      .withColumn("bucket", bucketFromProjs)
+      .select(col("q_id"), col("embedding").as("qv"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
+              explode(probes).as("bucket"))
     val cands = sig
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket"),
               sqrt(dot(col("embedding"), col("embedding"))).as("cn"))

@@ -155,6 +155,29 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("query-directed multi-probe raises LSH recall monotonically in m") {
+    val exact = Similarity.simsearchTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(m: Int): Double = {
+      spark.conf.set("spark.graft.lsh.multiProbe", m.toString)
+      try {
+        val ann = AnnLsh.annTopk(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        ann.intersect(exact).size.toDouble / exact.size
+      } finally spark.conf.unset("spark.graft.lsh.multiProbe")
+    }
+    val r0 = recallAt(0); val r2 = recallAt(2); val r4 = recallAt(4)
+    // probes for m are a prefix of probes for m' > m (margin-sorted flip
+    // order), so the candidate set only grows: a true neighbor in the
+    // approximate top-k can only be displaced by a candidate scoring above
+    // it, which (being scored by EXACT cosine) is at least as true —
+    // recall is monotone non-decreasing in m, and on this near-random
+    // fixture the extra buckets must find strictly more of the exact top-5
+    assert(r2 >= r0, s"recall m=2 ($r2) < m=0 ($r0)")
+    assert(r4 >= r2, s"recall m=4 ($r4) < m=2 ($r2)")
+    assert(r4 > r0, s"4 extra probes found nothing new (r0=$r0 r4=$r4)")
+  }
+
   test("LSH bucket join examines far fewer pairs than brute force") {
     val sig = AnnLsh.signatures(spark, sfDir)
     val total = sig.count()

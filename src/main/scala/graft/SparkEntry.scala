@@ -131,5 +131,10 @@ object SparkEntry {
     Sources.dumpSort ++
     Multimodal.dumpSort ++
     Curation.dumpSort ++
-    TextAnalysis.dumpSort
+    TextAnalysis.dumpSort ++
+    Aggregates.dumpSort ++
+    Relational.dumpSort ++
+    ScaleTechniques.dumpSort ++
+    TemporalJoins.dumpSort ++
+    DataQuality.dumpSort
 }

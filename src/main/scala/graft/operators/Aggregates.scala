@@ -39,7 +39,6 @@ object Aggregates {
         round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
         round(moneySum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   val aggHashGroupSql: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -61,7 +60,6 @@ object Aggregates {
       .groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("uniq_custs"),
            count(lit(1)).as("orders"))
-      .orderBy("o_orderpriority")
 
   val aggCountDistinctSql: String =
     """SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_custs, count(*) AS orders
@@ -108,7 +106,6 @@ object Aggregates {
       .groupBy("l_returnflag")
       .agg(size(sort_array(collect_list(col("l_orderkey")))).as("n_keys"),
            count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
 
   /** Hierarchical subtotals over region → nation with grouping flags.
     * Declared in SQL shared verbatim with the oracle (grouping() column
@@ -154,7 +151,6 @@ object Aggregates {
               coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
               coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
               col("n"), col("sum_price"))
-      .orderBy("g_s", "g_p", "seg", "prio")
 
   /** Explicit GROUPING SETS, one query text for both engines. */
   val aggGroupingSetsSql: String =
@@ -177,7 +173,6 @@ object Aggregates {
       .agg(concat_ws("|", transform(sort_array(collect_list(col("o_orderkey"))),
              k => k.cast("string"))).as("orderkeys"),
            count(lit(1)).as("n"))
-      .orderBy("c_custkey")
 
   val aggCollectSql: String =
     """SELECT c_custkey,
@@ -197,7 +192,6 @@ object Aggregates {
       .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
            expr("percentile(l_quantity, 0.5)").as("p50"),
            expr("percentile(l_quantity, 0.75)").as("p75"))
-      .orderBy("l_returnflag")
 
   val aggPercentileSql: String =
     """SELECT l_returnflag,
@@ -239,7 +233,6 @@ object Aggregates {
          (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
           sqrt(col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))), 6)
           .as("corr_qty_price"))
-      .orderBy("l_returnflag")
   }
 
   val aggStddevCorrSql: String =
@@ -273,7 +266,6 @@ object Aggregates {
         col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
         col("3-MEDIUM").as("medium"), col("4-NOT SPECIFIED").as("unspec"),
         col("5-LOW").as("low"))
-      .orderBy("c_mktsegment")
   }
 
   val aggPivotSql: String =
@@ -326,7 +318,6 @@ object Aggregates {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 50)
       .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
-      .orderBy("o_orderpriority", "rk")
   }
 
   val sampleStratifiedSql: String =
@@ -379,7 +370,6 @@ object Aggregates {
       .unpivot(Array(col("l_returnflag")),
                Array(col("sum_qty"), col("n_rows"), col("n_parts")),
                "metric", "val")
-      .orderBy("l_returnflag", "metric")
 
   val aggUnpivotSql: String =
     """WITH wide AS (
@@ -405,8 +395,7 @@ object Aggregates {
     s.sql("""SELECT r_name,
             |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members
             |FROM nation JOIN region ON n_regionkey = r_regionkey
-            |GROUP BY r_name
-            |ORDER BY r_name""".stripMargin)
+            |GROUP BY r_name""".stripMargin)
   }
 
   val aggListaggSql: String =
@@ -429,7 +418,6 @@ object Aggregates {
       .where(col("rk") === 1)
       .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
               col("cnt"))
-      .orderBy("o_orderstatus")
   }
 
   val aggModeSql: String =
@@ -466,6 +454,29 @@ object Aggregates {
     "agg_percentile" -> aggPercentile,
     "agg_histogram" -> aggHistogram,
     "agg_stddev_corr" -> aggStddevCorr,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): grouped/sampled outputs
+    * are keyed lookups downstream — the trailing ORDER BY was
+    * comparator-only (even a tiny sorted output pays an extra AQE stage +
+    * range exchange per suite pass). Keys are the group-by keys (unique by
+    * construction). Verify applies these; each equals its oracle's trailing
+    * ORDER BY (ExplainInvariantsSpec pins the coupling). agg_rollup /
+    * agg_grouping_sets stay sorted: their query text is sharedSql with the
+    * oracle, so the comparator sort cannot be stripped one-sided. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "agg_hash_group" -> Seq("l_returnflag", "l_linestatus"),
+    "agg_count_distinct" -> Seq("o_orderpriority"),
+    "agg_sort_fallback" -> Seq("l_returnflag"),
+    "agg_cube" -> Seq("g_s", "g_p", "seg", "prio"),
+    "agg_collect" -> Seq("c_custkey"),
+    "agg_percentile" -> Seq("l_returnflag"),
+    "agg_stddev_corr" -> Seq("l_returnflag"),
+    "agg_pivot" -> Seq("c_mktsegment"),
+    "sample_stratified" -> Seq("o_orderpriority", "rk"),
+    "agg_unpivot" -> Seq("l_returnflag", "metric"),
+    "agg_mode" -> Seq("o_orderstatus"),
+    "agg_listagg" -> Seq("r_name"),
   )
 
   // agg_sort_fallback's VALUES are oracle-checkable even though the sort-agg

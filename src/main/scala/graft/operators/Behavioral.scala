@@ -51,7 +51,6 @@ object Behavioral {
     s1.agg(lit(1).as("step"), count(lit(1)).as("n_users"))
       .unionAll(s2.agg(lit(2).as("step"), count(lit(1)).as("n_users")))
       .unionAll(s3.agg(lit(3).as("step"), count(lit(1)).as("n_users")))
-      .orderBy("step")
   }
 
   val eventsFunnelSql: String =
@@ -105,7 +104,6 @@ object Behavioral {
         (datediff(col("active_week"), col("cohort_week")) / 7).cast("long").as("week_offset"),
         col("n_active"), col("cohort_size"),
         round6(col("n_active").cast("double") / col("cohort_size")).as("retention"))
-      .orderBy("cohort_week", "week_offset")
   }
 
   val eventsRetentionSql: String =
@@ -188,7 +186,6 @@ object Behavioral {
               sqrt((col("scc") - col("sc") * col("sc") / col("n")) / (col("n") - 1)), 6)
           .as("z6"))
       .withColumn("is_anomaly", when(abs(col("z6")) >= 2.0, 1).otherwise(0))
-      .orderBy("event_type", "hour")
   }
 
   val eventsAnomalySql: String =
@@ -229,7 +226,6 @@ object Behavioral {
     trans
       .withColumn("p6",
         round(col("cnt").cast("double") / sum(col("cnt")).over(bySrc), 6))
-      .orderBy("src", "dst")
   }
 
   val eventsMarkovSql: String =
@@ -397,5 +393,10 @@ object Behavioral {
     * Verify applies this; equals the oracle's trailing ORDER BY. */
   val dumpSort: Map[String, Seq[String]] = Map(
     "events_attribution" -> Seq("user_id", "session_idx"),
+    // tranche 3 (round 15): comparator-only trailing sorts over unique keys
+    "events_funnel" -> Seq("step"),
+    "events_retention" -> Seq("cohort_week", "week_offset"),
+    "events_anomaly" -> Seq("event_type", "hour"),
+    "events_markov" -> Seq("src", "dst"),
   )
 }

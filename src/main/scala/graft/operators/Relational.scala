@@ -180,7 +180,6 @@ object Relational {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"), moneySum(col("l_extendedprice")).as("sum_price"))
-      .orderBy("o_orderpriority")
 
   val joinSortMergeSql: String =
     s"""SELECT o_orderpriority, count(*) AS line_cnt, ${moneySumSql("l_extendedprice")} AS sum_price
@@ -194,7 +193,6 @@ object Relational {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("order_cnt"))
-      .orderBy("c_custkey")
 
   val joinLeftOuterSql: String =
     """SELECT c_custkey, count(o_orderkey) AS order_cnt
@@ -212,7 +210,6 @@ object Relational {
       .select(coalesce(col("c_custkey"), lit(-1)).as("ck"),
               coalesce(col("o_orderkey"), lit(-1)).as("ok"),
               col("c_acctbal"), col("o_totalprice"))
-      .orderBy("ck", "ok")
   }
 
   val joinFullOuterSql: String =
@@ -235,7 +232,6 @@ object Relational {
       .select(coalesce(col("c_custkey"), lit(-1)).as("ck"),
               col("o_orderkey").as("ok"),
               col("c_acctbal"), col("o_totalprice"))
-      .orderBy("ck", "ok")
   }
 
   val joinRightOuterSql: String =
@@ -252,7 +248,6 @@ object Relational {
       .join(Tables.orders(s, d).where(col("o_totalprice") > 250000),
             col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
 
   val joinLeftSemiSql: String =
     """SELECT c_custkey, c_name FROM customer
@@ -265,7 +260,6 @@ object Relational {
       .join(Tables.orders(s, d).where(col("o_totalprice") > 250000),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
 
   val joinLeftAntiSql: String =
     """SELECT c_custkey, c_name FROM customer
@@ -296,7 +290,6 @@ object Relational {
       .join(broadcast(bands),
             col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .select("p_partkey", "band", "p_retailprice")
-      .orderBy("p_partkey", "band")
   }
 
   val joinThetaRangeSql: String =
@@ -373,7 +366,6 @@ object Relational {
     cust.join(dim, cust("k") <=> dim("k"))
       .groupBy(dim("k").as("k"), col("n_name"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n_name"))
   }
 
   val joinNullSafeSql: String =
@@ -425,5 +417,24 @@ object Relational {
     "join_left_anti" -> joinLeftAntiSql,
     "join_cross" -> joinCrossSql,
     "join_theta_range" -> joinThetaRangeSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): join results are keyed
+    * lookups downstream — the trailing ORDER BY was comparator-only (each
+    * paid an extra AQE stage + range exchange per suite pass). Keys are
+    * unique in every output (c_custkey per-customer; (ck, ok) for the
+    * outer joins since ok = o_orderkey is unique and ck-only rows carry
+    * ok = -1 once each; (p_partkey, band) since bands are disjoint).
+    * Verify applies these; each equals its oracle's trailing ORDER BY
+    * (ExplainInvariantsSpec pins the coupling). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "join_sort_merge" -> Seq("o_orderpriority"),
+    "join_left_outer" -> Seq("c_custkey"),
+    "join_full_outer" -> Seq("ck", "ok"),
+    "join_right_outer" -> Seq("ck", "ok"),
+    "join_left_semi" -> Seq("c_custkey"),
+    "join_left_anti" -> Seq("c_custkey"),
+    "join_theta_range" -> Seq("p_partkey", "band"),
+    "join_null_safe" -> Seq("n_name"),
   )
 }

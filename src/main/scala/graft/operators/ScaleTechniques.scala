@@ -91,7 +91,6 @@ object ScaleTechniques {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"),
            (sum(col("dp_micro")) / 10000.0).as("revenue"))
-      .orderBy("o_orderpriority")
   }
 
   val skewSaltedJoinSql: String =
@@ -122,7 +121,6 @@ object ScaleTechniques {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
            moneySum(col("o_totalprice")).as("total"))
-      .orderBy("c_mktsegment")
   }
 
   val joinBucketedColocatedSql: String =
@@ -165,8 +163,7 @@ object ScaleTechniques {
          |WHERE might_contain(
          |  (SELECT bloom_filter_agg(c_custkey, 2000L, 19170L) FROM dim),
          |  o_custkey)
-         |GROUP BY c_nationkey
-         |ORDER BY c_nationkey""".stripMargin)
+         |GROUP BY c_nationkey""".stripMargin)
   }
 
   val joinBloomPrefilterSql: String =
@@ -187,5 +184,14 @@ object ScaleTechniques {
     "skew_salted_join" -> skewSaltedJoinSql,
     "join_bucketed_colocated" -> joinBucketedColocatedSql,
     "join_bloom_prefilter" -> joinBloomPrefilterSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): grouped outputs with
+    * unique group keys — the trailing ORDER BY was comparator-only.
+    * Verify applies these; each equals its oracle's trailing ORDER BY. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "skew_salted_join" -> Seq("o_orderpriority"),
+    "join_bucketed_colocated" -> Seq("c_mktsegment"),
+    "join_bloom_prefilter" -> Seq("c_nationkey"),
   )
 }

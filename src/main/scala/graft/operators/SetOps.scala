@@ -24,7 +24,6 @@ object SetOps {
   val setUnionAll: Q = (s, d) =>
     urgent(s, d).select(col("o_orderkey"), lit("urgent").as("src"))
       .unionByName(high(s, d).select(col("o_orderkey"), lit("high").as("src")))
-      .orderBy("o_orderkey", "src")
 
   val setUnionAllSql: String =
     """SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -37,7 +36,6 @@ object SetOps {
     urgent(s, d).select("o_custkey")
       .union(high(s, d).select("o_custkey"))
       .distinct()
-      .orderBy("o_custkey")
 
   val setUnionDistinctSql: String =
     """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -49,7 +47,6 @@ object SetOps {
   val setIntersect: Q = (s, d) =>
     urgent(s, d).select("o_custkey")
       .intersect(high(s, d).select("o_custkey"))
-      .orderBy("o_custkey")
 
   val setIntersectSql: String =
     """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -61,7 +58,6 @@ object SetOps {
   val setExcept: Q = (s, d) =>
     Tables.orders(s, d).select("o_custkey")
       .except(urgent(s, d).select("o_custkey"))
-      .orderBy("o_custkey")
 
   val setExceptSql: String =
     """SELECT o_custkey FROM orders
@@ -75,7 +71,6 @@ object SetOps {
   val setIntersectAll: Q = (s, d) =>
     urgent(s, d).select("o_custkey")
       .intersectAll(high(s, d).select("o_custkey"))
-      .orderBy("o_custkey")
 
   val setIntersectAllSql: String =
     """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -100,7 +95,6 @@ object SetOps {
     Tables.orders(s, d)
       .select("o_orderstatus", "o_orderpriority")
       .distinct()
-      .orderBy("o_orderstatus", "o_orderpriority")
 
   val distinctRowsSql: String =
     """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
@@ -126,10 +120,18 @@ object SetOps {
     "distinct_rows" -> distinctRowsSql,
   )
 
-  /** Registered SORT-FREE (round 15): bag difference has no semantic order;
-    * ties on o_custkey are IDENTICAL single-column rows, so any tie order
-    * compares equal. Verify applies this; equals the oracle's ORDER BY. */
+  /** Registered SORT-FREE (round 15): set results have no semantic order;
+    * keys are unique (distinct/intersect/except outputs) or ties are
+    * IDENTICAL single-column rows (the ALL variants), so any tie order
+    * compares equal. Verify applies these; each equals the oracle's
+    * trailing ORDER BY. */
   val dumpSort: Map[String, Seq[String]] = Map(
     "set_except_all" -> Seq("o_custkey"),
+    "set_union_all" -> Seq("o_orderkey", "src"),
+    "set_union_distinct" -> Seq("o_custkey"),
+    "set_intersect" -> Seq("o_custkey"),
+    "set_except" -> Seq("o_custkey"),
+    "set_intersect_all" -> Seq("o_custkey"),
+    "distinct_rows" -> Seq("o_orderstatus", "o_orderpriority"),
   )
 }

@@ -47,7 +47,6 @@ object TemporalJoins {
       .where(col("is_click") === 1)
       .select(col("event_id"), col("user_id"), col("ts"),
               col("matched_view").as("view_id"))
-      .orderBy("event_id")
   }
 
   val joinAsofSql: String =
@@ -89,7 +88,6 @@ object TemporalJoins {
       .select(col("event_id"), col("user_id"), col("ts"),
         when(unix_micros(col("ts")) - unix_micros(col("matched_ts")) <= 3600L * 1000000L,
              col("matched_view")).as("view_id"))
-      .orderBy("event_id")
   }
 
   val joinAsofToleranceSql: String =
@@ -131,7 +129,6 @@ object TemporalJoins {
           attr(lp, "user_id"), attr(rp, "v_user_id"),
           attr(lp, "ts"), attr(rp, "v_ts"), toleranceUs = None))
       .select(col("event_id"), col("user_id"), col("ts"), col("view_id"))
-      .orderBy("event_id")
   }
 
   private val weekStarts: Seq[(String, LocalDate)] = {
@@ -152,7 +149,6 @@ object TemporalJoins {
       .groupBy("week", "w_start")
       .agg(count(lit(1)).as("cnt"),
            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
-      .orderBy("week")
   }
 
   val joinIntervalSql: String = {
@@ -201,7 +197,6 @@ object TemporalJoins {
              col("ts") < timestamp_seconds(col("e_epoch")))
       .groupBy("user_id", "k")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("user_id", "k")
   }
 
   private def spark_range(s: SparkSession, n: Int) = s.range(n).toDF()
@@ -232,5 +227,19 @@ object TemporalJoins {
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_interval" -> joinIntervalSql,
     "join_interval_bucketed" -> joinIntervalBucketedSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): as-of/interval outputs are
+    * keyed enrichments — the trailing ORDER BY was comparator-only. Keys
+    * unique: event_id per click; week per bucket; (user_id, k) per
+    * interval. Verify applies these; each equals its oracle's trailing
+    * ORDER BY (the spec compares on the unqualified column name, so the
+    * oracle's `c.event_id` matches `event_id`). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "join_asof" -> Seq("event_id"),
+    "join_asof_tolerance" -> Seq("event_id"),
+    "join_asof_merge" -> Seq("event_id"),
+    "join_interval" -> Seq("week"),
+    "join_interval_bucketed" -> Seq("user_id", "k"),
   )
 }

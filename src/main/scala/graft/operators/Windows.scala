@@ -62,7 +62,6 @@ object Windows {
     Tables.customer(s, d)
       .select(col("c_mktsegment"), col("c_custkey"),
               ntile(4).over(w).as("quartile"))
-      .orderBy("c_mktsegment", "c_custkey")
   }
 
   val windowNtileSql: String =
@@ -172,7 +171,6 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
               row_number().over(w).as("rn"))
       .where(col("rn") <= 3)
-      .orderBy("o_custkey", "rn")
   }
 
   val topkPerGroupSql: String =
@@ -342,7 +340,6 @@ object Windows {
               round6(percent_rank().over(byBal)).as("pr"),
               round6(cume_dist().over(byBal)).as("cd"),
               ntile(10).over(byBalKey).as("decile"))
-      .orderBy("n_name", "c_acctbal", "c_custkey")
   }
 
   val windowDistributionSql: String =
@@ -433,7 +430,6 @@ object Windows {
           transform(col("seq"), x => x.getField("value")),
           lit(0.0),
           (acc, v) => lit(0.5) * v + lit(0.5) * acc), 6).as("ewma6"))
-      .orderBy("user_id")
   }
 
   val windowEwmaSql: String =
@@ -498,5 +494,10 @@ object Windows {
     "window_running_rows" -> Seq("o_custkey", "o_orderkey"),
     "window_first_last" -> Seq("user_id", "event_id"),
     "window_session_gap" -> Seq("user_id", "session_idx"),
+    // tranche 3 (round 15): comparator-only trailing sorts over unique keys
+    "topk_per_group" -> Seq("o_custkey", "rn"),
+    "window_ntile" -> Seq("c_mktsegment", "c_custkey"),
+    "window_distribution" -> Seq("n_name", "c_acctbal", "c_custkey"),
+    "window_ewma" -> Seq("user_id"),
   )
 }

@@ -136,5 +136,11 @@ object SparkEntry {
     Relational.dumpSort ++
     ScaleTechniques.dumpSort ++
     TemporalJoins.dumpSort ++
-    DataQuality.dumpSort
+    DataQuality.dumpSort ++
+    Dedup.dumpSort ++
+    Similarity.dumpSort ++
+    Clustering.dumpSort ++
+    Quantize.dumpSort ++
+    AnnQuantized.dumpSort ++
+    TypedUdaf.dumpSort
 }

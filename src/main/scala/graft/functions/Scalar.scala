@@ -29,7 +29,6 @@ object Scalar {
         // list output serialized to a scalar: the driver's pandas hash
         // compare cannot hash numpy arrays (round-1 harness crash)
         concat_ws("|", split(col("c_name"), "#")).as("parts"))
-      .orderBy("c_custkey")
 
   val fnStringSql: String =
     """SELECT c_custkey,
@@ -51,7 +50,6 @@ object Scalar {
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
         col("p_type").rlike("^ECO").as("is_eco"))
-      .orderBy("p_partkey")
 
   val fnRegexSql: String =
     """SELECT p_partkey,
@@ -267,7 +265,6 @@ object Scalar {
         expr("parse_url(url, 'PATH')").as("path"),
         expr("parse_url(url, 'QUERY')").as("query"),
         expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
-      .orderBy("doc_id")
 
   val fnUrlSql: String =
     """SELECT doc_id, url,
@@ -405,5 +402,9 @@ object Scalar {
     "fn_bitwise" -> Seq("o_orderkey"),
     "fn_variant" -> Seq("event_id"),
     "fn_array" -> Seq("doc_id"),
+    // tranche 3 (round 15)
+    "fn_string" -> Seq("c_custkey"),
+    "fn_regex" -> Seq("p_partkey"),
+    "fn_url" -> Seq("doc_id"),
   )
 }

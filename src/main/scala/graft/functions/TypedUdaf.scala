@@ -44,7 +44,6 @@ object TypedUdaf {
       .groupBy("l_returnflag")
       .agg(graft.Dsl.round6(
         wavg(col("l_extendedprice"), col("l_quantity"))).as("wavg_price"))
-      .orderBy("l_returnflag")
   }
 
   val udafWeightedAvgSql: String =
@@ -62,5 +61,10 @@ object TypedUdaf {
 
   val oracle: Map[String, String] = Map(
     "udaf_weighted_avg" -> udafWeightedAvgSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): three group rows. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "udaf_weighted_avg" -> Seq("l_returnflag"),
   )
 }

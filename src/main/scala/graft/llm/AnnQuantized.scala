@@ -111,7 +111,6 @@ object AnnQuantized {
       .where(col("rk") <= TopK)
       .select(col("q_id"), col("rk"), col("c_id"),
               round(col("score"), 6).as("score6"))
-      .orderBy("q_id", "rk")
   }
 
   /** The declared theta-join spelling — |Q|·n scored rows through a
@@ -209,5 +208,11 @@ object AnnQuantized {
 
   val oracle: Map[String, String] = Map(
     "llm_simsearch_quantized" -> simsearchQuantizedSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): (q_id, rk) is the rank
+    * PK; the theta spelling keeps its sort (spec-only, not timed). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "llm_simsearch_quantized" -> Seq("q_id", "rk"),
   )
 }

@@ -87,7 +87,6 @@ object Clustering {
       .withColumn("mean_d2",
         graft.Dsl.round6(col("inertia_micro").cast("double") / col("size") / 1e6))
       .select("cid", "size", "inertia_micro", "mean_d2")
-      .orderBy("cid")
   }
 
   /** DuckDB twin of [[finalAssignment]], as a CTE chain ending in `a2`
@@ -239,7 +238,6 @@ object Clustering {
     a2.join(drops, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
               coalesce(col("dropped"), lit(false)).as("is_dup"))
-      .orderBy("vec_id")
   }
 
   val semdedupSql: String =
@@ -262,5 +260,12 @@ object Clustering {
     "llm_kmeans" -> kmeansSql,
     "llm_pagerank" -> pagerankSql,
     "llm_semdedup" -> semdedupSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): per-cluster / per-vector
+    * outputs with unique keys — trailing ORDER BY was comparator-only. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "llm_kmeans" -> Seq("cid"),
+    "llm_semdedup" -> Seq("vec_id"),
   )
 }

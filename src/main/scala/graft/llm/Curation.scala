@@ -273,7 +273,6 @@ object Curation {
                          (col("n1") + col("n2") - col("inter")))
       .where(col("jac") >= Dedup.JaccardThreshold)
       .select(col("train_id"), col("bench_id"), round(col("jac"), 6).as("jac6"))
-      .orderBy("train_id", "bench_id")
   }
 
   val decontaminateSql: String =
@@ -357,7 +356,6 @@ object Curation {
         round(col("n_hit").cast("double") / col("n_grams"), 6))
       .select(col("train_id"), col("n_hit"), col("n_grams"), col("frac6"),
               col("first_bench_id"))
-      .orderBy("train_id")
   }
 
   val decontaminateNgramSql: String = {
@@ -433,7 +431,6 @@ object Curation {
           .when(col("near_match").isNotNull, "near_dup")
           .otherwise("new").as("verdict"),
         coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"))
-      .orderBy("doc_id")
   }
 
   val ingestDedupSql: String =
@@ -501,7 +498,6 @@ object Curation {
     sharded
       .select(col("shard"), row_number().over(w).cast("bigint").as("pos"),
               col("doc_id"), col("lang"))
-      .orderBy("shard", "pos")
   }
 
   val corpusShuffleSql: String =
@@ -543,7 +539,6 @@ object Curation {
       .groupBy("lang", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("chunk_toks"),
            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("lang", "chunk_id")
   }
 
   val seqPackSql: String =
@@ -598,7 +593,6 @@ object Curation {
         round(col("pw9").cast("double") / col("z9"), 6).as("weight6"),
         round((col("pw9").cast("double") / col("z9")) / col("share"), 6).as("upsample6"),
         round((col("pw9").cast("double") / col("z9")) * col("n_total"), 1).as("docs_per_epoch"))
-      .orderBy("source")
   }
 
   val mixTemperatureSql: String =
@@ -660,7 +654,6 @@ object Curation {
            concat_ws("|",
              transform(sort_array(collect_list(col("doc_id"))),
                        x => x.cast("string"))).as("postings"))
-      .orderBy("term")
 
   val invertedIndexSql: String =
     """WITH toks AS (
@@ -716,7 +709,6 @@ object Curation {
     kept.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),
            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-      .orderBy("shard")
   }
 
   val curationE2eSql: String =
@@ -804,5 +796,14 @@ object Curation {
   val dumpSort: Map[String, Seq[String]] = Map(
     "llm_dedup_clusters" -> Seq("doc_id"),
     "llm_dedup_clusters_star" -> Seq("doc_id"),
+    // tranche 3 (round 15): comparator-only trailing sorts over unique keys
+    "llm_decontaminate" -> Seq("train_id", "bench_id"),
+    "llm_decontaminate_ngram" -> Seq("train_id"),
+    "llm_ingest_dedup" -> Seq("doc_id"),
+    "llm_corpus_shuffle" -> Seq("shard", "pos"),
+    "llm_seq_pack" -> Seq("lang", "chunk_id"),
+    "llm_mix_temperature" -> Seq("source"),
+    "llm_inverted_index" -> Seq("term"),
+    "llm_curation_e2e" -> Seq("shard"),
   )
 }

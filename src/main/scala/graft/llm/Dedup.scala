@@ -61,7 +61,6 @@ object Dedup {
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .groupBy("h")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keep_id")
 
   val exactDedupSql: String =
     """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -89,12 +88,10 @@ object Dedup {
       .withColumn("jac", col("inter").cast("double") /
                          (col("n1") + col("n2") - col("inter")))
       .where(col("jac") >= JaccardThreshold)
-    val projected =
-      if (withSizes)
-        base.select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
-                    round(col("jac"), 6).as("jac6"))
-      else base.select(col("d1"), col("d2"), round(col("jac"), 6).as("jac6"))
-    projected.orderBy("d1", "d2")
+    if (withSizes)
+      base.select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+                  round(col("jac"), 6).as("jac6"))
+    else base.select(col("d1"), col("d2"), round(col("jac"), 6).as("jac6"))
   }
 
   /** Exact near-duplicate pairs: word-5-gram Jaccard >= 0.8 (doc_id < doc_id2).
@@ -670,7 +667,6 @@ object Dedup {
       .withColumn("dup_frac", graft.Dsl.round6(col("dup_spans").cast("double") / col("n_spans")))
       .withColumn("keep", (col("dup_frac") <= 0.5).cast("int"))
       .select("doc_id", "n_spans", "dup_spans", "dup_frac", "keep")
-      .orderBy("doc_id")
   }
 
   val substringDedup: Q = substringDedupAt(SpanTokens)
@@ -736,7 +732,6 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("n_fps"),
               graft.Dsl.round6(col("n_fps").cast("double") / col("n_shingles")).as("density"),
               col("fp_min"), col("fp_max"))
-      .orderBy("doc_id")
   }
 
   val winnowFingerprintSql: String =
@@ -825,7 +820,6 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac6"),
               round(col("est"), 6).as("est6"),
               round(col("est") - col("jac6"), 6).as("err6"))
-      .orderBy("d1", "d2")
   }
 
   val minhashEstimateSql: String =
@@ -906,5 +900,22 @@ object Dedup {
     "llm_substring_dedup_w16" -> substringDedupSqlAt(SpanTokensWide),
     "llm_winnow_fingerprint" -> winnowFingerprintSql,
     "llm_fingerprint" -> fingerprintSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): dedup outputs are keyed
+    * verdicts — the trailing ORDER BY was comparator-only. Keys unique:
+    * keep_id = min doc per sha256 group; (d1, d2) canonical pairs;
+    * doc_id per-document rollups. llm_simhash keeps its sort: it is
+    * unit-only (no oracle), so the dumpSort↔oracle coupling cannot apply.
+    * Verify applies these; each equals its oracle's trailing ORDER BY. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "llm_exact_dedup" -> Seq("keep_id"),
+    "llm_neardup_pairs" -> Seq("d1", "d2"),
+    "llm_neardup_capped" -> Seq("d1", "d2"),
+    "llm_neardup_minhash" -> Seq("d1", "d2"),
+    "llm_minhash_estimate" -> Seq("d1", "d2"),
+    "llm_substring_dedup" -> Seq("doc_id"),
+    "llm_substring_dedup_w16" -> Seq("doc_id"),
+    "llm_winnow_fingerprint" -> Seq("doc_id"),
   )
 }

@@ -41,7 +41,6 @@ object Quantize {
         graft.Dsl.round6(aggregate(zip_with(col("embedding"), col("qv"),
             (x, q) => abs(x.cast("double") - q * col("scale_raw") / lit(127.0))),
           lit(0.0), (acc, v) => acc + v) / size(col("embedding"))).as("mae"))
-      .orderBy("vec_id")
   }
 
   val embeddingQuantizeSql: String =
@@ -66,5 +65,10 @@ object Quantize {
 
   val oracle: Map[String, String] = Map(
     "llm_embedding_quantize" -> embeddingQuantizeSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): one row per vec_id. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "llm_embedding_quantize" -> Seq("vec_id"),
   )
 }

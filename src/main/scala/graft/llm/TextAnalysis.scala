@@ -140,7 +140,6 @@ object TextAnalysis {
       .where(col("lang") === "en" && col("n_chars").between(100, 400) &&
              col("n_toks") >= 20)
       .select("doc_id", "lang", "n_chars", "n_toks")
-      .orderBy("doc_id")
 
   val langFilterSql: String =
     """SELECT doc_id, lang, n_chars,
@@ -173,7 +172,6 @@ object TextAnalysis {
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("doc_id"), col("plang").as("pred_lang"), col("score"))
-      .orderBy("doc_id")
   }
 
   val langIdSql: String = {
@@ -256,7 +254,6 @@ object TextAnalysis {
       .where(col("rk") <= 5)
       .select(col("doc_id"), col("rk"), col("w").as("term"), col("tf"),
               col("df"), col("weight6"))
-      .orderBy("doc_id", "rk")
   }
 
   val tfidfSql: String =
@@ -315,7 +312,6 @@ object TextAnalysis {
              (col("sum_len").cast("double") / col("n_words")).between(3.0, 10.0) &&
              col("n_alpha").cast("double") / col("n_words") >= 0.8 &&
              col("n_stop") >= 2, 1).otherwise(0).as("passes"))
-      .orderBy("doc_id")
   }
 
   val gopherRulesSql: String =
@@ -488,7 +484,6 @@ object TextAnalysis {
       .agg(sum(coalesce(col("polarity"), lit(0))).as("sentiment"),
            sum(when(col("polarity").isNotNull, 1).otherwise(0)).as("n_matched"),
            count(lit(1)).as("n_toks"))
-      .orderBy("doc_id")
   }
 
   val sentimentSql: String = {
@@ -514,7 +509,6 @@ object TextAnalysis {
         size(col("embedding")).as("dim"),
         round6(sqrt(Similarity.dot(col("embedding"), col("embedding")))).as("l2_norm"),
         size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("n_toks"))
-      .orderBy("doc_id")
   }
 
   val multimodalStructSql: String =
@@ -586,7 +580,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("kept_docs"),
            sum(col("n_toks")).cast("bigint").as("total_toks"),
            sum(col("n_chars")).cast("bigint").as("sum_chars"))
-      .orderBy("lang", "source")
   }
 
   val pipelineE2eSql: String =
@@ -636,7 +629,6 @@ object TextAnalysis {
         (col("dup_bigram_frac") <= 0.2 && col("top_tok_share") <= 0.1).cast("int"))
       .select("doc_id", "lang", "n_toks", "n_bigrams", "n_distinct_bigrams",
               "top_tok_n", "dup_bigram_frac", "top_tok_share", "keep")
-      .orderBy("doc_id")
   }
 
   val repetitionFilterSql: String =
@@ -693,7 +685,6 @@ object TextAnalysis {
       .withColumn("mean_nll", round6(col("nll_micro").cast("double") / col("n_toks")))
       .withColumn("nll_bucket", floor(col("mean_nll") / 1e6).cast("int"))
       .select("doc_id", "n_toks", "nll_micro", "mean_nll", "nll_bucket")
-      .orderBy("doc_id")
   }
 
   val unigramLogprobSql: String =
@@ -750,7 +741,6 @@ object TextAnalysis {
         round6((col("sy").cast("double") - col("slope_raw") * col("sx").cast("double")) /
         col("n_terms").cast("double")))
       .select("lang", "n_terms", "slope", "intercept")
-      .orderBy("lang")
   }
 
   val zipfCurveSql: String =
@@ -956,7 +946,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
               size(regexp_extract_all(col("scrubbed"), lit("<IP>"), lit(0))).as("n_ips"),
               md5(col("scrubbed")).as("scrubbed_md5"))
-      .orderBy("doc_id")
   }
 
   val piiScrubSql: String =
@@ -1006,7 +995,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
               col("start").cast("bigint").as("start_tok"),
               col("chunk_len"), col("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   val docChunksSql: String =
@@ -1056,7 +1044,6 @@ object TextAnalysis {
       .withColumn("score6", round(lit(1.0) / (lit(1.0) + exp(-col("logit_raw"))), 6))
       .withColumn("keep", (col("score6") >= 0.5).cast("int"))
       .select("doc_id", "n_toks", "dot_milli", "logit", "score6", "keep")
-      .orderBy("doc_id")
   }
 
   val qualityClassifierSql: String =
@@ -1281,7 +1268,6 @@ object TextAnalysis {
     hits.join(excluded, Seq("doc_id"), "left_anti")
       .join(Tables.documents(s, d).select("doc_id", "source", "n_chars"), "doc_id")
       .select("doc_id", "source", "n_chars")
-      .orderBy("doc_id")
   }
 
   val keywordSearchSql: String = {
@@ -1341,7 +1327,6 @@ object TextAnalysis {
               (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
               col("median_chars"), col("p90_chars"), col("n_uniq"),
               (lit(1.0) - col("n_uniq").cast("double") / col("n_docs")).as("dup_rate"))
-      .orderBy("source")
   }
 
   val datasetCardSql: String =
@@ -1468,7 +1453,7 @@ object TextAnalysis {
     val (steps, _) = bpeChain(s, d)
     steps.zipWithIndex
       .map { case ((top, after), i) => summary(i + 1, top, after) }
-      .reduce(_.unionAll(_)).orderBy("round")
+      .reduce(_.unionAll(_))
   }
 
   /** Tokenizer APPLICATION: encode the corpus with the vocabulary
@@ -1488,7 +1473,6 @@ object TextAnalysis {
       .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
       .select(col("doc_id"), col("n_words"), col("n_bpe_toks"),
               round6(col("n_chars").cast("double") / col("n_bpe_toks")).as("chars_per_tok"))
-      .orderBy("doc_id")
   }
 
   private def bpePairCte(src: String, p: String): String =
@@ -1630,5 +1614,24 @@ object TextAnalysis {
     "llm_quality_score" -> Seq("doc_id"),
     "llm_entropy_filter" -> Seq("doc_id"),
     "llm_span_corruption" -> Seq("doc_id"),
+    // tranche 3 (round 15): comparator-only trailing sorts over unique keys
+    // (llm_bm25 keeps its sort: ORDER BY ... LIMIT 20 is semantic top-k)
+    "llm_lang_filter" -> Seq("doc_id"),
+    "llm_lang_id" -> Seq("doc_id"),
+    "llm_tfidf" -> Seq("doc_id", "rk"),
+    "llm_gopher_rules" -> Seq("doc_id"),
+    "llm_sentiment_lexicon" -> Seq("doc_id"),
+    "llm_multimodal_struct" -> Seq("doc_id"),
+    "llm_pipeline_e2e" -> Seq("lang", "source"),
+    "llm_repetition_filter" -> Seq("doc_id"),
+    "llm_unigram_logprob" -> Seq("doc_id"),
+    "llm_pii_scrub" -> Seq("doc_id"),
+    "llm_doc_chunks" -> Seq("doc_id", "chunk_idx"),
+    "llm_quality_classifier" -> Seq("doc_id"),
+    "llm_keyword_search" -> Seq("doc_id"),
+    "llm_dataset_card" -> Seq("source"),
+    "llm_bpe_train" -> Seq("round"),
+    "llm_bpe_encode" -> Seq("doc_id"),
+    "llm_zipf_curve" -> Seq("lang"),
   )
 }

@@ -184,7 +184,6 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_resize_stub" -> ((s, d) => {
       resizePayloads(mediaTable(s, d)).toDF()
-        .orderBy("doc_id")
     }),
     // sort-free (round 15): (doc_id, win_idx) is the window PK; the global
     // sort was comparator-only — Verify applies it (see dumpSort below)
@@ -194,11 +193,9 @@ object Multimodal {
     "mm_decode_stub" -> ((s, d) => {
       decodeFeatures(mediaTable(s, d)).toDF()
         .select("doc_id", "n_bytes", "format", "out_width", "out_height", "checksum")
-        .orderBy("doc_id")
     }),
     "mm_frame_sample" -> ((s, d) => {
       sampleFrames(mediaTable(s, d)).toDF()
-        .orderBy("doc_id", "frame_idx")
     }),
   )
 
@@ -252,5 +249,9 @@ object Multimodal {
     * was comparator-only. (doc_id, win_idx) is the window PK. */
   val dumpSort: Map[String, Seq[String]] = Map(
     "mm_audio_window" -> Seq("doc_id", "win_idx"),
+    // tranche 3 (round 15): comparator-only trailing sorts over unique keys
+    "mm_resize_stub" -> Seq("doc_id"),
+    "mm_decode_stub" -> Seq("doc_id"),
+    "mm_frame_sample" -> Seq("doc_id", "frame_idx"),
   )
 }

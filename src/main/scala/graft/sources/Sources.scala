@@ -69,7 +69,6 @@ object Sources {
       .saveAsSequenceFile(out)
     s.sparkContext.sequenceFile[Long, String](out)
       .toDF("n_nationkey", "n_name")
-      .orderBy("n_nationkey")
   }
 
   /** Hadoop MapFile: the INDEXED sorted K/V container (a `data`
@@ -100,7 +99,6 @@ object Sources {
       .as[Long]
     mapfileRoundTrip(s, kv, probes, numBuckets = 4)
       .toDF("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   /** Write `kv` as a bucketed MapFile table, then indexed-probe every key in
@@ -219,7 +217,6 @@ object Sources {
         (str(0).toLong, str(1), str(2).toInt)
       }
       .toDF("p_partkey", "p_brand", "p_size")
-      .orderBy("p_partkey")
   }
 
   /** Hadoop ARchive (HAR) round-trip — the reference's small-files packing
@@ -470,7 +467,6 @@ object Sources {
     import s.implicits._
     rows.toDF("p_partkey", "p_name", "p_retailprice")
       .where(col("p_retailprice") > 950)
-      .orderBy("p_partkey")
   }
 
   /** Parquet sink round-trip (FileOutputFormat commit protocol). */
@@ -550,7 +546,6 @@ object Sources {
           .otherwise(lit("keep")).as("action"),
         coalesce(col("n_custs"), lit(0L)).as("n_custs"),
         coalesce(col("acct_sum"), lit(0.0)).as("acct_sum"))
-      .orderBy("key")
   }
 
   val sinkMergeUpsertSql: String =
@@ -736,5 +731,11 @@ object Sources {
     * format behavior; o_orderkey (orders PK) is the compare order only. */
   val dumpSort: Map[String, Seq[String]] = Map(
     "scan_json" -> Seq("o_orderkey"),
+    // tranche 3 (round 15): comparator-only trailing sorts over unique keys
+    "scan_sequencefile" -> Seq("n_nationkey"),
+    "scan_mapfile" -> Seq("c_custkey"),
+    "scan_rcfile" -> Seq("p_partkey"),
+    "scan_avro" -> Seq("p_partkey"),
+    "sink_merge_upsert" -> Seq("key"),
   )
 }

@@ -325,7 +325,7 @@ object Streams {
   // -- batch registrations (oracle-checked) ---------------------------------
 
   val streamTumbling: Q = (s, d) =>
-    tumblingCounts(Tables.events(s, d)).orderBy("w_start", "event_type")
+    tumblingCounts(Tables.events(s, d))
 
   val streamTumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
@@ -378,7 +378,6 @@ object Streams {
     Tables.events(s, d)
       .groupBy("user_id", "event_type")
       .agg(min(col("event_id")).as("first_event"))
-      .orderBy("user_id", "event_type")
 
   val streamDedupSql: String =
     """SELECT user_id, event_type, min(event_id) AS first_event
@@ -397,7 +396,6 @@ object Streams {
     // than leaving the join strategy to size estimation
     val horizon = ev.agg((max(col("ts")) - expr("INTERVAL 1 DAY")).as("h"))
     tumblingCounts(ev.crossJoin(broadcast(horizon)).where(col("ts") >= col("h")))
-      .orderBy("w_start", "event_type")
   }
 
   val streamWatermarkLateSql: String =
@@ -419,7 +417,6 @@ object Streams {
            min(col("ts")).as("first_ts"),
            max(col("ts")).as("last_ts"),
            sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
-      .orderBy("user_id")
 
   val streamStatefulSql: String =
     """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
@@ -485,7 +482,7 @@ object Streams {
           .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
           .as[GraftEvent],
         ttlFromConf(s))
-    }.orderBy("user_id")
+    }
   }
 
   val streamTransformStateSql: String =
@@ -592,7 +589,6 @@ object Streams {
 
   val streamJoinStatic: Q = (s, d) =>
     enrichWithCustomer(Tables.events(s, d), Tables.customer(s, d))
-      .orderBy("c_mktsegment", "event_type")
 
   val streamJoinStaticSql: String =
     """SELECT c_mktsegment, event_type, count(*) AS cnt
@@ -621,7 +617,6 @@ object Streams {
     val ev = Tables.events(s, d)
     viewToPurchase(ev.where(col("event_type") === "view"),
                    ev.where(col("event_type") === "purchase"))
-      .orderBy("user_id", "v_id", "p_id")
   }
 
   val streamJoinStreamSql: String =
@@ -676,5 +671,13 @@ object Streams {
     "stream_asof_buffered" -> Seq("event_id"),
     "stream_sliding" -> Seq("w_start", "event_type"),
     "stream_session" -> Seq("user_id", "s_start"),
+    // tranche 3 (round 15): comparator-only trailing sorts over unique keys
+    "stream_tumbling" -> Seq("w_start", "event_type"),
+    "stream_dedup" -> Seq("user_id", "event_type"),
+    "stream_watermark_late" -> Seq("w_start", "event_type"),
+    "stream_stateful" -> Seq("user_id"),
+    "stream_transform_state" -> Seq("user_id"),
+    "stream_join_static" -> Seq("c_mktsegment", "event_type"),
+    "stream_join_stream" -> Seq("user_id", "v_id", "p_id"),
   )
 }

@@ -194,7 +194,8 @@ class CurationSpec extends SparkSpec {
   }
 
   test("ingest dedup: verdicts match an independent cross-set recompute") {
-    val rows = Curation.ingestDedup(spark, sfDir).collect()
+    // registered sort-free (round 15): impose the compare order in-test
+    val rows = Curation.ingestDedup(spark, sfDir).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -33,11 +33,12 @@ class LlmSpec extends SparkSpec {
     // force the prefix path (the registered operator picks naive-vs-prefix
     // by corpus size; the equivalence must hold for the prefix machinery
     // itself, at every scale, or the adaptive switch would change answers)
-    val filtered = Dedup.neardupPairsPrefix(spark, sfDir).collect().toSeq
-    val naive = Dedup.neardupPairsAllPairs(spark, sfDir).collect().toSeq
+    // registered sort-free (round 15): impose the compare order in-test
+    val filtered = Dedup.neardupPairsPrefix(spark, sfDir).orderBy("d1", "d2").collect().toSeq
+    val naive = Dedup.neardupPairsAllPairs(spark, sfDir).orderBy("d1", "d2").collect().toSeq
     assert(filtered == naive)
     // and the registered adaptive operator agrees with both
-    val adaptive = Dedup.neardupPairs(spark, sfDir).collect().toSeq
+    val adaptive = Dedup.neardupPairs(spark, sfDir).orderBy("d1", "d2").collect().toSeq
     assert(adaptive == naive)
   }
 
@@ -57,7 +58,8 @@ class LlmSpec extends SparkSpec {
       val (bhj, _) = vocabJoinNodes(df)
       assert(bhj.nonEmpty,
         s"$n: expected the hinted vocab broadcast in the default plan")
-      n -> df.collect().toSeq
+      // several ops registered sort-free (round 15): compare order-free
+      n -> df.collect().toSeq.sortBy(_.toString)
     }
     spark.conf.set("spark.graft.vocab.broadcastMaxRows", "0")
     // also disable size-estimate auto-broadcast so the shuffled path is
@@ -71,7 +73,7 @@ class LlmSpec extends SparkSpec {
           s"$n: vocab broadcast survived above the row threshold")
         assert(shuffled.nonEmpty,
           s"$n: no shuffled vocab join in:\n${df.queryExecution.executedPlan}")
-        n -> df.collect().toSeq
+        n -> df.collect().toSeq.sortBy(_.toString)
       }
       viaBroadcast.zip(viaShuffle).foreach { case ((n, b), (_, s)) =>
         assert(b == s, s"$n: broadcast and shuffled vocab paths disagree")

@@ -8,7 +8,9 @@ import graft.operators.ScaleTechniques
 class ScaleSpec extends SparkSpec {
 
   test("salted join result equals the plain join (salting is semantics-free)") {
-    val salted = ScaleTechniques.skewSaltedJoin(spark, sfDir).collect().toSeq
+    // registered sort-free (round 15): impose the compare order here
+    val salted = ScaleTechniques.skewSaltedJoin(spark, sfDir)
+      .orderBy("o_orderpriority").collect().toSeq
     val plain = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
@@ -32,7 +34,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bloom prefilter join: equals the plain join and actually prunes the fact side") {
-    val viaBloom = ScaleTechniques.joinBloomPrefilter(spark, sfDir).collect().toSeq
+    // registered sort-free (round 15): impose the compare order here
+    val viaBloom = ScaleTechniques.joinBloomPrefilter(spark, sfDir)
+      .orderBy("c_nationkey").collect().toSeq
     val plain = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir)
               .where(col("c_mktsegment") === "MACHINERY")

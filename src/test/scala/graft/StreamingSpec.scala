@@ -241,7 +241,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState batch twin equals the per-user aggregate") {
-    val tws = graft.streaming.Streams.streamTransformState(spark, sfDir).collect()
+    // registered sort-free (round 15): impose the compare order here
+    val tws = graft.streaming.Streams.streamTransformState(spark, sfDir)
+      .orderBy("user_id").collect()
     val agg = Tables.events(spark, sfDir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("max_event_id"))

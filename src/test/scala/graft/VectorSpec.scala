@@ -67,8 +67,9 @@ class VectorSpec extends SparkSpec {
     // broadcast |Q|·n spelling exactly: per-block exact top-5 is a superset
     // of the global top-5, the merge window applies the same
     // score-desc/id-asc order, and kernel scores are the same fold
+    // registered sort-free (round 15): impose the compare order in-test
     val blocked = Similarity.simsearchTopk(spark, sfDir)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
     val exact = Similarity.simsearchTopkExact(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     assert(blocked == exact)
@@ -97,11 +98,11 @@ class VectorSpec extends SparkSpec {
                   col("label"))
           .coalesce(2).write.mode("overwrite")
           .parquet(dir + "/embeddings.parquet")
-        val topkB = Similarity.simsearchTopk(spark, dir).collect().map(_.toSeq).toSeq
+        val topkB = Similarity.simsearchTopk(spark, dir).orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
         val topkE = Similarity.simsearchTopkExact(spark, dir).collect().map(_.toSeq).toSeq
         assert(topkB == topkE, s"topk trial $trial n=$n dim=$dim")
         val qB = graft.llm.AnnQuantized.queries("llm_simsearch_quantized")(spark, dir)
-          .collect().map(_.toSeq).toSeq
+          .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
         val qE = graft.llm.AnnQuantized.simsearchQuantizedExact(spark, dir)
           .collect().map(_.toSeq).toSeq
         assert(qB == qE, s"quantized trial $trial n=$n dim=$dim")
@@ -117,19 +118,20 @@ class VectorSpec extends SparkSpec {
     // spark.graft.vector.blocks only sets the parallelism/memory trade —
     // the kernels are exhaustive over blocks, so any B must produce the
     // identical result (the 100 TB deployment grows B with the corpus)
-    val ref = Similarity.simsearchTopk(spark, sfDir).collect().map(_.toSeq).toSeq
-    val refJoin = Similarity.simjoinThreshold(spark, sfDir).collect().map(_.toSeq).toSeq
+    // registered sort-free (round 15): impose the compare order in-test
+    val ref = Similarity.simsearchTopk(spark, sfDir).orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
+    val refJoin = Similarity.simjoinThreshold(spark, sfDir).orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
     val refQuant = graft.llm.AnnQuantized.queries("llm_simsearch_quantized")(spark, sfDir)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
     for (b <- Seq(1, 3, 97)) {
       spark.conf.set("spark.graft.vector.blocks", b.toString)
       try {
         assert(Similarity.simsearchTopk(spark, sfDir)
-          .collect().map(_.toSeq).toSeq == ref, s"topk B=$b")
+          .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq == ref, s"topk B=$b")
         assert(Similarity.simjoinThreshold(spark, sfDir)
-          .collect().map(_.toSeq).toSeq == refJoin, s"simjoin B=$b")
+          .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq == refJoin, s"simjoin B=$b")
         assert(graft.llm.AnnQuantized.queries("llm_simsearch_quantized")(spark, sfDir)
-          .collect().map(_.toSeq).toSeq == refQuant, s"quantized B=$b")
+          .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq == refQuant, s"quantized B=$b")
       } finally spark.conf.unset("spark.graft.vector.blocks")
     }
   }
@@ -249,10 +251,10 @@ class VectorSpec extends SparkSpec {
     // the a_id < b_id theta join is the specification they must reproduce —
     // structurally guaranteed (exhaustive ordered block pairs, identical
     // fold arithmetic), pinned here against implementation bugs
-    val sj = Similarity.simjoinThreshold(spark, sfDir).collect().toSeq
+    val sj = Similarity.simjoinThreshold(spark, sfDir).orderBy("a_id", "b_id").collect().toSeq
     val sjExact = Similarity.simjoinThresholdExact(spark, sfDir).collect().toSeq
     assert(sj == sjExact)
-    val nd = Similarity.neardupEmbedding(spark, sfDir).collect().toSeq
+    val nd = Similarity.neardupEmbedding(spark, sfDir).orderBy("vec_id").collect().toSeq
     val ndExact = Similarity.neardupEmbeddingExact(spark, sfDir).collect().toSeq
     assert(nd == ndExact)
   }

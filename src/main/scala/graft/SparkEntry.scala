@@ -142,5 +142,6 @@ object SparkEntry {
     Clustering.dumpSort ++
     Quantize.dumpSort ++
     AnnQuantized.dumpSort ++
-    TypedUdaf.dumpSort
+    TypedUdaf.dumpSort ++
+    FsOps.dumpSort
 }

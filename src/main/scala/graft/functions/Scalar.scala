@@ -100,7 +100,6 @@ object Scalar {
         signum(col("p_retailprice") - 1000).cast("int").as("sgn"),
         greatest(col("p_size"), lit(25)).as("gr"),
         least(col("p_size"), lit(25)).as("le"))
-      .orderBy("p_partkey")
 
   val fnMathSql: String =
     s"""SELECT p_partkey,
@@ -125,7 +124,6 @@ object Scalar {
           .otherwise("rich").as("band"),
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE")).as("seg_or_none"),
         when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(lit(0.0)).as("pos_bal"))
-      .orderBy("c_custkey")
 
   val fnConditionalSql: String =
     """SELECT c_custkey,
@@ -243,7 +241,6 @@ object Scalar {
       .select(col("doc_id"),
         sha2(col("text"), 256).as("sha"),
         md5(col("text")).as("md5h"))
-      .orderBy("doc_id")
 
   val fnHashSql: String =
     """SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
@@ -346,8 +343,7 @@ object Scalar {
             |  SELECT n_nationkey,
             |    from_xml(concat('<r><k>', n_nationkey, '</k><name>', n_name, '</name></r>'),
             |             'k INT, name STRING') AS xml
-            |  FROM nation)
-            |ORDER BY n_nationkey""".stripMargin)
+            |  FROM nation)""".stripMargin)
   }
 
   val fnXmlSql: String =
@@ -406,5 +402,9 @@ object Scalar {
     "fn_string" -> Seq("c_custkey"),
     "fn_regex" -> Seq("p_partkey"),
     "fn_url" -> Seq("doc_id"),
+    "fn_math" -> Seq("p_partkey"),
+    "fn_conditional" -> Seq("c_custkey"),
+    "fn_hash" -> Seq("doc_id"),
+    "fn_xml" -> Seq("n_nationkey"),
   )
 }

@@ -621,7 +621,7 @@ object Curation {
           .otherwise(1).as("tier"))
       .select(col("doc_id"), col("lang"), col("tier"),
               explode(sequence(lit(1), col("tier"))).as("copy"))
-      .orderBy("doc_id", "copy")
+
 
   val mixRebalanceSql: String =
     """WITH tiered AS (
@@ -805,5 +805,6 @@ object Curation {
     "llm_mix_temperature" -> Seq("source"),
     "llm_inverted_index" -> Seq("term"),
     "llm_curation_e2e" -> Seq("shard"),
+    "llm_mix_rebalance" -> Seq("doc_id", "copy"),
   )
 }

@@ -762,7 +762,6 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min(md5(col("sh"))).as("fp"), count(lit(1)).as("n_sh"))
       .select(col("doc_id"), substring(col("fp"), 1, 16).as("fp16"), col("n_sh"))
-      .orderBy("doc_id")
 
   val fingerprintSql: String =
     s"""WITH $shinglesSqlCte
@@ -917,5 +916,6 @@ object Dedup {
     "llm_substring_dedup" -> Seq("doc_id"),
     "llm_substring_dedup_w16" -> Seq("doc_id"),
     "llm_winnow_fingerprint" -> Seq("doc_id"),
+    "llm_fingerprint" -> Seq("doc_id"),
   )
 }

@@ -206,7 +206,6 @@ object Aggregates {
       .select(floor(col("value") / 5).cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
-      .orderBy("bucket")
 
   val aggHistogramSql: String =
     """SELECT cast(floor(value / 5) as bigint) AS bucket, count(*) AS n
@@ -296,7 +295,6 @@ object Aggregates {
     Tables.orders(s, d)
       .where(pmod(col("o_orderkey"), lit(10)) === 3)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("o_orderkey")
 
   val sampleModSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -347,7 +345,6 @@ object Aggregates {
       .agg(expr("bit_and(o_custkey)").as("k_and"),
            expr("bit_or(o_custkey)").as("k_or"),
            expr("bit_xor(o_custkey)").as("k_xor"))
-      .orderBy("o_orderpriority")
 
   val aggBitwiseSql: String =
     """SELECT o_orderpriority,
@@ -477,6 +474,9 @@ object Aggregates {
     "agg_unpivot" -> Seq("l_returnflag", "metric"),
     "agg_mode" -> Seq("o_orderstatus"),
     "agg_listagg" -> Seq("r_name"),
+    "agg_bitwise" -> Seq("o_orderpriority"),
+    "agg_histogram" -> Seq("bucket"),
+    "sample_mod" -> Seq("o_orderkey"),
   )
 
   // agg_sort_fallback's VALUES are oracle-checkable even though the sort-agg

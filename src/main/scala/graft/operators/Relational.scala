@@ -108,7 +108,6 @@ object Relational {
     Tables.documents(s, d)
       .where(col("text").rlike("hash\\s+join"))
       .select("doc_id", "lang")
-      .orderBy("doc_id")
 
   val filterRegexGrepSql: String =
     """SELECT doc_id, lang FROM documents
@@ -123,7 +122,6 @@ object Relational {
       .select(col("c_custkey"), col("seg"),
               col("seg").isNull.as("seg_is_null"),
               (col("seg") <=> "MACHINERY").as("is_machinery"))
-      .orderBy("c_custkey")
 
   val filterNullSemanticsSql: String =
     """SELECT c_custkey, seg, seg IS NULL AS seg_is_null,
@@ -270,7 +268,6 @@ object Relational {
   val joinCross: Q = (s, d) =>
     Tables.region(s, d).crossJoin(Tables.nation(s, d))
       .select("r_name", "n_name")
-      .orderBy("r_name", "n_name")
 
   val joinCrossSql: String =
     """SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -436,5 +433,8 @@ object Relational {
     "join_left_anti" -> Seq("c_custkey"),
     "join_theta_range" -> Seq("p_partkey", "band"),
     "join_null_safe" -> Seq("n_name"),
+    "join_cross" -> Seq("r_name", "n_name"),
+    "filter_null_semantics" -> Seq("c_custkey"),
+    "filter_regex_grep" -> Seq("doc_id"),
   )
 }

@@ -49,7 +49,7 @@ object FsOps {
     val copied = s.read.parquet(dst.toString)
       .agg(count(lit(1)).as("rows"), sum(col("n_nationkey")).as("key_sum"))
       .withColumn("which", lit("dst"))
-    orig.unionByName(copied).orderBy("which")
+    orig.unionByName(copied)
   }
 
   /** HDFS-style hierarchical content checksumming (the reference verifies
@@ -69,7 +69,6 @@ object FsOps {
            sha2(array_join(
              transform(array_sort(collect_list(struct(col("doc_id"), col("h")))),
                        x => x.getField("h")), ""), 256).as("checksum"))
-      .orderBy("shard")
   }
 
   val fsChecksumSql: String =
@@ -122,7 +121,7 @@ object FsOps {
         ("trash_in_trash", if (inTrash) 1 else 0),
         ("trash_moved", if (moved) 1 else 0),
         ("trash_src_gone", if (srcGone) 1 else 0))
-      .toDF("step", "ok").orderBy("step")
+      .toDF("step", "ok")
   }
 
   val fsLifecycleSql: String =
@@ -148,5 +147,14 @@ object FsOps {
         |FROM nation CROSS JOIN (SELECT unnest(['dst','src']) AS which)
         |GROUP BY which ORDER BY which""".stripMargin,
     "fs_checksum" -> fsChecksumSql,
+  )
+
+  /** Registered SORT-FREE (round 15, tranche 3): tiny keyed outputs — the
+    * trailing ORDER BY was comparator-only. fs_ls keeps its sort (unit-only,
+    * no oracle to couple to). */
+  val dumpSort: Map[String, Seq[String]] = Map(
+    "fs_distcp" -> Seq("which"),
+    "fs_checksum" -> Seq("shard"),
+    "fs_lifecycle" -> Seq("step"),
   )
 }

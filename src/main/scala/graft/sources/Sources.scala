@@ -35,7 +35,6 @@ object Sources {
     s.read.text(out)
       .select(length(col("value")).as("line_len"))
       .groupBy("line_len").agg(count(lit(1)).as("n"))
-      .orderBy("line_len")
   }
 
   /** Delimited records with header (KeyValueTextInputFormat / TSV idiom). */
@@ -45,7 +44,6 @@ object Sources {
       .option("header", "true").csv(out)
     s.read.option("header", "true").option("inferSchema", "true").csv(out)
       .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
-      .orderBy("c_custkey")
   }
 
   /** JSON-per-line records. */
@@ -393,14 +391,13 @@ object Sources {
       .agg(count(lit(1)).as("n_nations"),
            sum(col("n_nationkey")).as("key_sum"),
            array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
-      .orderBy("r_regionkey")
   }
 
   val scanHarSql: String =
     """SELECT n_regionkey AS r_regionkey, count(*) AS n_nations,
       |  cast(sum(n_nationkey) as bigint) AS key_sum,
       |  string_agg(n_name, ',' ORDER BY n_name) AS names
-      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM nation GROUP BY 1 ORDER BY r_regionkey""".stripMargin
 
   /** ORC round-trip — the other columnar staple of the Hadoop ecosystem,
     * built into Spark with the same pushdown/pruning machinery as parquet. */
@@ -410,7 +407,6 @@ object Sources {
     s.read.orc(out)
       .where(col("s_acctbal") > 0)
       .select("s_suppkey", "s_name", "s_acctbal")
-      .orderBy("s_suppkey")
   }
 
   /** Avro round-trip — the serialization staple of the Hadoop ecosystem,
@@ -476,7 +472,6 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(out)
     s.read.parquet(out)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
   }
 
   /** Partitioned output dirs (MultipleOutputs idiom): partitionBy on write,
@@ -488,7 +483,6 @@ object Sources {
     s.read.parquet(out)
       .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-      .orderBy("o_orderpriority")
   }
 
   /** Compression codecs on write (gzip/snappy/zstd/lz4 round-trips agree —
@@ -500,7 +494,7 @@ object Sources {
       src.write.mode(SaveMode.Overwrite).option("compression", codec).parquet(out)
       s.read.parquet(out).agg(count(lit(1)).as("n"),
         sum(col("s_suppkey")).as("key_sum")).withColumn("codec", lit(codec))
-    }.reduce(_ unionByName _).orderBy("codec")
+    }.reduce(_ unionByName _)
   }
 
   /** Split sizing control (CombineFileInputFormat idiom): small
@@ -587,7 +581,6 @@ object Sources {
       .agg(count(lit(1)).as("n"),
            count(col("p_retailprice")).as("n_price"),
            sum(graft.Dsl.dec2(col("p_retailprice"))).cast("double").as("price_sum"))
-      .orderBy("gen")
   }
 
   val scanMergeSchemaSql: String =
@@ -633,7 +626,7 @@ object Sources {
       .withColumn("version", lit(1)).withColumn("is_current", lit(1))
     unchanged.unionByName(closedV1).unionByName(newV2)
       .write.mode(SaveMode.Overwrite).parquet(out)
-    s.read.parquet(out).orderBy("c_custkey", "version")
+    s.read.parquet(out)
   }
 
   val sinkScd2Sql: String =
@@ -737,5 +730,14 @@ object Sources {
     "scan_rcfile" -> Seq("p_partkey"),
     "scan_avro" -> Seq("p_partkey"),
     "sink_merge_upsert" -> Seq("key"),
+    "scan_text" -> Seq("line_len"),
+    "scan_csv" -> Seq("c_custkey"),
+    "scan_orc" -> Seq("s_suppkey"),
+    "scan_har" -> Seq("r_regionkey"),
+    "scan_merge_schema" -> Seq("gen"),
+    "sink_parquet" -> Seq("l_returnflag"),
+    "sink_partitioned" -> Seq("o_orderpriority"),
+    "sink_scd2" -> Seq("c_custkey", "version"),
+    "compress_codecs" -> Seq("codec"),
   )
 }

@@ -571,7 +571,6 @@ object Streams {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("event_type")
 
   val streamSinkSql: String =
     """SELECT event_type, count(*) AS cnt FROM events
@@ -679,5 +678,6 @@ object Streams {
     "stream_transform_state" -> Seq("user_id"),
     "stream_join_static" -> Seq("c_mktsegment", "event_type"),
     "stream_join_stream" -> Seq("user_id", "v_id", "p_id"),
+    "stream_sink" -> Seq("event_type"),
   )
 }

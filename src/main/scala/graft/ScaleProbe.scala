@@ -59,7 +59,13 @@ object ScaleProbe {
     val df = if (name == "events") Tables.events(spark, base)
              else Tables.load(spark, base, name)
     val out =
-      if (dims.contains(name) || k == 1) df
+      // k == 1 goes through the SAME copy loop (one copy, i = 0): the
+      // default per-copy perturbations are identity at i = 0, and the
+      // REGIME transforms (randvec, hotkey) are copy-independent — so the
+      // 1x anchor corpus sits in the same regime as the kx corpus instead
+      // of silently keeping the untransformed fixture (round-15 review:
+      // the randvec 1x recall rows had measured the STRUCTURED corpus).
+      if (dims.contains(name)) df
       else {
         val stride = 1000000000L
         val copies = (0 until k).map { i =>
@@ -147,6 +153,11 @@ object ScaleProbe {
     * corpus): the manifest records (base, scaled tables, transform) and a
     * mismatch under reuse forces a rewrite of that dir rather than a
     * wrong-looking ratio. */
+  /** Same-JVM memoization of built corpus dirs (dir -> manifest): a multi-k
+    * probe (RecallProbe ks=64,128) otherwise rewrites the identical x1 dir
+    * once per k even without SPARK_GRAFT_SCALE_REUSE. */
+  private val builtInJvm = scala.collection.concurrent.TrieMap.empty[String, String]
+
   def buildCorpus(spark: SparkSession, base: String, k: Int,
                   scratch: String): (String, String) = {
     val oneDir = s"$scratch/x1"
@@ -169,7 +180,8 @@ object ScaleProbe {
           s"(existing corpus was built with different tables/transform)")
     }
     def reusable(dir: String, n: String): Boolean =
-      reuse && manifestMatches(dir) && written(dir, n)
+      (reuse && manifestMatches(dir) && written(dir, n)) ||
+        (builtInJvm.get(dir).contains(manifest) && written(dir, n))
     Tables.names.foreach(n =>
       if (!reusable(oneDir, n)) scaleTable(spark, base, n, 1, oneDir))
     Tables.names.foreach(n =>
@@ -178,6 +190,7 @@ object ScaleProbe {
     Seq(oneDir, kDir).foreach { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       java.nio.file.Files.writeString(manifestPath(dir), manifest)
+      builtInJvm.put(dir, manifest)
     }
     (oneDir, kDir)
   }

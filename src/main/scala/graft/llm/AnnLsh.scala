@@ -71,10 +71,18 @@ object AnnLsh {
       element_at(col("embedding"), i + 1).cast("double") * lit(planeSign(p, i))
     }.reduce(_ + _)
 
+  /** Sign-bit bucket from per-plane projection expressions — the ONE
+    * formula both join sides derive from: the candidate side feeds raw
+    * projections, the query side feeds its materialized `projs` array.
+    * Any drift between the two sides (threshold, bit encoding) would make
+    * the probe equi-join silently stop finding own-bucket candidates. */
+  private def bucketFromSigns(projExprs: Seq[org.apache.spark.sql.Column]) =
+    projExprs.zipWithIndex.map { case (e, p) =>
+      when(e >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
   private def bucketCol(planes: Int) =
-    (0 until planes).map { p =>
-      when(projection(p) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_)).as("bucket")
+    bucketFromSigns((0 until planes).map(projection)).as("bucket")
 
   def signatures(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -98,9 +106,8 @@ object AnnLsh {
       struct(abs(element_at(col("projs"), p + 1)).as("margin"),
              lit(1L << p).as("bit"))
     }: _*)
-    val bucketFromProjs = (0 until planes).map { p =>
-      when(element_at(col("projs"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    val bucketFromProjs = bucketFromSigns(
+      (0 until planes).map(p => element_at(col("projs"), p + 1)))
     val probes =
       if (m == 0) array(col("bucket"))
       else concat(array(col("bucket")),

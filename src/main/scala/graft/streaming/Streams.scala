@@ -188,8 +188,12 @@ class BufferedAsofProcessor
     if (rest.isEmpty) {
       buf.clear()
       // buffer fully drained: a timer armed earlier would now fire a
-      // pointless no-op flush — remove it so drained keys hold no timers
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // pointless no-op flush — remove it so drained keys hold no timers.
+      // Materialize BEFORE deleting (like the re-arm path below): deleting
+      // under the live listTimers() iterator mutates the timer store
+      // mid-iteration on providers whose iterator is not snapshot-isolated
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+        .foreach(getHandle.deleteTimer)
     } else {
       // ready.isEmpty ⇒ the ListState already holds exactly `rest`
       // (appends land before flush, nothing was removed), so skip the

@@ -22,8 +22,9 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("kmeans is deterministic across runs") {
-    val a = Clustering.kmeans(spark, sfDir).collect().toSeq
-    val b = Clustering.kmeans(spark, sfDir).collect().toSeq
+    // registered sort-free (round 15): impose the compare order in-test
+    val a = Clustering.kmeans(spark, sfDir).orderBy("cid").collect().toSeq
+    val b = Clustering.kmeans(spark, sfDir).orderBy("cid").collect().toSeq
     assert(a == b)
   }
 
@@ -47,8 +48,9 @@ class ClusteringSpec extends SparkSpec {
     // per-(node, block) top-k pass; the all-pairs formulation is the
     // specification it must reproduce — structurally guaranteed (block-local
     // exact top ⊇ global top), and pinned here against implementation bugs
-    val blocked = Similarity.knnGraph(spark, sfDir).collect().toSeq
-    val exact = Similarity.knnGraphExact(spark, sfDir).collect().toSeq
+    // registered sort-free (round 15): impose the compare order in-test
+    val blocked = Similarity.knnGraph(spark, sfDir).orderBy("src", "rk").collect().toSeq
+    val exact = Similarity.knnGraphExact(spark, sfDir).orderBy("src", "rk").collect().toSeq
     assert(blocked == exact)
   }
 

@@ -394,6 +394,15 @@ class ExplainInvariantsSpec extends SparkSpec {
           assert(!items.exists(_.map(_.toUpperCase).contains("DESC")),
             s"$name: oracle ORDER BY uses DESC but Verify's dump sort is " +
               s"ascending-only — orders would diverge: $list")
+          // symmetric guard (round-15 review): Verify's ascending orderBy is
+          // NULLS FIRST (Spark's ASC default) while DuckDB's ASC default is
+          // NULLS LAST — an explicit NULLS suffix (or a null-bearing dump
+          // key relying on either default) would silently diverge the two
+          // total orders on the first NULL-keyed row
+          assert(!items.exists(_.map(_.toUpperCase).contains("NULLS")),
+            s"$name: oracle ORDER BY pins a NULLS ordering the dump sort " +
+              s"cannot reproduce (Spark ASC = NULLS FIRST, DuckDB ASC = " +
+              s"NULLS LAST) — keep dump keys non-null instead: $list")
           val oracleCols = items.map(_.head.toLowerCase.split('.').last)
           assert(oracleCols == cols.map(_.toLowerCase),
             s"$name: dumpSort ${cols.mkString(",")} != oracle ORDER BY $list")

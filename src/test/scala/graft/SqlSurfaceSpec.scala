@@ -161,8 +161,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // top-R is a superset of the global top-R; the merge window applies the
     // same score-desc/id-asc order), same re-rank, same rounding
     import graft.llm.AnnQuantized
+    // registered sort-free (round 15): impose the compare order in-test
     val blocked = AnnQuantized.queries("llm_simsearch_quantized")(spark, sfDir)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
     val exact = AnnQuantized.simsearchQuantizedExact(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     assert(blocked == exact)

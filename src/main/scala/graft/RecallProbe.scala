@@ -64,6 +64,14 @@ object RecallProbe {
     if (sys.env.get("SPARK_GRAFT_SCALE_TABLES").isEmpty)
       sys.error("set SPARK_GRAFT_SCALE_TABLES (normally =embeddings): " +
         "building every table k× for an embeddings-only probe wastes minutes")
+    // reading recall_at_k IS this probe's purpose — an inherited audit-off
+    // switch (e.g. from a ScaleProbe shell) would otherwise surface as an
+    // opaque missing-column AnalysisException deep in the first query
+    // (round-16 ADVICE: mirror the SCALE_TABLES guard)
+    if (sys.props.get("graft.ann.recall").orElse(
+          sys.env.get("SPARK_GRAFT_ANN_RECALL")).contains("0"))
+      sys.error("the recall audit is disabled (graft.ann.recall=0 / " +
+        "SPARK_GRAFT_ANN_RECALL=0) — unset it: RecallProbe reads recall_at_k")
 
     case class Stat(scale: Int, n: Long, nQueries: Long, lost: Long,
                     mean: Double, p10: Double, min: Double, secs: Double)

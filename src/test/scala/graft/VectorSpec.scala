@@ -221,6 +221,60 @@ class VectorSpec extends SparkSpec {
       s"probing ${AnnIvf.NumProbe}x$maxCell of $total is not sublinear")
   }
 
+  test("IVF derived probe count: fixture floor np=2, grows with the codebook, clamped to cells") {
+    // round 16 (verdict item 2): the default was a FIXED np=2 while the
+    // codebook grows ~√n, so the probed-cell fraction shrank with scale
+    // (structureless recall 0.201→0.102→0.094 at 2k→128k→256k). The derived
+    // default now holds the fixture ratio np/cells ≈ 1/22.
+    val n = graft.Tables.countOf(spark, sfDir, "embeddings")
+    val fixtureStride = AnnIvf.strideFor(spark, sfDir)
+    // fixtures (≤ ~2k vectors → ≤ ~45 cells) keep the historical np=2
+    assert(AnnIvf.numProbeFor(spark, sfDir, fixtureStride) == AnnIvf.NumProbe)
+    def derivedAt(stride: Long): Int = AnnIvf.numProbeFor(spark, sfDir, stride)
+    // shrinking the stride = growing the codebook: the derived default must
+    // be non-decreasing in the cell count and strictly larger once cells
+    // grow well past the fixture (the scale-aware move)
+    val cellsAt = (s: Long) => (n + s - 1) / s
+    val strides = Seq(n / 10, n / 50, n / 200).map(math.max(1L, _))
+    val nps = strides.map(derivedAt)
+    assert(nps.zip(nps.tail).forall { case (a, b) => a <= b },
+      s"derived np not monotone in cells: strides=$strides nps=$nps")
+    assert(nps.last > AnnIvf.NumProbe,
+      s"${cellsAt(strides.last)} cells should derive np > ${AnnIvf.NumProbe}, got ${nps.last}")
+    // ratio holds: np ≈ cells/22 (within ceil rounding)
+    strides.foreach { s =>
+      val want = math.max(AnnIvf.NumProbe.toLong,
+        (cellsAt(s) + AnnIvf.ProbeCellDivisor - 1) / AnnIvf.ProbeCellDivisor)
+      assert(derivedAt(s).toLong == math.min(cellsAt(s), want))
+    }
+    // clamp: a one-cell codebook probes exactly one cell
+    assert(derivedAt(n * 2) == 1)
+    // conf still overrides the derived default in both directions
+    spark.conf.set("spark.graft.ivf.numProbe", "7")
+    try assert(derivedAt(strides.last) == 7)
+    finally spark.conf.unset("spark.graft.ivf.numProbe")
+  }
+
+  test("IVF recall is monotone non-decreasing in the probed-cell count") {
+    // top-np centroids are prefix-ordered (cosine desc, cent_id asc), so the
+    // candidate set only grows with np; candidates are ranked by EXACT
+    // cosine, so a displaced top-k member is displaced by a truer neighbor
+    val exact = Similarity.simsearchTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(np: Int): Double = {
+      spark.conf.set("spark.graft.ivf.numProbe", np.toString)
+      try {
+        val ann = AnnIvf.ivfTopk(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        ann.intersect(exact).size.toDouble / exact.size
+      } finally spark.conf.unset("spark.graft.ivf.numProbe")
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2); val r8 = recallAt(8)
+    assert(r2 >= r1, s"recall np=2 ($r2) < np=1 ($r1)")
+    assert(r8 >= r2, s"recall np=8 ($r8) < np=2 ($r2)")
+    assert(r8 > r1, s"7 extra probed cells found nothing new (r1=$r1 r8=$r8)")
+  }
+
   test("embedding near-dup: is_dup iff a smaller-id vector within tau exists") {
     val flagged = Similarity.neardupEmbedding(spark, sfDir)
       .where(col("is_dup")).collect().map(_.getLong(0)).toSet

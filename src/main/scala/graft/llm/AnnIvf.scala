@@ -38,9 +38,12 @@ object AnnIvf {
     * structureless corpus — recall 0.201→0.102→0.094 (2k→128k→256k
     * vectors) at a FIXED np=2 while np=8 read 0.254: the knob worked, the
     * default didn't move with the cell count the way `planesFor`/multi-probe
-    * already adapt LSH. np = max(NumProbe, ⌈cells/22⌉) keeps every fixture
-    * (≤ ~2k vectors, ≤ 45 cells) on the historical np=2 and grows the probe
-    * count with the codebook. Per-query probe cost becomes np·stride ≈ n/22
+    * already adapt LSH. np = max(NumProbe, ⌈cells/22⌉) keeps the small test
+    * fixtures (sf0.01: 7 cells) on the historical np=2 and grows the probe
+    * count with the codebook — the sf0.1 fixture's 45-cell codebook already
+    * derives np=3 (measured structureless recall 0.246 vs np=2's 0.201), and
+    * the 64×/128×/256× probe corpora derive 17/23/33 (recall 0.39/0.43/0.47,
+    * RISING where the fixed default decayed — BASELINE.md round-16 table). Per-query probe cost becomes np·stride ≈ n/22
     * — deliberately the recall end of the recall/throughput trade for the
     * regime where no sublinear probe can hold recall (no locality exists);
     * `spark.graft.ivf.numProbe` still overrides in both directions, and the

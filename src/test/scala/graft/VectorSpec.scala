@@ -228,7 +228,8 @@ class VectorSpec extends SparkSpec {
     // default now holds the fixture ratio np/cells ≈ 1/22.
     val n = graft.Tables.countOf(spark, sfDir, "embeddings")
     val fixtureStride = AnnIvf.strideFor(spark, sfDir)
-    // fixtures (≤ ~2k vectors → ≤ ~45 cells) keep the historical np=2
+    // the sf0.01 test fixture (200 vectors → 7 cells) keeps the historical
+    // np=2 (sf0.1's 45-cell codebook already derives np=3)
     assert(AnnIvf.numProbeFor(spark, sfDir, fixtureStride) == AnnIvf.NumProbe)
     def derivedAt(stride: Long): Int = AnnIvf.numProbeFor(spark, sfDir, stride)
     // shrinking the stride = growing the codebook: the derived default must

@@ -123,16 +123,8 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
     // Dev hook: SPARK_GRAFT_EXTRA_CONF="k=v,k=v" for cross-process config
     // A/B runs (same-JVM A/B is confounded by JIT warmth — see BASELINE.md).
-    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)
-      .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty)
-        .foldLeft(builder) { (b, kv) =>
-          kv.split("=", 2) match {
-            case Array(k, v) => b.config(k, v)
-            case _ => sys.error(
-              s"SPARK_GRAFT_EXTRA_CONF: malformed entry '$kv' (expected key=value)")
-          }
-        })
-      .getOrElse(builder)
+    val spark = Confs.extraConfPairs()
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pre-touch the fixture files into the OS page cache before any timing:

@@ -24,4 +24,27 @@ object Confs {
 
   def longConf(s: SparkSession, key: String): Option[Long] =
     parse(s, key, "an integer", _.toLong)
+
+  /** The SPARK_GRAFT_EXTRA_CONF dev hook ("k=v,k=v" session-conf overrides
+    * for cross-process A/Bs and conf-selected variants), parsed once here
+    * instead of four copies in Bench/Verify/ScaleProbe/RecallProbe.
+    * Key and value are trimmed INDIVIDUALLY: "key = value" used to set a
+    * conf key with a trailing space, which no reader ever matches — the
+    * intended variant silently didn't run in the tool whose job was to run
+    * it (round-16 review). Commas inside values are not representable. */
+  def extraConfPairs(raw: Option[String] = sys.env.get("SPARK_GRAFT_EXTRA_CONF"))
+      : Seq[(String, String)] =
+    raw.filter(_.nonEmpty).toSeq.flatMap {
+      _.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => (k.trim, v.trim)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF: malformed entry '$kv' (expected key=value)")
+        }
+      }.toSeq
+    }
+
+  /** Apply the hook to a live session (Verify/ScaleProbe/RecallProbe). */
+  def applyExtraConf(s: SparkSession): Unit =
+    extraConfPairs().foreach { case (k, v) => s.conf.set(k, v) }
 }

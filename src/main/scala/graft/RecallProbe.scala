@@ -53,14 +53,7 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     // same dev hook as graft.Bench/ScaleProbe: "k=v,k=v" session-conf
     // overrides — here the recall-vs-knob A/Bs (lsh.multiProbe, ivf.numProbe)
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty).foreach {
-      _.split(',').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(ck, cv) => spark.conf.set(ck, cv)
-          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF: malformed '$kv'")
-        }
-      }
-    }
+    graft.Confs.applyExtraConf(spark)
     if (sys.env.get("SPARK_GRAFT_SCALE_TABLES").isEmpty)
       sys.error("set SPARK_GRAFT_SCALE_TABLES (normally =embeddings): " +
         "building every table k× for an embeddings-only probe wastes minutes")

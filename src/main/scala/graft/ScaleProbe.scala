@@ -248,14 +248,7 @@ object ScaleProbe {
       spark.conf.set(graft.llm.Dedup.NeardupCapConf, m))
     // same dev hook as graft.Bench: "k=v,k=v" session-conf overrides for
     // probe-time A/Bs (key-scheme forcing, broadcast-threshold isolation)
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty).foreach {
-      _.split(',').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(ck, cv) => spark.conf.set(ck, cv)
-          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF: malformed '$kv'")
-        }
-      }
-    }
+    graft.Confs.applyExtraConf(spark)
 
     val (oneDir, kDir) = buildCorpus(spark, base, k, scratch)
 

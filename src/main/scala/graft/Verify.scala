@@ -22,14 +22,7 @@ object Verify {
     // session-conf overrides — lets conf-selected variants (e.g. the
     // spark.graft.asof.epochKey two-level as-of) run through the exact
     // verify/compare path. The driver's gate runs with it unset.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty).foreach {
-      _.split(',').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(ck, cv) => spark.conf.set(ck, cv)
-          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF: malformed '$kv'")
-        }
-      }
-    }
+    Confs.applyExtraConf(spark)
     new java.io.File(outDir).mkdirs()
     // A thrown query must leave a LOUD artifact, not just a stderr line: in
     // round 8 a fixture-encoding drift made 43 queries throw at analysis
@@ -59,10 +52,23 @@ object Verify {
           import org.apache.spark.sql.functions.col
           val nulls = spark.read.parquet(s"$outDir/$name")
             .where(ks.map(k => col(k).isNull).reduce(_ || _)).limit(1).count()
-          if (nulls > 0)
+          if (nulls > 0) {
+            // remove the complete-looking dump BEFORE throwing: a guard
+            // failure that leaves a valid parquet dir behind could be
+            // re-read as a pass by a comparator that doesn't cross-check
+            // _failed.json (round-16 review — compare.py now also skips
+            // THREW-IN-VERIFY names, belt and braces)
+            val dir = new java.io.File(s"$outDir/$name")
+            def rm(f: java.io.File): Unit = {
+              if (!Files.isSymbolicLink(f.toPath))
+                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(); ()
+            }
+            rm(dir)
             throw new IllegalStateException(
               s"dumpSort key of '$name' (${ks.mkString(",")}) contains NULLs " +
               "— the cross-engine dump order is undefined for NULL keys")
+          }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -39,6 +39,24 @@ case class AsofStreamRow(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
   * the dim row id (tiebreak). Monotone — see [[LatestDimAsofProcessor]]. */
 case class LastDimState(ts_us: Long, pid: Long)
 
+/** The two primitives every as-of state site shares, in ONE place (round-16
+  * review: three verbatim copies of each had crept in across the
+  * single-level, buffered, and epoch-keyed processors — a future fix to
+  * either would have had to land in lockstep at every site or the
+  * spellings' equality contract silently diverges). */
+object LastDimState {
+  /** µs since epoch. getTime already includes the millisecond part of
+    * nanos; add back the sub-millisecond microseconds so µs-precision
+    * fixture timestamps order exactly. */
+  def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  /** The monotone advance test: candidate `c` replaces the current state
+    * iff strictly later by (ts_us, pid). */
+  def advances(cur: Option[LastDimState], c: LastDimState): Boolean =
+    cur.forall(p => c.ts_us > p.ts_us || (c.ts_us == p.ts_us && c.pid > p.pid))
+}
+
 /** State TTL shared by the stateful processors: None = keep forever (the
   * fixture contract — every key stays live), Some(ms) = expire a key's
   * state that long after its last write. At 100 TB an unbounded key space
@@ -81,11 +99,7 @@ class LatestDimAsofProcessor(ttlMs: Option[Long] = None)
     last = getHandle.getValueState[LastDimState]("lastDim",
       org.apache.spark.sql.Encoders.product[LastDimState], StateTtl.config(ttlMs))
 
-  /** getTime already includes the millisecond part of nanos; add back the
-    * sub-millisecond microseconds so µs-precision fixture timestamps order
-    * exactly. */
-  private def micros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  import LastDimState.{micros, advances}
 
   override def handleInputRows(user: Long, rows: Iterator[AsofStreamRow],
                                tv: TimerValues): Iterator[(Long, Long, String, Option[Long])] = {
@@ -95,8 +109,7 @@ class LatestDimAsofProcessor(ttlMs: Option[Long] = None)
     sorted.foreach { r =>
       if (r.is_dim) {
         val c = LastDimState(micros(r.ts), r.event_id)
-        if (cur.forall(p => c.ts_us > p.ts_us || (c.ts_us == p.ts_us && c.pid > p.pid)))
-          cur = Some(c)
+        if (advances(cur, c)) cur = Some(c)
       } else out += ((r.event_id, user, r.event_type, cur.map(_.pid)))
     }
     cur.foreach(last.update)
@@ -160,8 +173,7 @@ class BufferedAsofProcessor
     eventTime = timeMode == TimeMode.EventTime()
   }
 
-  private def micros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  import LastDimState.{micros, advances}
 
   /** Process finalized rows in event-time order against the monotone
     * latest-dim state: dims advance it, facts emit enriched. */
@@ -174,9 +186,7 @@ class BufferedAsofProcessor
         .foreach { r =>
           if (r.is_dim) {
             val c = LastDimState(micros(r.ts), r.event_id)
-            if (cur.forall(p => c.ts_us > p.ts_us ||
-                                (c.ts_us == p.ts_us && c.pid > p.pid)))
-              cur = Some(c)
+            if (advances(cur, c)) cur = Some(c)
           } else out += ((r.event_id, r.user_id, r.event_type, cur.map(_.pid)))
         }
       cur.foreach(last.update)
@@ -471,23 +481,12 @@ object Streams {
     * collect — and restore the conf before returning. The checkpointed
     * frame is RDD-backed, which graft.Bench already rebuilds per pass
     * (embedsRddState), so bench timings still cover the operator. */
-  private def withBatchTws(s: SparkSession)(body: => DataFrame): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    bootstrapBatchTws(s)
-    try body.localCheckpoint()
-    finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
-    }
-  }
-
-  /** [[withBatchTws]] for a body that ALREADY materializes its stateful
-    * stage internally (the epoch-keyed as-of checkpoints its pass-1 output
-    * to feed two branches): the provider conf can be restored as soon as
-    * the body has built — its downstream plan is state-store-free — and a
-    * second full-output checkpoint would only duplicate the write. */
-  private def withBatchTwsPreMaterialized(s: SparkSession)(body: => DataFrame): DataFrame = {
+  /** The one save/bootstrap/restore block (round-16 review: three verbatim
+    * copies had accumulated across the two batch-tws wrappers and the
+    * StreamingSpec test helper — a conf added to the bootstrap would have
+    * had to land in all three). Callers choose what eager-materialization
+    * (if any) happens inside the scope. */
+  private[graft] def scopedBatchTws[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     bootstrapBatchTws(s)
@@ -497,6 +496,17 @@ object Streams {
       case None => s.conf.unset(key)
     }
   }
+
+  private def withBatchTws(s: SparkSession)(body: => DataFrame): DataFrame =
+    scopedBatchTws(s)(body.localCheckpoint())
+
+  /** [[withBatchTws]] for a body that ALREADY materializes its stateful
+    * stage internally (the epoch-keyed as-of checkpoints its pass-1 output
+    * to feed two branches): the provider conf can be restored as soon as
+    * the body has built — its downstream plan is state-store-free — and a
+    * second full-output checkpoint would only duplicate the write. */
+  private def withBatchTwsPreMaterialized(s: SparkSession)(body: => DataFrame): DataFrame =
+    scopedBatchTws(s)(body)
 
   val streamTransformState: Q = (s, d) => {
     import s.implicits._
@@ -565,7 +575,10 @@ object Streams {
   val streamAsofState: Q = (s, d) =>
     EpochAsof.epochWidthFor(s) match {
       case Some(w) => withBatchTwsPreMaterialized(s) {
-        EpochAsof.latestPurchaseAsofEpoch(asofStreamRows(s, d), w)
+        // ttl honored in BOTH spellings (round-16 review: the epoch branch
+        // silently dropped it)
+        EpochAsof.latestPurchaseAsofEpoch(asofStreamRows(s, d), w,
+          ttlMs = ttlFromConf(s))
       }
       case None => withBatchTws(s) {
         latestPurchaseAsof(asofStreamRows(s, d), ttlFromConf(s))

@@ -41,4 +41,17 @@ class ConfsSpec extends SparkSpec {
       graft.llm.AnnIvf.strideFor(spark, sfDir)) == 3)
     finally spark.conf.unset("spark.graft.ivf.numProbe")
   }
+
+  test("SPARK_GRAFT_EXTRA_CONF pairs trim keys and values individually") {
+    // "key = value" used to set a conf key with a trailing space that no
+    // reader matches — the conf-selected variant silently didn't run in the
+    // tool whose job was to run it (round-16 review)
+    assert(Confs.extraConfPairs(Some("spark.graft.asof.epochKey = 3600")) ==
+      Seq("spark.graft.asof.epochKey" -> "3600"))
+    assert(Confs.extraConfPairs(Some(" a=1 , b = 2 ")) ==
+      Seq("a" -> "1", "b" -> "2"))
+    assert(Confs.extraConfPairs(None).isEmpty)
+    intercept[RuntimeException](Confs.extraConfPairs(Some("noequals")))
+    intercept[RuntimeException](Confs.extraConfPairs(Some("=v")))
+  }
 }

@@ -837,22 +837,11 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow.nonEmpty && viaWindow == viaTws)
   }
 
-  /** Batch tws needs the RocksDB provider + state-store coordinator — the
-    * same scoped bootstrap Streams.withBatchTws does for registrations. */
-  private def withBatchTwsForTest(body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.streams.getClass.getMethods
-      .find(_.getName == "stateStoreCoordinator")
-      .foreach(_.invoke(spark.streams))
-    try body.localCheckpoint()
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
-  }
+  /** Batch tws needs the RocksDB provider + state-store coordinator — reuse
+    * the registrations' scoped bootstrap (round-16 review: this was the
+    * third verbatim copy of the save/bootstrap/restore block). */
+  private def withBatchTwsForTest(body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Streams.scopedBatchTws(spark)(body.localCheckpoint())
 
   test("epoch-keyed as-of batch twin (conf-selected) equals the default registration") {
     // the registered stream_asof_state switches spelling on
@@ -865,6 +854,37 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_.getLong(0))
       assert(base.nonEmpty && base == epoch)
     } finally spark.conf.unset(graft.streaming.EpochAsof.EpochKeyConf)
+  }
+
+  test("epoch-keyed as-of batch twin: both hybrid boundary routes compute the same rows") {
+    // the hybrid resolve routes unresolved (user, epoch) groups by size —
+    // inline-window below the threshold, marker+join at or above it. The
+    // threshold is cost-only: forcing EVERYTHING through the join path
+    // (threshold 1) must produce exactly the default's rows. A narrow epoch
+    // width (60 s) maximizes unresolved groups so both routes carry real
+    // rows.
+    import spark.implicits._
+    import graft.streaming.{AsofStreamRow, EpochAsof}
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_id"),
+              (col("event_type") === "purchase").as("is_dim"), col("event_type"))
+      .as[AsofStreamRow]
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+    val viaDefault = canon(withBatchTwsForTest(
+      EpochAsof.latestPurchaseAsofEpoch(rows, widthSec = 60L)))
+    spark.conf.set(graft.streaming.EpochAsof.JoinMinGroupConf, "1")
+    try {
+      val viaJoinOnly = canon(withBatchTwsForTest(
+        EpochAsof.latestPurchaseAsofEpoch(rows, widthSec = 60L)))
+      assert(viaDefault.nonEmpty && viaDefault == viaJoinOnly)
+    } finally spark.conf.unset(graft.streaming.EpochAsof.JoinMinGroupConf)
+    // and both match the single-level exact as-of
+    val exact = canon(withBatchTwsForTest(
+      Streams.latestPurchaseAsof(rows)))
+    assert(viaDefault == exact)
   }
 
   test("state TTL: a conf-driven TTL expires idle per-user state (processing time)") {

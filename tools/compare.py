@@ -110,6 +110,14 @@ def main():
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
+        # a name recorded THREW-IN-VERIFY stays a failure even when a
+        # (possibly complete) parquet dir is on disk: Verify's post-write
+        # guards throw AFTER the write, and recomputing here would
+        # overwrite the failure — for a no-oracle dumpSort query the
+        # overwrite would even read as a passing ROWS-ONLY (round-16
+        # review)
+        if results.get(name, "").startswith("THREW-IN-VERIFY"):
+            continue
         files = glob.glob(f"{path}/*.parquet")
         if not files:
             results[name] = "EMPTY-OUTPUT"

@@ -58,13 +58,7 @@ object Verify {
             // re-read as a pass by a comparator that doesn't cross-check
             // _failed.json (round-16 review — compare.py now also skips
             // THREW-IN-VERIFY names, belt and braces)
-            val dir = new java.io.File(s"$outDir/$name")
-            def rm(f: java.io.File): Unit = {
-              if (!Files.isSymbolicLink(f.toPath))
-                Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-              f.delete(); ()
-            }
-            rm(dir)
+            Util.deleteRecursively(new java.io.File(s"$outDir/$name"))
             throw new IllegalStateException(
               s"dumpSort key of '$name' (${ks.mkString(",")}) contains NULLs " +
               "— the cross-engine dump order is undefined for NULL keys")

@@ -235,12 +235,7 @@ object SqlSurface {
     * is left alone rather than unconditionally swept. */
   private lazy val ddlScratchDir: String = {
     import java.nio.file.Files
-    def deleteRecursively(f: java.io.File): Unit = {
-      if (!Files.isSymbolicLink(f.toPath)) {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-      }
-      f.delete(); ()
-    }
+    import graft.Util.deleteRecursively
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val prefix = "graft_ddl_scratch_"
     val me = System.getProperty("user.name")

@@ -140,12 +140,16 @@ class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
     }
     // stamp each Unresolved row with its group's unresolved count — the
     // routing signal for the batch twin's hybrid boundary resolve (free
-    // here; an extra aggregation+join downstream would cost a shuffle)
+    // here; an extra aggregation+join downstream would cost a shuffle).
+    // Batch only: the streaming pass 2 ignores gn, so don't pay the
+    // count+copy traversal per micro-batch group there (round-16 review)
     val built = out.result()
-    val nUnres = built.count(_.kind == AsofEpochMid.Unresolved).toLong
-    (if (nUnres == 0) built
-     else built.map(r =>
-       if (r.kind == AsofEpochMid.Unresolved) r.copy(gn = nUnres) else r)).iterator
+    if (batchMode) {
+      val nUnres = built.count(_.kind == AsofEpochMid.Unresolved).toLong
+      (if (nUnres == 0) built
+       else built.map(r =>
+         if (r.kind == AsofEpochMid.Unresolved) r.copy(gn = nUnres) else r)).iterator
+    } else built.iterator
   }
 }
 

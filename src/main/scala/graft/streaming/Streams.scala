@@ -473,19 +473,13 @@ object Streams {
       .foreach(_.invoke(s.streams))
   }
 
-  /** Scope the RocksDB provider conf to the batch tws run (round-13
-    * advisor: the permanent set silently switched the state-store provider
-    * of every later stream_* query on the shared session): save the
-    * previous provider, run `body`'s plan EAGERLY via localCheckpoint —
-    * the state-store execution happens here, executor-side, no driver
-    * collect — and restore the conf before returning. The checkpointed
-    * frame is RDD-backed, which graft.Bench already rebuilds per pass
-    * (embedsRddState), so bench timings still cover the operator. */
-  /** The one save/bootstrap/restore block (round-16 review: three verbatim
-    * copies had accumulated across the two batch-tws wrappers and the
-    * StreamingSpec test helper — a conf added to the bootstrap would have
-    * had to land in all three). Callers choose what eager-materialization
-    * (if any) happens inside the scope. */
+  /** The one save/bootstrap/restore block scoping the RocksDB provider
+    * conf to a batch tws run (round-13 advisor: a permanent set silently
+    * switched the state-store provider of every later stream_* query on
+    * the shared session; round-16 review: three verbatim copies had
+    * accumulated across the two batch-tws wrappers and the StreamingSpec
+    * test helper). Callers choose what eager materialization (if any)
+    * happens inside the scope. */
   private[graft] def scopedBatchTws[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
@@ -497,6 +491,11 @@ object Streams {
     }
   }
 
+  /** Runs `body`'s plan EAGERLY via localCheckpoint inside the provider
+    * scope — the state-store execution happens here, executor-side, no
+    * driver collect. The checkpointed frame is RDD-backed, which
+    * graft.Bench already rebuilds per pass (embedsRddState), so bench
+    * timings still cover the operator. */
   private def withBatchTws(s: SparkSession)(body: => DataFrame): DataFrame =
     scopedBatchTws(s)(body.localCheckpoint())
 

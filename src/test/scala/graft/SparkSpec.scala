@@ -26,13 +26,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Recursive delete for test-scoped scratch dirs (fixture copies written
     * by individual tests must not leak a parquet per run — round-7 advice). */
-  def deleteDir(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-      f.delete(); ()
-    }
-    rec(new java.io.File(path))
-  }
+  def deleteDir(path: String): Unit =
+    Util.deleteRecursively(new java.io.File(path))
 
   override def afterAll(): Unit = {
     // session is shared across suites; do not stop it here

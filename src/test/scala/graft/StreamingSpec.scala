@@ -869,22 +869,36 @@ class StreamingSpec extends SparkSpec {
       .select(col("ts"), col("user_id"), col("event_id"),
               (col("event_type") === "purchase").as("is_dim"), col("event_type"))
       .as[AsofStreamRow]
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => r.getLong(0) ->
+    // rowsOut is asserted alongside the map: the map keys by event_id, so a
+    // fact emitted through BOTH the inline and joined branches would dedup
+    // silently — the count catches duplicate emission (round-16 review)
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect()
+      rows.length -> rows.map(r => r.getLong(0) ->
         (r.getLong(1), r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
         .toMap
-    val viaDefault = canon(withBatchTwsForTest(
-      EpochAsof.latestPurchaseAsofEpoch(rows, widthSec = 60L)))
-    spark.conf.set(graft.streaming.EpochAsof.JoinMinGroupConf, "1")
-    try {
-      val viaJoinOnly = canon(withBatchTwsForTest(
+    }
+    def atThreshold(t: Option[String]) = {
+      t.foreach(spark.conf.set(graft.streaming.EpochAsof.JoinMinGroupConf, _))
+      try canon(withBatchTwsForTest(
         EpochAsof.latestPurchaseAsofEpoch(rows, widthSec = 60L)))
-      assert(viaDefault.nonEmpty && viaDefault == viaJoinOnly)
-    } finally spark.conf.unset(graft.streaming.EpochAsof.JoinMinGroupConf)
-    // and both match the single-level exact as-of
-    val exact = canon(withBatchTwsForTest(
-      Streams.latestPurchaseAsof(rows)))
-    assert(viaDefault == exact)
+      finally if (t.isDefined)
+        spark.conf.unset(graft.streaming.EpochAsof.JoinMinGroupConf)
+    }
+    val (nDefault, viaDefault) = atThreshold(None)
+    assert(nDefault == viaDefault.size, "duplicate event_id in default route")
+    // threshold 1 = every group through the marker+join path; threshold 2 =
+    // MIXED regime (singleton groups inline, multi-fact groups joined) — the
+    // production hot-key shape where one user's window holds both markers
+    // and inline facts across epochs
+    Seq("1", "2").foreach { t =>
+      val (n, via) = atThreshold(Some(t))
+      assert(n == nDefault && via == viaDefault,
+        s"hybrid route at threshold $t diverges (rows $n vs $nDefault)")
+    }
+    // and all match the single-level exact as-of
+    val (nExact, exact) = canon(withBatchTwsForTest(Streams.latestPurchaseAsof(rows)))
+    assert(nExact == nDefault && viaDefault == exact)
   }
 
   test("state TTL: a conf-driven TTL expires idle per-user state (processing time)") {

@@ -153,6 +153,98 @@ class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
   }
 }
 
+/** Watermark-buffered pass 1 for OUT-OF-ORDER streams (round 16, SURVEY
+  * open edge (a)): the epoch-keyed twin of [[BufferedAsofProcessor]] —
+  * rows buffer per (user, epoch) until the event-time watermark passes
+  * them, then finalize against the epoch-local monotone latest-dim exactly
+  * like [[EpochLocalAsofProcessor]], emitting Resolved / Unresolved /
+  * Summary mid rows for [[BoundaryResolveProcessor]].
+  *
+  * Cross-epoch ordering holds WITHOUT an in-order input contract: a fact
+  * of epoch e finalizes only once the watermark passes its timestamp, and
+  * every prefix dim (epochs < e) has a strictly smaller timestamp, so its
+  * Summary finalizes in the same or an earlier micro-batch — and pass 2
+  * merges a batch's rows in (epoch, kind) order, so same-batch arrivals
+  * resolve correctly too. A dim later than the watermark horizon degrades
+  * exactly like the single-level monotone state: applied iff it still
+  * advances (epoch-local, then prefix).
+  *
+  * The buffering mechanics (partition-by-watermark, rewrite-skip on
+  * no-flush batches, single armed timer per key, the max(wm, expiry) fired-
+  * timer proof) copy [[BufferedAsofProcessor]] — see its docs for why each
+  * exists; they are measured/pinned there. */
+class EpochBufferedAsofProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), AsofStreamRow, AsofEpochMid] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig}
+  @transient private var last: ValueState[LastDimState] = _
+  @transient private var buf: ListState[AsofStreamRow] = _
+
+  // TTL-less like BufferedAsofProcessor: TTL needs ProcessingTime, the
+  // buffered flush needs EventTime — structurally exclusive in Spark
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    last = getHandle.getValueState[LastDimState]("epochDim",
+      org.apache.spark.sql.Encoders.product[LastDimState], TTLConfig.NONE)
+    buf = getHandle.getListState[AsofStreamRow]("buffer",
+      org.apache.spark.sql.Encoders.product[AsofStreamRow], TTLConfig.NONE)
+  }
+
+  import LastDimState.{micros, advances}
+
+  private def finalizeRows(key: (Long, Long),
+                           ready: Vector[AsofStreamRow]): Iterator[AsofEpochMid] =
+    if (ready.isEmpty) Iterator.empty
+    else {
+      val (user, epoch) = key
+      val before = if (last.exists()) Some(last.get()) else None
+      var cur = before
+      val out = Vector.newBuilder[AsofEpochMid]
+      ready.sortBy(r => (micros(r.ts), if (r.is_dim) 0 else 1, r.event_id))
+        .foreach { r =>
+          if (r.is_dim) {
+            val c = LastDimState(micros(r.ts), r.event_id)
+            if (advances(cur, c)) cur = Some(c)
+          } else cur match {
+            case Some(c) => out += AsofEpochMid(AsofEpochMid.Resolved, user,
+              epoch, r.event_id, r.event_type, 0L, Some(c.pid))
+            case None => out += AsofEpochMid(AsofEpochMid.Unresolved, user,
+              epoch, r.event_id, r.event_type, 0L, None)
+          }
+        }
+      if (cur != before) {
+        cur.foreach(last.update)
+        cur.foreach(c => out += AsofEpochMid(AsofEpochMid.Summary, user, epoch,
+          0L, "", c.ts_us, Some(c.pid)))
+      }
+      out.result().iterator
+    }
+
+  private def flush(key: (Long, Long), wmMs: Long): Iterator[AsofEpochMid] = {
+    val (ready, rest) = buf.get().toVector.partition(_.ts.getTime < wmMs)
+    if (rest.isEmpty) {
+      buf.clear()
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+        .foreach(getHandle.deleteTimer)
+    } else {
+      if (ready.nonEmpty) buf.put(rest.toArray)
+      val want = rest.iterator.map(_.ts.getTime).min + 1L
+      val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+      armed.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
+      if (!armed.contains(want)) getHandle.registerTimer(want)
+    }
+    finalizeRows(key, ready)
+  }
+
+  override def handleInputRows(key: (Long, Long), rows: Iterator[AsofStreamRow],
+                               tv: TimerValues): Iterator[AsofEpochMid] = {
+    buf.appendList(rows.toArray)
+    flush(key, tv.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[AsofEpochMid] =
+    flush(key, math.max(tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs()))
+}
+
 /** Pass 2: boundary resolution. Split key: (true, event_id) rows are
   * resolved facts passing through stateless and parallel; (false, user_id)
   * rows are the user's summaries + unresolved facts, resolved against the
@@ -208,6 +300,33 @@ object EpochAsof {
 
   def epochWidthFor(s: org.apache.spark.sql.SparkSession): Option[Long] =
     graft.Confs.longConf(s, EpochKeyConf).filter(_ > 0)
+
+  /** Out-of-order STREAMING spelling of the epoch escape (SURVEY open edge
+    * (a), built same round): watermark-buffered epoch-local pass 1
+    * ([[EpochBufferedAsofProcessor]]) chained into the boundary resolve.
+    * The stream must carry a watermark on `ts` (EventTime mode). Streaming
+    * only by construction — the BATCH twin of the buffered escape is
+    * [[latestPurchaseAsofEpoch]] itself: batch mode flushes everything, the
+    * exact as-of, which is also why the `stream_asof_buffered` registration
+    * reuses it under the conf. */
+  def latestPurchaseAsofBufferedEpoch(rows: org.apache.spark.sql.Dataset[AsofStreamRow],
+                                      widthSec: Long): DataFrame = {
+    import rows.sparkSession.implicits._
+    val widthUs = widthSec * 1000000L
+    // no TTL parameter ON PURPOSE: Spark allows state TTL only under
+    // ProcessingTime, and the buffered spelling NEEDS EventTime (the
+    // watermark drives the flush) — same structural constraint as
+    // BufferedAsofProcessor, which also runs TTL-less
+    rows.groupByKey(r =>
+        (r.user_id, Math.floorDiv(LastDimState.micros(r.ts), widthUs)))
+      .transformWithState(new EpochBufferedAsofProcessor(),
+        TimeMode.EventTime(), OutputMode.Append())
+      .groupByKey(r =>
+        if (r.kind == AsofEpochMid.Resolved) (true, r.event_id) else (false, r.user_id))
+      .transformWithState(new BoundaryResolveProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF("event_id", "user_id", "event_type", "last_purchase_id")
+  }
 
   /** The two-pass epoch-keyed as-of; same output contract as
     * [[Streams.latestPurchaseAsof]].

@@ -590,8 +590,19 @@ object Streams {
     * variant needs no cross-batch ordering — the MemoryStream spec delivers
     * facts out of order across micro-batches and still matches the oracle. */
   val streamAsofBuffered: Q = (s, d) =>
-    withBatchTws(s) {
-      latestPurchaseAsofBuffered(asofStreamRows(s, d))
+    EpochAsof.epochWidthFor(s) match {
+      // the epoch escape's BATCH twin is the same exact as-of for both
+      // family members (batch flushes everything), so the buffered
+      // registration reuses it under the conf; what differs is the
+      // STREAMING spelling (EpochBufferedAsofProcessor, spec-pinned on an
+      // out-of-order MemoryStream)
+      case Some(w) => withBatchTwsPreMaterialized(s) {
+        EpochAsof.latestPurchaseAsofEpoch(asofStreamRows(s, d), w,
+          ttlMs = ttlFromConf(s))
+      }
+      case None => withBatchTws(s) {
+        latestPurchaseAsofBuffered(asofStreamRows(s, d))
+      }
     }
 
   val streamAsofStateSql: String =

@@ -496,6 +496,81 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("epoch-buffered as-of: out-of-order rows across micro-batches resolve in-epoch AND via the boundary prefix") {
+    // The streaming spelling of the epoch escape for the OUT-OF-ORDER
+    // family (SURVEY open edge (a)): EpochBufferedAsofProcessor buffers per
+    // (user, epoch) until the watermark passes, then chains into the same
+    // BoundaryResolveProcessor. Width 600 s splits the fixture below into
+    // epoch A (10:00-10:10, holds dim 100) and epoch B (10:10-10:20):
+    // fact 2 @10:10:30 precedes epoch B's first dim → must resolve via the
+    // cross-epoch PREFIX (dim 100); fact 1 @10:15 follows the OUT-OF-ORDER
+    // dim 101 @10:11 → must resolve in-epoch — the in-order epoch spelling
+    // would have answered 100 for it.
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{AsofStreamRow, EpochAsof}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[AsofStreamRow]
+    val q = EpochAsof.latestPurchaseAsofBufferedEpoch(
+        mem.toDS().withWatermark("ts", "30 minutes"), widthSec = 600L)
+      .writeStream.format("memory").queryName("asof_buf_epoch_t")
+      .outputMode(OutputMode.Append()).start()
+    def dim(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = true, "purchase")
+    def fact(t: String, u: Long, id: Long) =
+      AsofStreamRow(ts(t), u, id, is_dim = false, "view")
+    def table() = spark.table("asof_buf_epoch_t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    try {
+      // batch 1: epoch-A dim + a LATER epoch-B fact; user 9 moves the
+      // watermark. wm after batch 1 = 09:50 → nothing finalizes.
+      mem.addData(
+        dim("2024-01-01 10:00:00", 1, 100), fact("2024-01-01 10:15:00", 1, 1),
+        fact("2024-01-01 10:20:00", 9, 90))
+      q.processAllAvailable()
+      assert(!table().contains(1L), s"fact 1 must still be buffered: ${table()}")
+      // batch 2: the OUT-OF-ORDER epoch-B dim (10:11) and the pre-dim
+      // epoch-B fact (10:10:30), plus the mover. Eviction wm reaches 10:20.
+      mem.addData(
+        dim("2024-01-01 10:11:00", 1, 101), fact("2024-01-01 10:10:30", 1, 2),
+        fact("2024-01-01 10:50:00", 9, 91))
+      q.processAllAvailable()
+      // batch 3: mover only — remaining epoch-B rows drain on timers.
+      mem.addData(fact("2024-01-01 11:30:00", 9, 92))
+      q.processAllAvailable()
+      val got = table()
+      assert(got.get(1L) === Some(Some(101L)),
+        s"fact 1 must see the out-of-order in-epoch dim 101: $got")
+      assert(got.get(2L) === Some(Some(100L)),
+        s"fact 2 precedes epoch B's dims — boundary prefix must answer 100: $got")
+      mem.addData(fact("2024-01-01 12:00:00", 9, 93))
+      q.processAllAvailable()
+      assert(table().get(90L) === Some(None), s"fact 90 has no dim: ${table()}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("epoch-buffered as-of batch registration (conf-selected) equals the default") {
+    // stream_asof_buffered under epochKey reuses the epoch batch twin —
+    // batch mode flushes everything, so both spellings are the exact as-of
+    val base = Streams.streamAsofBuffered(spark, sfDir).collect().toSeq
+      .sortBy(_.getLong(0))
+    spark.conf.set(graft.streaming.EpochAsof.EpochKeyConf, "3600")
+    try {
+      val epoch = Streams.streamAsofBuffered(spark, sfDir).collect().toSeq
+        .sortBy(_.getLong(0))
+      assert(base.nonEmpty && base == epoch)
+    } finally spark.conf.unset(graft.streaming.EpochAsof.EpochKeyConf)
+  }
+
   test("buffered as-of: a batch that flushes nothing performs NO buffer rewrite (write amplification)") {
     // Round-15 fix (r14 verdict finding #1): flush() used to re-put the
     // whole ListState buffer every micro-batch even when the watermark
@@ -624,6 +699,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Seeded random fixture for the shuffled-stream equality pins: 5 users ×
+    * 60 rows over one day, ~25% dims, ms-precision random times. */
+  private def randomAsofRows(seed: Long): Vector[graft.streaming.AsofStreamRow] = {
+    import graft.streaming.AsofStreamRow
+    val rnd = new scala.util.Random(seed)
+    val base = ts("2024-01-01 00:00:00").getTime
+    (for (u <- 1L to 5L; i <- 1 to 60) yield {
+      val t = new Timestamp(base + rnd.nextInt(24 * 3600) * 1000L + rnd.nextInt(1000))
+      val isDim = rnd.nextInt(4) == 0
+      AsofStreamRow(t, u, u * 1000 + i, isDim, if (isDim) "purchase" else "view")
+    }).toVector
+  }
+
+  /** Independent plain-Scala reference: per user, event-time order (dims
+    * before facts at equal ts), monotone latest-(ts,id) dim cell. */
+  private def exactAsof(rs: Seq[graft.streaming.AsofStreamRow]): Map[Long, Option[Long]] =
+    rs.groupBy(_.user_id).values.flatMap { users =>
+      var cur: Option[(Long, Long)] = None
+      users.sortBy(r => (r.ts.getTime, if (r.is_dim) 0 else 1, r.event_id))
+        .flatMap { r =>
+          if (r.is_dim) {
+            if (cur.forall(c => c._1 < r.ts.getTime ||
+                                (c._1 == r.ts.getTime && c._2 < r.event_id)))
+              cur = Some((r.ts.getTime, r.event_id))
+            None
+          } else Some(r.event_id -> cur.map(_._2))
+        }
+    }.toMap
+
   test("buffered as-of: randomized fully-shuffled stream equals the exact as-of") {
     implicit val sq = spark.sqlContext
     import graft.streaming.AsofStreamRow
@@ -633,27 +737,7 @@ class StreamingSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val rnd = new scala.util.Random(20260815L)
     val base = ts("2024-01-01 00:00:00").getTime
-    // 5 users × 60 rows over one day, ~25% dims, ms-precision random times
-    val rows = (for (u <- 1L to 5L; i <- 1 to 60) yield {
-      val t = new Timestamp(base + rnd.nextInt(24 * 3600) * 1000L + rnd.nextInt(1000))
-      val isDim = rnd.nextInt(4) == 0
-      AsofStreamRow(t, u, u * 1000 + i, isDim, if (isDim) "purchase" else "view")
-    }).toVector
-    // independent plain-Scala reference: per user, event-time order (dims
-    // before facts at equal ts), monotone latest-(ts,id) dim cell
-    def exactAsof(rs: Seq[AsofStreamRow]): Map[Long, Option[Long]] =
-      rs.groupBy(_.user_id).values.flatMap { users =>
-        var cur: Option[(Long, Long)] = None
-        users.sortBy(r => (r.ts.getTime, if (r.is_dim) 0 else 1, r.event_id))
-          .flatMap { r =>
-            if (r.is_dim) {
-              if (cur.forall(c => c._1 < r.ts.getTime ||
-                                  (c._1 == r.ts.getTime && c._2 < r.event_id)))
-                cur = Some((r.ts.getTime, r.event_id))
-              None
-            } else Some(r.event_id -> cur.map(_._2))
-          }
-      }.toMap
+    val rows = randomAsofRows(20260815L)
     val expected = exactAsof(rows)
     assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty),
       "fixture must exercise both matched and before-first-dim facts")
@@ -673,6 +757,51 @@ class StreamingSpec extends SparkSpec {
       mem.addData(mover)
       q.processAllAvailable()
       val got = spark.table("asof_rand_t").where(col("user_id") =!= 999L)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got == expected,
+        s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("epoch-buffered as-of: randomized fully-shuffled stream equals the exact as-of") {
+    // the same fully-shuffled torture fixture, through the EPOCH-keyed
+    // buffered spelling with hourly epochs (24 epochs/user over the one-day
+    // span — both the in-epoch and the boundary-prefix path carry real
+    // rows under arbitrary arrival order). A different seed than the
+    // single-level test so the two pins don't share a fixture.
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{AsofStreamRow, EpochAsof}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = randomAsofRows(20260816L)
+    val expected = exactAsof(rows)
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty),
+      "fixture must exercise both matched and before-first-dim facts")
+    val rnd = new scala.util.Random(20260816L)
+    val shuffled = rnd.shuffle(rows)
+    val mover = AsofStreamRow(new Timestamp(
+      ts("2024-01-01 00:00:00").getTime + 6L * 24 * 3600 * 1000L),
+      999L, 999999L, is_dim = false, "view")
+    val mem = MemoryStream[AsofStreamRow]
+    val q = EpochAsof.latestPurchaseAsofBufferedEpoch(
+        mem.toDS().withWatermark("ts", "2 days"), widthSec = 3600L)
+      .writeStream.format("memory").queryName("asof_rand_epoch_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shuffled.grouped(45).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(mover)
+      q.processAllAvailable()
+      val got = spark.table("asof_rand_epoch_t").where(col("user_id") =!= 999L)
         .collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
         .toMap

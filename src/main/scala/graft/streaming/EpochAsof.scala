@@ -3,12 +3,14 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
 
-/** Two-level-key skew escape for the stateful streaming as-of (round 16 —
-  * the round-15 verdict's one unbuilt item): the same enrichment contract as
+/** Two-level-key skew escape for the stateful streaming as-of family
+  * (round 16 — the round-15 verdict's one unbuilt item, later extended to
+  * the out-of-order member): the same enrichment contract as
   * [[LatestDimAsofProcessor]] (each fact gets the user's most recent dim
-  * at-or-before its event time, dim side unbounded, in-order stream), but
-  * keyed so that ONE hot user no longer serializes its whole stream through
-  * a single task.
+  * at-or-before its event time, dim side unbounded; in-order stream for
+  * the [[EpochLocalAsofProcessor]] spelling, watermark-bounded disorder
+  * for [[EpochBufferedAsofProcessor]]), but keyed so that ONE hot user no
+  * longer serializes its whole stream through a single task.
   *
   * Why: keyed-state operators process each key in one task. The round-15
   * hot-key probe measured a 50%-hot key costing 2.6× (`stream_asof_state`) /
@@ -284,9 +286,10 @@ class BoundaryResolveProcessor(ttlMs: Option[Long] = None)
 }
 
 object EpochAsof {
-  /** Session conf selecting the two-level spelling of `stream_asof_state`:
-    * the epoch width in SECONDS (e.g. 3600 = hourly epochs). Unset or ≤ 0
-    * keeps the single-level [[LatestDimAsofProcessor]] default. */
+  /** Session conf selecting the two-level spelling of the stateful as-of
+    * family (`stream_asof_state` AND `stream_asof_buffered`): the epoch
+    * width in SECONDS (e.g. 3600 = hourly epochs). Unset or ≤ 0 keeps the
+    * single-level defaults. */
   val EpochKeyConf = "spark.graft.asof.epochKey"
 
   /** Batch-twin hybrid routing threshold: an unresolved (user, epoch) group

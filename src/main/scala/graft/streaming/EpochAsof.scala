@@ -174,21 +174,44 @@ class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
   * The buffering mechanics (partition-by-watermark, rewrite-skip on
   * no-flush batches, single armed timer per key, the max(wm, expiry) fired-
   * timer proof) copy [[BufferedAsofProcessor]] — see its docs for why each
-  * exists; they are measured/pinned there. */
-class EpochBufferedAsofProcessor
+  * exists; they are measured/pinned there.
+  *
+  * State lifecycle (round-17, the round-16 ADVICE item): unlike the
+  * single-level spelling — whose `lastDim` key space is bounded by #users —
+  * this processor's keys are (user, epoch), a space that grows linearly
+  * with ELAPSED TIME. TTL can't bound it (Spark allows state TTL only
+  * under ProcessingTime; the buffered flush needs EventTime), so the bound
+  * is an event-time CLEANUP TIMER per key at the epoch's upper bound + 1 ms:
+  * it fires once the eviction watermark passes the epoch's end — the
+  * moment after which any further row for this epoch is by definition late
+  * (its timestamp lies inside the epoch, hence behind the watermark) and
+  * already degrades by the documented late-row contract — drains whatever
+  * the horizon still buffers, and clears the `epochDim` cell, removing the
+  * key entirely. Live state is therefore O(users × epochs-inside-the-
+  * watermark-horizon), not O(users × elapsed epochs). The cleanup expiry
+  * can never collide with a row-drain timer: drain timers are
+  * (min buffered ts ms + 1) ≤ epoch-end ms (rows live inside their epoch
+  * by key construction), strictly below epoch-end + 1. */
+class EpochBufferedAsofProcessor(widthSec: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), AsofStreamRow, AsofEpochMid] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig}
   @transient private var last: ValueState[LastDimState] = _
   @transient private var buf: ListState[AsofStreamRow] = _
+  @transient private var runId: java.util.UUID = _
 
-  // TTL-less like BufferedAsofProcessor: TTL needs ProcessingTime, the
-  // buffered flush needs EventTime — structurally exclusive in Spark
+  // TTL-less like BufferedAsofProcessor (TTL needs ProcessingTime, the
+  // buffered flush needs EventTime); the state bound is the cleanup timer
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     last = getHandle.getValueState[LastDimState]("epochDim",
       org.apache.spark.sql.Encoders.product[LastDimState], TTLConfig.NONE)
     buf = getHandle.getListState[AsofStreamRow]("buffer",
       org.apache.spark.sql.Encoders.product[AsofStreamRow], TTLConfig.NONE)
+    runId = BufferedAsofProcessor.runIdOf(getHandle)
   }
+
+  /** First ms at which this key's state-cleanup timer may fire: strictly
+    * after the last possible row-drain timer of the epoch (see class doc). */
+  private def cleanupAt(epoch: Long): Long = (epoch + 1L) * widthSec * 1000L + 1L
 
   import LastDimState.{micros, advances}
 
@@ -220,19 +243,27 @@ class EpochBufferedAsofProcessor
       out.result().iterator
     }
 
-  private def flush(key: (Long, Long), wmMs: Long): Iterator[AsofEpochMid] = {
+  /** Like [[BufferedAsofProcessor.flush]] plus the cleanup timer: the
+    * drain-timer bookkeeping never touches the cleanup expiry, and every
+    * flush keeps it armed (`armCleanup = false` only on its own fire —
+    * Spark auto-removes a fired timer, and re-arming it there would leak
+    * an eternal timer for a key whose state is gone). */
+  private def flush(key: (Long, Long), wmMs: Long,
+                    armCleanup: Boolean = true): Iterator[AsofEpochMid] = {
+    val cleanup = cleanupAt(key._2)
     val (ready, rest) = buf.get().toVector.partition(_.ts.getTime < wmMs)
+    val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
     if (rest.isEmpty) {
       buf.clear()
-      getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
-        .foreach(getHandle.deleteTimer)
+      armed.iterator.filter(_ != cleanup).foreach(getHandle.deleteTimer)
     } else {
       if (ready.nonEmpty) buf.put(rest.toArray)
       val want = rest.iterator.map(_.ts.getTime).min + 1L
-      val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
-      armed.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
+      armed.iterator.filter(t => t != want && t != cleanup)
+        .foreach(getHandle.deleteTimer)
       if (!armed.contains(want)) getHandle.registerTimer(want)
     }
+    if (armCleanup && !armed.contains(cleanup)) getHandle.registerTimer(cleanup)
     finalizeRows(key, ready)
   }
 
@@ -243,8 +274,39 @@ class EpochBufferedAsofProcessor
   }
 
   override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
-                                  info: ExpiredTimerInfo): Iterator[AsofEpochMid] =
-    flush(key, math.max(tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs()))
+                                  info: ExpiredTimerInfo): Iterator[AsofEpochMid] = {
+    val wm = math.max(tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs())
+    if (info.getExpiryTimeInMs() == cleanupAt(key._2)) {
+      // the watermark passed the epoch's end: drain everything (wm ≥
+      // epoch-end + 1 covers every row of this epoch) and drop the
+      // epochDim cell — the key's state is now empty and it holds no
+      // timers, so it is fully removed from the store
+      val out = flush(key, wm, armCleanup = false)
+      if (last.exists()) {
+        last.clear()
+        EpochBufferedAsofProcessor.bumpCleanup(runId)
+      }
+      out
+    } else flush(key, wm)
+  }
+}
+
+object EpochBufferedAsofProcessor {
+  /** Dev diagnostic mirroring [[BufferedAsofProcessor.stateRewrites]]
+    * (per-run scoped for the same verdict-#4 reason): `epochDim` cells
+    * cleared by fired cleanup timers — the StreamingSpec state-lifecycle
+    * case pins that a watermark passing an epoch's end actually removes
+    * its state. Not part of the library surface. */
+  private val cleanups =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.util.concurrent.atomic.AtomicLong]
+
+  private[streaming] def bumpCleanup(runId: java.util.UUID): Unit =
+    cleanups.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
+
+  /** Epoch-dim cells cleared by the run with this id (0 if none yet). */
+  def stateCleanups(runId: java.util.UUID): Long =
+    Option(cleanups.get(runId)).fold(0L)(_.get())
 }
 
 /** Pass 2: boundary resolution. Split key: (true, event_id) rows are
@@ -319,10 +381,13 @@ object EpochAsof {
     // no TTL parameter ON PURPOSE: Spark allows state TTL only under
     // ProcessingTime, and the buffered spelling NEEDS EventTime (the
     // watermark drives the flush) — same structural constraint as
-    // BufferedAsofProcessor, which also runs TTL-less
+    // BufferedAsofProcessor, which also runs TTL-less. The (user, epoch)
+    // key space is instead bounded by the per-key cleanup timer (see the
+    // processor's state-lifecycle doc): each key self-destructs once the
+    // watermark passes its epoch's end
     rows.groupByKey(r =>
         (r.user_id, Math.floorDiv(LastDimState.micros(r.ts), widthUs)))
-      .transformWithState(new EpochBufferedAsofProcessor(),
+      .transformWithState(new EpochBufferedAsofProcessor(widthSec),
         TimeMode.EventTime(), OutputMode.Append())
       .groupByKey(r =>
         if (r.kind == AsofEpochMid.Resolved) (true, r.event_id) else (false, r.user_id))

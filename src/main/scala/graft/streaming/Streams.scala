@@ -144,17 +144,36 @@ class LatestDimAsofProcessor(ttlMs: Option[Long] = None)
   * mode, and Spark forbids TTL outside ProcessingTime mode, so the state
   * here is TTL-less; horizon-bounded buffering is the expiry story. */
 object BufferedAsofProcessor {
-  /** Dev diagnostic (local-mode JVM-wide): full-buffer ListState rewrites
-    * performed by [[BufferedAsofProcessor.flush]]. The round-15 fix skips
-    * the rewrite on batches that flush nothing — a key inside a long
-    * watermark horizon previously paid an O(horizon) state write per
-    * micro-batch — and the StreamingSpec write-amplification case pins that
-    * by asserting this stays 0 across no-flush batches. Not part of the
-    * library surface. Single-writer assumption: the spec's delta-assert is
-    * only sound while no two BufferedAsofProcessor queries run concurrently
-    * in one JVM (true today — sequential suites); scope by queryName/runId
-    * before ever parallelizing them. */
-  val stateRewrites = new java.util.concurrent.atomic.AtomicLong
+  /** Dev diagnostic: full-buffer ListState rewrites performed by
+    * [[BufferedAsofProcessor.flush]], scoped PER STREAMING RUN (round-16
+    * verdict #4 — the former JVM-global AtomicLong made the StreamingSpec
+    * write-amplification delta-assert sound only under a documented
+    * single-writer assumption; keying by the query's runId, read off
+    * `getHandle.getQueryInfo` at init, replaces that assumption with
+    * structure: concurrent BufferedAsofProcessor queries in one JVM count
+    * separately, spec-pinned with two live queries). The round-15 fix the
+    * counter exists to pin: flush skips the rewrite on batches that flush
+    * nothing — a key inside a long watermark horizon previously paid an
+    * O(horizon) state write per micro-batch. Not part of the library
+    * surface; entries are never evicted (a handful of UUIDs per test JVM —
+    * dev-only, bounded by #runs). */
+  private val rewrites =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.util.concurrent.atomic.AtomicLong]
+
+  private[streaming] def bumpRewrite(runId: java.util.UUID): Unit =
+    rewrites.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
+
+  /** Rewrites performed by the run with this id (0 if it never rewrote). */
+  def stateRewrites(runId: java.util.UUID): Long =
+    Option(rewrites.get(runId)).fold(0L)(_.get())
+
+  /** Fallback runId when no streaming QueryInfo exists (the batch twin —
+    * which never calls flush, so never counts). */
+  private[streaming] val NoRun = new java.util.UUID(0L, 0L)
+
+  private[streaming] def runIdOf(h: org.apache.spark.sql.streaming.StatefulProcessorHandle): java.util.UUID =
+    try h.getQueryInfo.getRunId catch { case _: Exception => NoRun }
 }
 
 class BufferedAsofProcessor
@@ -164,6 +183,7 @@ class BufferedAsofProcessor
   @transient private var last: ValueState[LastDimState] = _
   @transient private var buf: ListState[AsofStreamRow] = _
   @transient private var eventTime: Boolean = _
+  @transient private var runId: java.util.UUID = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     last = getHandle.getValueState[LastDimState]("lastDim",
@@ -171,6 +191,7 @@ class BufferedAsofProcessor
     buf = getHandle.getListState[AsofStreamRow]("buffer",
       org.apache.spark.sql.Encoders.product[AsofStreamRow], TTLConfig.NONE)
     eventTime = timeMode == TimeMode.EventTime()
+    runId = BufferedAsofProcessor.runIdOf(getHandle)
   }
 
   import LastDimState.{micros, advances}
@@ -213,7 +234,7 @@ class BufferedAsofProcessor
       // rewrite: a key inside a long watermark horizon would otherwise
       // pay an O(horizon) RocksDB write per micro-batch
       if (ready.nonEmpty) {
-        BufferedAsofProcessor.stateRewrites.incrementAndGet()
+        BufferedAsofProcessor.bumpRewrite(runId)
         buf.put(rest.toArray)
       }
       // keep exactly one armed timer per key: registering a duplicate

@@ -26,10 +26,48 @@ import graft.Tables
 object AnnIvf {
   val CentroidStride = 32
   val NumProbe = 2
+  val NumProbeConf = "spark.graft.ivf.numProbe"
 
   /** The derived default's probed-cell ratio: [[NumProbe]] probes of the
     * ~44-cell sf0.1 fixture codebook ≈ 1/22 of the cells. */
   val ProbeCellDivisor = 22L
+
+  /** Locality advisory knobs (round 17 — round-16 open edge (b) made
+    * actionable WITHOUT changing the default): the scale-derived probe
+    * count holds recall on structureless corpora but pays a measured 3.0×
+    * probe wall (11.96 vs 3.96 s at the 64× corpus, BASELINE.md round-16)
+    * even where cluster locality would let np=2 keep recall 1.0. A
+    * heuristic default that silently switches probe cost on a sampled
+    * statistic was judged worse than a documented knob, so the regime
+    * detection is an ADVISORY: a deterministic md5-selected query sample is
+    * probed at np=[[NumProbe]] AND at the derived np, and when the two
+    * top-k lists agree at ≥ [[LocalityAgreeThreshold]] — the extra probes
+    * found nothing the first two cells didn't — a log warning names the
+    * `spark.graft.ivf.numProbe=2` escape. Runs only when the derived np ≥
+    * [[LocalityMinNp]] (the fixtures derive 2-3 → zero cost there), never
+    * when the user set the conf explicitly (their decision stands), and
+    * costs two sample-sized probes ≈ sampleN/|Q| of the main query.
+    * `spark.graft.ivf.localitySample` sizes the sample (0 disables). */
+  val LocalitySampleConf = "spark.graft.ivf.localitySample"
+  val LocalitySampleDefault = 24
+  val LocalityMinNp = 4
+  val LocalityAgreeThreshold = 0.95
+
+  /** Pure decision for the locality advisory — asserted in VectorSpec.
+    * Some(advisory) when the sampled agreement says the derived probe count
+    * is paying for nothing; None inside the structureless regime the
+    * derived default exists for. */
+  def localityAdvisory(agreement: Double, derivedNp: Int, sampleN: Int): Option[String] =
+    if (derivedNp < LocalityMinNp || sampleN <= 0 ||
+        agreement < LocalityAgreeThreshold) None
+    else Some(
+      f"IVF locality advisory: on a deterministic $sampleN-query sample, " +
+      f"np=$NumProbe reproduces the derived np=$derivedNp top-k at " +
+      f"agreement=$agreement%.3f (>= $LocalityAgreeThreshold) — the corpus " +
+      "is cluster-local and the scale-derived probe count is paying its " +
+      "measured ~3x probe cost (64x corpus, BASELINE.md round-16) for " +
+      s"little recall. Consider $NumProbeConf=$NumProbe for this corpus; " +
+      "the scale-safe derived default is unchanged.")
 
   /** Scale-aware default probe count (round 16 — the round-15 verdict's
     * item 2): hold the probed-cell FRACTION roughly at the fixture
@@ -54,7 +92,7 @@ object AnnIvf {
     val derived = math.max(NumProbe.toLong,
       (cells + ProbeCellDivisor - 1) / ProbeCellDivisor)
     math.max(1L, math.min(cells,
-      graft.Confs.intConf(s, "spark.graft.ivf.numProbe").map(_.toLong)
+      graft.Confs.intConf(s, NumProbeConf).map(_.toLong)
         .getOrElse(derived))).toInt
   }
 
@@ -138,21 +176,16 @@ object AnnIvf {
               col("cent_id").as("cell"))
   }
 
-  /** IVF approximate top-k for the label=0 query set (same output shape as
-    * the exact operator and [[AnnLsh.annTopk]]). */
-  def ivfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    graft.plans.VectorFunctions.register(s)
-    val stride = strideFor(s, d) // one sizing count serves build AND probe
-    val cells = cellAssignmentsAt(s, d, stride).transform(graft.Caching.cachedOnce) // index feeds probe + candidates
-    val probes = Tables.embeddings(s, d).where(col("label") === 0)
-      .select(col("vec_id"))
-      .join(cells, "vec_id") // reuse the index's vectors+norms for queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-              col("nrm").as("qn"))
+  /** The probe-and-rank stage against a prepared (q_id, qv, qn) query set —
+    * shared by the registered query and the locality-advisory sample (which
+    * runs it twice at different np on a 24-row sample). */
+  private def probeTopk(s: SparkSession, d: String, stride: Long,
+                        cells: DataFrame, probes: DataFrame,
+                        np: Int, k: Int): DataFrame = {
     val probed = nearestCells(
       probes.select(col("q_id").as("vec_id"), col("qv").as("embedding"),
                     col("qn").as("nrm")),
-      centroidsAt(s, d, stride), numProbeFor(s, d, stride))
+      centroidsAt(s, d, stride), np)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
               col("nrm").as("qn"), col("cent_id").as("cell"))
     val cands = cells.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
@@ -168,6 +201,68 @@ object AnnIvf {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("score"), 6).as("score6"))
+  }
+
+  /** The (q_id, qv, qn) query set: label=0 vectors, reusing the index's
+    * precomputed norms. */
+  private def probeSet(s: SparkSession, d: String, cells: DataFrame): DataFrame =
+    Tables.embeddings(s, d).where(col("label") === 0)
+      .select(col("vec_id"))
+      .join(cells, "vec_id") // reuse the index's vectors+norms for queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("nrm").as("qn"))
+
+  /** Measured half of the locality advisory: probe a deterministic
+    * md5-ordered sample of the query set at np=[[NumProbe]] and at the
+    * derived np, and return |topk_low ∩ topk_high| / |topk_high| — 1.0
+    * means the extra probes changed nothing. Deterministic (md5 order with
+    * a q_id tiebreak, seedless codebook). */
+  def sampledProbeAgreement(s: SparkSession, d: String, stride: Long,
+                            cells: DataFrame, derivedNp: Int, k: Int,
+                            sampleN: Int): Double = {
+    val sample = probeSet(s, d, cells)
+      .orderBy(md5(col("q_id").cast("string")), col("q_id")).limit(sampleN)
+      .transform(graft.Caching.cachedOnce) // two probe consumers below
+    val lo = probeTopk(s, d, stride, cells, sample, NumProbe, k)
+      .select(col("q_id"), col("c_id"))
+    val hi = probeTopk(s, d, stride, cells, sample, derivedNp, k)
+      .select(col("q_id"), col("c_id"))
+    val total = hi.count()
+    if (total == 0L) 1.0
+    else lo.intersect(hi).count().toDouble / total
+  }
+
+  /** Run the sampled locality probe for this corpus and return the advisory
+    * (None = silent). Skips — returning None without spending the sample
+    * probes — when the user set [[NumProbeConf]] explicitly (their decision
+    * stands), when the derived np is below [[LocalityMinNp]] (nothing worth
+    * escaping — this keeps the sf fixtures and the bench at zero added
+    * cost), or when `spark.graft.ivf.localitySample` is 0. */
+  def adviseLocality(s: SparkSession, d: String, k: Int = 5): Option[String] = {
+    val stride = strideFor(s, d)
+    val np = numProbeFor(s, d, stride)
+    val sampleN = graft.Confs.intConf(s, LocalitySampleConf)
+      .getOrElse(LocalitySampleDefault)
+    if (graft.Confs.intConf(s, NumProbeConf).isDefined ||
+        np < LocalityMinNp || sampleN <= 0) None
+    else {
+      val cells = cellAssignmentsAt(s, d, stride)
+        .transform(graft.Caching.cachedOnce)
+      localityAdvisory(
+        sampledProbeAgreement(s, d, stride, cells, np, k, sampleN), np, sampleN)
+    }
+  }
+
+  /** IVF approximate top-k for the label=0 query set (same output shape as
+    * the exact operator and [[AnnLsh.annTopk]]). */
+  def ivfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
+    val stride = strideFor(s, d) // one sizing count serves build AND probe
+    val cells = cellAssignmentsAt(s, d, stride).transform(graft.Caching.cachedOnce) // index feeds probe + candidates
+    adviseLocality(s, d, k) // advisory only — a log line, never a plan change
+      .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
+    probeTopk(s, d, stride, cells, probeSet(s, d, cells),
+              numProbeFor(s, d, stride), k)
       .orderBy("q_id", "rk")
   }
 

@@ -276,6 +276,83 @@ class VectorSpec extends SparkSpec {
     assert(r8 > r1, s"7 extra probed cells found nothing new (r1=$r1 r8=$r8)")
   }
 
+  test("IVF locality advisory decision is pure and gated") {
+    // round 17 (r16 verdict #3 / open edge (b)): advisory only when the
+    // derived np is at the floor or above, the sample is enabled, and the
+    // sampled np=2 agreement clears the threshold
+    import AnnIvf.{localityAdvisory, LocalityMinNp, LocalityAgreeThreshold}
+    assert(localityAdvisory(1.0, LocalityMinNp - 1, 24).isEmpty,
+      "below the np floor there is nothing worth escaping")
+    assert(localityAdvisory(LocalityAgreeThreshold - 0.01, 17, 24).isEmpty,
+      "sub-threshold agreement is the structureless regime the derived default exists for")
+    assert(localityAdvisory(1.0, 17, 0).isEmpty, "sample 0 disables")
+    val m = localityAdvisory(0.96, 17, 24)
+    assert(m.isDefined && m.get.contains("np=17") &&
+           m.get.contains(AnnIvf.NumProbeConf),
+      s"advisory must name the derived np and the escape conf: $m")
+  }
+
+  test("IVF locality advisory fires on a cluster-local corpus and stays silent on a structureless one") {
+    // Round 17 (r16 verdict #3): the end-to-end regime detection. Two
+    // synthetic 4800-vector corpora sized so strideFor derives a 70-cell
+    // codebook and np=4 (= LocalityMinNp — the advisory regime):
+    // STRUCTURED = 70 tight clusters aligned with the seedless stride
+    // codebook (each cluster holds its own centroid, so np=2 already sees
+    // every true neighbor → sampled agreement 1.0 → advisory fires);
+    // RANDOM = per-id seeded noise (candidates from 2 of the 4 probed
+    // cells can't reproduce the 4-cell top-k → agreement ~0.5 → silent).
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val n = 4800
+    val dim = 24
+    val stride = math.max(AnnIvf.CentroidStride.toLong,
+      math.round(math.sqrt(n.toDouble)))
+    def clusterDir(c: Long): Array[Double] = {
+      val rnd = new scala.util.Random(c * 7919L + 13L)
+      Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }
+    def corpus(structured: Boolean): Seq[(Long, Seq[Float], Int)] =
+      (0L until n).map { id =>
+        val rnd = new scala.util.Random(id * 131L + 3L)
+        val emb: Seq[Float] =
+          if (structured)
+            clusterDir(id / stride)
+              .map(v => (v + 0.01 * (rnd.nextDouble() * 2 - 1)).toFloat).toSeq
+          else Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+        (id, emb, if (id % 97 == 0) 0 else 1) // ~50 label-0 queries
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_loc").toString
+    try {
+      for ((name, structured) <- Seq("structured" -> true, "random" -> false)) {
+        val d = s"$tmp/$name"
+        corpus(structured).toDF("vec_id", "embedding", "label")
+          .select(col("vec_id"),
+                  col("embedding").cast("array<float>").as("embedding"),
+                  col("label").cast("int").as("label"))
+          .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+        assert(AnnIvf.strideFor(spark, d) == stride)
+        assert(AnnIvf.numProbeFor(spark, d, stride) >= AnnIvf.LocalityMinNp,
+          "both corpora must sit in the advisory regime")
+      }
+      val sDir = s"$tmp/structured"; val rDir = s"$tmp/random"
+      val fired = AnnIvf.adviseLocality(spark, sDir)
+      assert(fired.isDefined && fired.get.contains(AnnIvf.NumProbeConf),
+        s"cluster-local corpus must fire the advisory: $fired")
+      assert(AnnIvf.adviseLocality(spark, rDir).isEmpty,
+        "structureless corpus must stay silent — the derived np is earning its cost")
+      // an explicit numProbe conf is the user's decision — no advisory
+      spark.conf.set(AnnIvf.NumProbeConf, "2")
+      try assert(AnnIvf.adviseLocality(spark, sDir).isEmpty)
+      finally spark.conf.unset(AnnIvf.NumProbeConf)
+      // localitySample=0 disables the probe entirely
+      spark.conf.set(AnnIvf.LocalitySampleConf, "0")
+      try assert(AnnIvf.adviseLocality(spark, sDir).isEmpty)
+      finally spark.conf.unset(AnnIvf.LocalitySampleConf)
+      // the sf fixtures derive np=2 — below the floor, silent and free
+      assert(AnnIvf.adviseLocality(spark, sfDir).isEmpty)
+    } finally deleteDir(tmp)
+  }
+
   test("embedding near-dup: is_dup iff a smaller-id vector within tau exists") {
     val flagged = Similarity.neardupEmbedding(spark, sfDir)
       .where(col("is_dup")).collect().map(_.getLong(0)).toSet

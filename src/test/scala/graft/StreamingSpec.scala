@@ -1166,6 +1166,68 @@ class StreamingSpec extends SparkSpec {
   private def withBatchTwsForTest(body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     Streams.scopedBatchTws(spark)(body.localCheckpoint())
 
+  test("epoch as-of STREAMING spellings over the fixture equal the batch twin (probe protocol in miniature)") {
+    // Round-17 (r16 verdict #1): graft.StreamAsofProbe measures the chained
+    // streaming spellings at 64× as ts-ordered micro-batch replays whose
+    // output checksum must equal the batch-twin exact as-of; this is the
+    // same protocol at spec scale on the REAL fixture — sf0.001 events
+    // replayed in ts-ordered chunks through both chained spellings,
+    // equality-pinned against the relational batch twin the registrations
+    // ship (itself oracle-checked at sf0.01).
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{AsofStreamRow, EpochAsof}
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_id"),
+              (col("event_type") === "purchase").as("is_dim"), col("event_type"))
+      .as[AsofStreamRow].collect().toVector
+      .sortBy(r => (r.ts.getTime, if (r.is_dim) 0 else 1, r.event_id))
+    assert(rows.size >= 500, "fixture must be non-trivial")
+    val expected = withBatchTwsForTest(
+        EpochAsof.latestPurchaseAsofEpoch(spark.createDataset(rows), 3600L))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    def run(name: String, chunks: Seq[Seq[AsofStreamRow]])(
+        mkQuery: org.apache.spark.sql.Dataset[AsofStreamRow] => org.apache.spark.sql.DataFrame)
+        : Map[Long, Option[Long]] = {
+      val mem = MemoryStream[AsofStreamRow]
+      val q = mkQuery(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toMap
+      } finally q.stop()
+    }
+    val chunks = rows.grouped(200).map(_.toSeq).toSeq
+    // far-future mover fact drains the buffered spelling's watermark tail
+    val mover = AsofStreamRow(
+      new Timestamp(rows.last.ts.getTime + 90L * 24 * 3600 * 1000),
+      -424242L, -1L, is_dim = false, "view")
+    try {
+      val inOrder = run("fix_epoch_state", chunks)(ds =>
+        EpochAsof.latestPurchaseAsofEpoch(ds, widthSec = 3600L, streaming = true))
+      assert(inOrder == expected,
+        s"chained in-order spelling diverged on ${(inOrder.toSet diff expected.toSet).take(3)}")
+      val buffered = run("fix_epoch_buf", chunks :+ Seq(mover))(ds =>
+        EpochAsof.latestPurchaseAsofBufferedEpoch(
+          ds.withWatermark("ts", "60 seconds"), widthSec = 3600L))
+      assert((buffered - mover.event_id) == expected,
+        s"chained buffered spelling diverged on ${((buffered - mover.event_id).toSet diff expected.toSet).take(3)}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("epoch-keyed as-of batch twin (conf-selected) equals the default registration") {
     // the registered stream_asof_state switches spelling on
     // spark.graft.asof.epochKey; both must compute the same oracle rows

@@ -201,7 +201,7 @@ object ScaleProbe {
     * Confirms the heavy shapes SPILL instead of OOM when the executor heap
     * is production-sized (a 100 TB cluster gives an executor 4-16 GiB, not
     * the sandbox's 128 GiB). */
-  private class SpillTally extends org.apache.spark.scheduler.SparkListener {
+  private[graft] class SpillTally extends org.apache.spark.scheduler.SparkListener {
     val disk = new java.util.concurrent.atomic.AtomicLong
     val mem = new java.util.concurrent.atomic.AtomicLong
     val peak = new java.util.concurrent.atomic.AtomicLong

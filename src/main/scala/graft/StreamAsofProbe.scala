@@ -43,20 +43,6 @@ import graft.streaming.{AsofStreamRow, EpochAsof, Streams}
 object StreamAsofProbe {
   private val MoverUser = -424242L
 
-  private class TaskTally extends org.apache.spark.scheduler.SparkListener {
-    val disk = new java.util.concurrent.atomic.AtomicLong
-    val peak = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskEnd(
-        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        disk.addAndGet(m.diskBytesSpilled)
-        peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
-      }
-    }
-    def reset(): Unit = { disk.set(0); peak.set(0) }
-  }
-
   /** Slice the corpus into event-time-range files the file source will
     * replay in order (strictly increasing mtimes + sortable names break
     * any tie the same way). */
@@ -100,8 +86,13 @@ object StreamAsofProbe {
   /** Move the single part file of `tmp` to `dir/slice_%04d.parquet` with
     * mtime = i seconds past a fixed base, then drop the temp dir. */
   private def promote(tmp: String, dir: String, i: Int): Unit = {
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      .filter(f => f.getFileName.toString.startsWith("part-")).findFirst().get()
+    // Files.list holds an open DirectoryStream — close it (round-17 review:
+    // one leaked fd per slice otherwise)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val part =
+      try listing.filter(f => f.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      finally listing.close()
     val dest = java.nio.file.Paths.get(f"$dir/slice_$i%04d.parquet")
     java.nio.file.Files.move(part, dest,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -132,7 +123,7 @@ object StreamAsofProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     graft.Confs.applyExtraConf(spark)
-    val tally = new TaskTally
+    val tally = new ScaleProbe.SpillTally // shared dev listener (round-17 review)
     spark.sparkContext.addSparkListener(tally)
 
     val (_, kDir) = ScaleProbe.buildCorpus(spark, base, k, scratch)
@@ -196,11 +187,16 @@ object StreamAsofProbe {
         .foldLeft(0L)(math.max)
       val batches = q.recentProgress.length
       q.stop()
+      // snapshot BEFORE the checksum job: its parquet scan + hash agg would
+      // otherwise fold into the streaming query's task metrics (round-17
+      // review — the verifier could dominate peakTask on light configs)
+      val peakMb = tally.peak.get / 1e6
+      val spillMb = tally.disk.get / 1e6
       val got = checksum(spark.read.parquet(outDir))
       val ok = got == ref
       println(f"[streamasof] $name%-13s wall=$wall%7.1fs batches=$batches%3d " +
         f"stateRows=$stateRows%9d stateMem=${stateMem / 1e6}%8.1fMB " +
-        f"peakTask=${tally.peak.get / 1e6}%6.1fMB spill=${tally.disk.get / 1e6}%6.0fMB " +
+        f"peakTask=$peakMb%6.1fMB spill=$spillMb%6.0fMB " +
         f"rows=${got._1} equal=$ok")
       if (!ok) System.err.println(
         s"[streamasof] $name OUTPUT MISMATCH: got=$got ref=$ref")

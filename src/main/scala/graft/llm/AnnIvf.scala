@@ -232,6 +232,20 @@ object AnnIvf {
     else lo.intersect(hi).count().toDouble / total
   }
 
+  /** Once-per-JVM memo of computed advisories, keyed by everything the
+    * measurement depends on — (dir, derived np, sample size, k). Round-17
+    * review: without it, EVERY ivfTopk invocation on an advisory-regime
+    * corpus re-paid the two sampled probe jobs at DataFrame-CONSTRUCTION
+    * time and re-logged the warning — a per-pass tax on exactly the probe
+    * runs (ScaleProbe drops the session cache between passes) the advisory
+    * exists to inform. Same deliberate staleness trade as
+    * [[TextAnalysis]]'s vocabFits memo: a corpus regenerated in place at
+    * the same path keeps the old verdict until the JVM bounces —
+    * acceptable for a log-only advisory. Compute runs OUTSIDE any map bin
+    * lock (putIfAbsent keeps the first completed answer on a race). */
+  private val advisedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Option[String]]()
+
   /** Run the sampled locality probe for this corpus and return the advisory
     * (None = silent). Skips — returning None without spending the sample
     * probes — when the user set [[NumProbeConf]] explicitly (their decision
@@ -246,10 +260,22 @@ object AnnIvf {
     if (graft.Confs.intConf(s, NumProbeConf).isDefined ||
         np < LocalityMinNp || sampleN <= 0) None
     else {
-      val cells = cellAssignmentsAt(s, d, stride)
-        .transform(graft.Caching.cachedOnce)
-      localityAdvisory(
-        sampledProbeAgreement(s, d, stride, cells, np, k, sampleN), np, sampleN)
+      val key = (d, np, sampleN, k)
+      advisedMemo.get(key) match {
+        case null =>
+          val cells = cellAssignmentsAt(s, d, stride)
+            .transform(graft.Caching.cachedOnce)
+          val computed = localityAdvisory(
+            sampledProbeAgreement(s, d, stride, cells, np, k, sampleN),
+            np, sampleN)
+          val prev = advisedMemo.putIfAbsent(key, computed)
+          // warn once per fresh verdict — repeated ivfTopk calls (bench
+          // passes) must not re-spam the log
+          if (prev == null) computed.foreach(
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
+          if (prev == null) computed else prev
+        case cached => cached
+      }
     }
   }
 
@@ -259,8 +285,7 @@ object AnnIvf {
     graft.plans.VectorFunctions.register(s)
     val stride = strideFor(s, d) // one sizing count serves build AND probe
     val cells = cellAssignmentsAt(s, d, stride).transform(graft.Caching.cachedOnce) // index feeds probe + candidates
-    adviseLocality(s, d, k) // advisory only — a log line, never a plan change
-      .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
+    adviseLocality(s, d, k) // advisory only (memoized; logs once) — never a plan change
     probeTopk(s, d, stride, cells, probeSet(s, d, cells),
               numProbeFor(s, d, stride), k)
       .orderBy("q_id", "rk")

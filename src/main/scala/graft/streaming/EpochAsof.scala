@@ -191,7 +191,16 @@ class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
   * watermark-horizon), not O(users × elapsed epochs). The cleanup expiry
   * can never collide with a row-drain timer: drain timers are
   * (min buffered ts ms + 1) ≤ epoch-end ms (rows live inside their epoch
-  * by key construction), strictly below epoch-end + 1. */
+  * by key construction), strictly below epoch-end + 1.
+  *
+  * Upgrade caveat (round-17 review): a checkpoint written by the
+  * PRE-cleanup-timer version can hold already-drained keys (epochDim set,
+  * no buffer, no timers); after restart those keys are unreachable — no
+  * future input (their epoch is behind the watermark) and no timer — so
+  * the O(horizon) bound applies to keys touched under THIS version, while
+  * pre-upgrade drained keys keep their one small cell. A fresh checkpoint
+  * (the normal operational posture for a processor change) has no such
+  * residue. */
 class EpochBufferedAsofProcessor(widthSec: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), AsofStreamRow, AsofEpochMid] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig}

@@ -1180,11 +1180,16 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ORDER BY MICROSECONDS (round-17 review): the fixture carries sub-ms
+    // timestamps and the processors' state ordering is µs-precision — a
+    // ms-granular sort could place a same-ms dim before an earlier-by-µs
+    // fact across a chunk boundary, a replay-order artifact
     val rows = Tables.events(spark, sfDir)
       .select(col("ts"), col("user_id"), col("event_id"),
               (col("event_type") === "purchase").as("is_dim"), col("event_type"))
       .as[AsofStreamRow].collect().toVector
-      .sortBy(r => (r.ts.getTime, if (r.is_dim) 0 else 1, r.event_id))
+      .sortBy(r => (graft.streaming.LastDimState.micros(r.ts),
+                    if (r.is_dim) 0 else 1, r.event_id))
     assert(rows.size >= 500, "fixture must be non-trivial")
     val expected = withBatchTwsForTest(
         EpochAsof.latestPurchaseAsofEpoch(spark.createDataset(rows), 3600L))

@@ -111,6 +111,10 @@ object StreamAsofProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val slices = sys.env.get("SPARK_GRAFT_STREAM_SLICES").map(_.toInt).getOrElse(16)
     val sparseDims = sys.env.get("SPARK_GRAFT_STREAM_SPARSEDIMS").map(_.toLong).getOrElse(0L)
+    // watermark delay for the buffered spellings; a delay LONGER than the
+    // corpus span turns the run into the catch-up regime (everything
+    // buffers until the mover) — the read-skip A/B cell
+    val wmDelay = sys.env.getOrElse("SPARK_GRAFT_STREAM_WM_DELAY", "60 seconds")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -161,9 +165,9 @@ object StreamAsofProbe {
       case "state_epoch" => EpochAsof.latestPurchaseAsofEpoch(ds, widthSec,
         streaming = true)
       case "buf_single" => Streams.latestPurchaseAsofBuffered(
-        ds.withWatermark("ts", "60 seconds"), streaming = true)
+        ds.withWatermark("ts", wmDelay), streaming = true)
       case "buf_epoch" => EpochAsof.latestPurchaseAsofBufferedEpoch(
-        ds.withWatermark("ts", "60 seconds"), widthSec)
+        ds.withWatermark("ts", wmDelay), widthSec)
     }
 
     val rows = configs.map { name =>

@@ -258,10 +258,12 @@ class EpochBufferedAsofProcessor(widthSec: Long)
     * Spark auto-removes a fired timer, and re-arming it there would leak
     * an eternal timer for a key whose state is gone). */
   private def flush(key: (Long, Long), wmMs: Long,
-                    armCleanup: Boolean = true): Iterator[AsofEpochMid] = {
+                    armCleanup: Boolean = true,
+                    armedPre: Option[Set[Long]] = None): Iterator[AsofEpochMid] = {
     val cleanup = cleanupAt(key._2)
     val (ready, rest) = buf.get().toVector.partition(_.ts.getTime < wmMs)
-    val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+    val armed = armedPre.getOrElse(
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toSet)
     if (rest.isEmpty) {
       buf.clear()
       armed.iterator.filter(_ != cleanup).foreach(getHandle.deleteTimer)
@@ -278,8 +280,32 @@ class EpochBufferedAsofProcessor(widthSec: Long)
 
   override def handleInputRows(key: (Long, Long), rows: Iterator[AsofStreamRow],
                                tv: TimerValues): Iterator[AsofEpochMid] = {
-    buf.appendList(rows.toArray)
-    flush(key, tv.getCurrentWatermarkInMs())
+    val incoming = rows.toArray
+    val wm = tv.getCurrentWatermarkInMs()
+    // READ-skip, same invariant as [[BufferedAsofProcessor]]: drain timers
+    // sit at the buffer's min-ts + 1, so wm below them AND below every
+    // incoming row means nothing can finalize — append without the
+    // O(horizon) buffer read. The CLEANUP timer is excluded from the
+    // drain-min (it marks the epoch's end, not the buffer front); a
+    // wm past the epoch's end can never skip, because any incoming row
+    // then lies behind the watermark (its ts is inside the epoch).
+    val cleanup = cleanupAt(key._2)
+    val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+    val drains = armed - cleanup
+    val skip = drains.nonEmpty && wm < drains.min &&
+      incoming.forall(_.ts.getTime >= wm)
+    buf.appendList(incoming)
+    if (skip) {
+      val want =
+        if (incoming.isEmpty) drains.min
+        else math.min(drains.min, incoming.iterator.map(_.ts.getTime).min + 1L)
+      if (want != drains.min) {
+        drains.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(want)
+      }
+      if (!armed.contains(cleanup)) getHandle.registerTimer(cleanup)
+      Iterator.empty
+    } else flush(key, wm, armedPre = Some(armed))
   }
 
   override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,

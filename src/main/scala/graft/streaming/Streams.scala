@@ -168,6 +168,24 @@ object BufferedAsofProcessor {
   def stateRewrites(runId: java.util.UUID): Long =
     Option(rewrites.get(runId)).fold(0L)(_.get())
 
+  /** Dev diagnostic (per-run, same scoping): full-buffer ListState READS
+    * materialized by flush. Round 17 — the read-side sibling of the
+    * rewrite-skip: a batch whose watermark provably reaches nothing (the
+    * armed drain timer's expiry − 1 is the buffer's min event time, and
+    * every incoming row is at/after the watermark) appends WITHOUT
+    * re-materializing the O(horizon) buffer; the StreamingSpec
+    * write-amplification case pins reads stay flat across such batches. */
+  private val reads =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.util.concurrent.atomic.AtomicLong]
+
+  private[streaming] def bumpRead(runId: java.util.UUID): Unit =
+    reads.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
+
+  /** Full-buffer reads performed by the run with this id. */
+  def bufferReads(runId: java.util.UUID): Long =
+    Option(reads.get(runId)).fold(0L)(_.get())
+
   /** Fallback runId when no streaming QueryInfo exists (the batch twin —
     * which never calls flush, so never counts). */
   private[streaming] val NoRun = new java.util.UUID(0L, 0L)
@@ -216,9 +234,16 @@ class BufferedAsofProcessor
 
   /** Finalize every buffered row whose event time is strictly behind the
     * watermark (ms units — the watermark's own granularity); re-buffer the
-    * rest and arm a timer so they drain even if this key goes quiet. */
-  private def flush(wmMs: Long): Iterator[(Long, Long, String, Option[Long])] = {
+    * rest and arm a timer so they drain even if this key goes quiet.
+    * `armedPre` threads the timer set handleInputRows already read for its
+    * READ-skip check, so a flushing input batch pays exactly one
+    * listTimers like before the skip existed. */
+  private def flush(wmMs: Long, armedPre: Option[Set[Long]] = None)
+      : Iterator[(Long, Long, String, Option[Long])] = {
+    BufferedAsofProcessor.bumpRead(runId)
     val (ready, rest) = buf.get().toVector.partition(_.ts.getTime < wmMs)
+    def armed: Set[Long] = armedPre.getOrElse(
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toSet)
     if (rest.isEmpty) {
       buf.clear()
       // buffer fully drained: a timer armed earlier would now fire a
@@ -226,8 +251,7 @@ class BufferedAsofProcessor
       // Materialize BEFORE deleting (like the re-arm path below): deleting
       // under the live listTimers() iterator mutates the timer store
       // mid-iteration on providers whose iterator is not snapshot-isolated
-      getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
-        .foreach(getHandle.deleteTimer)
+      armed.foreach(getHandle.deleteTimer)
     } else {
       // ready.isEmpty ⇒ the ListState already holds exactly `rest`
       // (appends land before flush, nothing was removed), so skip the
@@ -240,9 +264,9 @@ class BufferedAsofProcessor
       // keep exactly one armed timer per key: registering a duplicate
       // expiry WARNs, and stale earlier timers fire pointless flushes
       val want = rest.iterator.map(_.ts.getTime).min + 1L
-      val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
-      armed.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
-      if (!armed.contains(want)) getHandle.registerTimer(want)
+      val a = armed
+      a.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
+      if (!a.contains(want)) getHandle.registerTimer(want)
     }
     finalizeRows(ready)
   }
@@ -250,8 +274,33 @@ class BufferedAsofProcessor
   override def handleInputRows(user: Long, rows: Iterator[AsofStreamRow],
                                tv: TimerValues): Iterator[(Long, Long, String, Option[Long])] =
     if (eventTime) {
-      buf.appendList(rows.toArray)
-      flush(tv.getCurrentWatermarkInMs())
+      val incoming = rows.toArray
+      val wm = tv.getCurrentWatermarkInMs()
+      // READ-skip (round 17, the rewrite-skip's sibling): the armed drain
+      // timer's expiry − 1 IS the buffer's min event time (flush invariant:
+      // exactly one armed timer at min-ts + 1), so when the watermark sits
+      // below it AND below every incoming row, nothing can finalize —
+      // append without re-materializing the O(horizon) buffer. A stale
+      // later timer (if one ever existed) only makes the check
+      // conservative; the skip never changes output, only when the buffer
+      // is read.
+      val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+      val skip = armed.nonEmpty && wm < armed.min &&
+        incoming.forall(_.ts.getTime >= wm)
+      buf.appendList(incoming)
+      if (skip) {
+        // incoming rows may extend the buffer's FRONT: keep the single
+        // armed timer at the new min-ts + 1 so quiet-key draining stays
+        // anchored to the true minimum
+        val want =
+          if (incoming.isEmpty) armed.min
+          else math.min(armed.min, incoming.iterator.map(_.ts.getTime).min + 1L)
+        if (want != armed.min) {
+          armed.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(want)
+        }
+        Iterator.empty
+      } else flush(wm, Some(armed))
     } else {
       // batch twin: one call per key, wm = +∞, nothing was ever buffered —
       // finalize directly instead of round-tripping every row through the

@@ -605,6 +605,9 @@ class StreamingSpec extends SparkSpec {
         dim("2024-01-01 10:00:00", 1, 100), fact("2024-01-01 10:05:00", 1, 1),
         fact("2024-01-01 10:15:00", 9, 90))
       q.processAllAvailable()
+      // first batch: each key's first input has no armed timer yet, so the
+      // buffer is read once per key — the baseline for the READ-skip pin
+      val baseReads = BufferedAsofProcessor.bufferReads(q.runId)
       mem.addData(fact("2024-01-01 10:10:00", 1, 2),
                   fact("2024-01-01 10:16:00", 9, 91))
       q.processAllAvailable()
@@ -616,6 +619,11 @@ class StreamingSpec extends SparkSpec {
         s"key 1 must still be fully buffered: ${table()}")
       assert(BufferedAsofProcessor.stateRewrites(q.runId) === 0L,
         "no-flush batches must not rewrite the ListState buffer")
+      // round-17 READ-skip pin (the rewrite-skip's sibling): those same
+      // no-flush batches must not re-MATERIALIZE the buffer either — the
+      // armed drain timer proves nothing is ready, so input appends blind
+      assert(BufferedAsofProcessor.bufferReads(q.runId) === baseReads,
+        "no-flush batches must not re-read the O(horizon) ListState buffer")
       // now drain: the mover pushes the watermark past everything — key 1's
       // rows finalize in event-time order (partial flushes past this point
       // MAY legitimately rewrite the remaining buffer)

@@ -29,8 +29,9 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueS
   * advances, a kind=Summary row (epoch, ts_us, pid) is emitted — at most
   * one per key per micro-batch, O(#epochs) rows total.
   *
-  * Pass 2 — keyed by a split key: Resolved facts key by their own unique
-  * event_id (perfectly parallel pass-through, never touches state);
+  * Pass 2 — keyed by a split key: Resolved facts key by a pass-through
+  * bucket of their event_id (hash-parallel, never touches state — see
+  * [[BoundaryResolveProcessor]] for the bucket rationale);
   * Unresolved facts and Summaries key by user_id. Per-user state is ONE
   * monotone [[LastDimState]] — the running max over epoch summaries, i.e.
   * the boundary prefix. A batch's rows process in (epoch, kind) order:
@@ -344,10 +345,20 @@ object EpochBufferedAsofProcessor {
     Option(cleanups.get(runId)).fold(0L)(_.get())
 }
 
-/** Pass 2: boundary resolution. Split key: (true, event_id) rows are
+/** Pass 2: boundary resolution. Split key: (true, bucket) rows are
   * resolved facts passing through stateless and parallel; (false, user_id)
   * rows are the user's summaries + unresolved facts, resolved against the
-  * per-user monotone boundary prefix in (epoch, kind) order. */
+  * per-user monotone boundary prefix in (epoch, kind) order.
+  *
+  * The pass-through bucket (round 17): resolved facts — the BULK of the
+  * stream — need a key only to ride the keyed-state operator; keying each
+  * by its own event_id made every fact a one-row state-op group (5.1M
+  * groups per 64× probe run, each paying the per-group iterator/dispatch
+  * overhead even though the branch never touches state). Keying by
+  * event_id % [[EpochAsof.PassThroughBuckets]] keeps the same shuffle
+  * volume and full partition parallelism (buckets ≫ cores, hash-spread)
+  * while collapsing group count ~5000×; emitted rows are identical (the
+  * branch is a map). */
 class BoundaryResolveProcessor(ttlMs: Option[Long] = None)
     extends org.apache.spark.sql.streaming.StatefulProcessor[(Boolean, Long), AsofEpochMid, (Long, Long, String, Option[Long])] {
   @transient private var prefix: ValueState[LastDimState] = _
@@ -398,6 +409,13 @@ object EpochAsof {
   val JoinMinGroupConf = "spark.graft.asof.epochJoinMinGroup"
   val JoinMinGroupDefault = 32L
 
+  /** Pass-2 pass-through bucket count (see [[BoundaryResolveProcessor]]):
+    * well above any core count for full parallelism, small enough that a
+    * micro-batch's resolved facts land in a few thousand groups instead of
+    * one group per row. Unsigned modulo keeps synthetic negative ids in
+    * range. */
+  val PassThroughBuckets = 4096L
+
   def epochWidthFor(s: org.apache.spark.sql.SparkSession): Option[Long] =
     graft.Confs.longConf(s, EpochKeyConf).filter(_ > 0)
 
@@ -425,7 +443,9 @@ object EpochAsof {
       .transformWithState(new EpochBufferedAsofProcessor(widthSec),
         TimeMode.EventTime(), OutputMode.Append())
       .groupByKey(r =>
-        if (r.kind == AsofEpochMid.Resolved) (true, r.event_id) else (false, r.user_id))
+        if (r.kind == AsofEpochMid.Resolved)
+          (true, java.lang.Long.remainderUnsigned(r.event_id, EpochAsof.PassThroughBuckets))
+        else (false, r.user_id))
       .transformWithState(new BoundaryResolveProcessor(), TimeMode.None(),
         OutputMode.Append())
       .toDF("event_id", "user_id", "event_type", "last_purchase_id")
@@ -471,7 +491,9 @@ object EpochAsof {
         mode, OutputMode.Append())
     if (streaming)
       mid.groupByKey(r =>
-          if (r.kind == AsofEpochMid.Resolved) (true, r.event_id) else (false, r.user_id))
+          if (r.kind == AsofEpochMid.Resolved)
+          (true, java.lang.Long.remainderUnsigned(r.event_id, EpochAsof.PassThroughBuckets))
+        else (false, r.user_id))
         .transformWithState(new BoundaryResolveProcessor(ttlMs), mode,
           OutputMode.Append())
         .toDF("event_id", "user_id", "event_type", "last_purchase_id")

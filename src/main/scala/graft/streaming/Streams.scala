@@ -143,6 +143,19 @@ class LatestDimAsofProcessor(ttlMs: Option[Long] = None)
   * DuckDB oracle as the in-order variant. Timers exist only in EventTime
   * mode, and Spark forbids TTL outside ProcessingTime mode, so the state
   * here is TTL-less; horizon-bounded buffering is the expiry story. */
+/** Dev-only master switch for the streaming flush diagnostics (the per-run
+  * rewrite/read/cleanup counters below and in [[EpochBufferedAsofProcessor]]).
+  * OFF by default (round-17 ADVICE: the production flush path should not pay
+  * a shared-map access per key per batch, and the per-run entries are never
+  * evicted) — StreamingSpec flips it on for its delta-asserts; a deployment
+  * can opt in with `-Dgraft.streaming.diag=true`. Volatile, not a session
+  * conf: the counters are JVM-local dev instrumentation, not library
+  * surface, and the processors that consult it run on executor task threads
+  * where no SparkSession is in scope. */
+object StreamDiag {
+  @volatile var enabled: Boolean = java.lang.Boolean.getBoolean("graft.streaming.diag")
+}
+
 object BufferedAsofProcessor {
   /** Dev diagnostic: full-buffer ListState rewrites performed by
     * [[BufferedAsofProcessor.flush]], scoped PER STREAMING RUN (round-16
@@ -161,8 +174,9 @@ object BufferedAsofProcessor {
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.util.concurrent.atomic.AtomicLong]
 
   private[streaming] def bumpRewrite(runId: java.util.UUID): Unit =
-    rewrites.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
-      .incrementAndGet()
+    if (StreamDiag.enabled)
+      rewrites.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
+        .incrementAndGet()
 
   /** Rewrites performed by the run with this id (0 if it never rewrote). */
   def stateRewrites(runId: java.util.UUID): Long =
@@ -179,8 +193,9 @@ object BufferedAsofProcessor {
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.util.concurrent.atomic.AtomicLong]
 
   private[streaming] def bumpRead(runId: java.util.UUID): Unit =
-    reads.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
-      .incrementAndGet()
+    if (StreamDiag.enabled)
+      reads.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.AtomicLong)
+        .incrementAndGet()
 
   /** Full-buffer reads performed by the run with this id. */
   def bufferReads(runId: java.util.UUID): Long =

@@ -15,6 +15,11 @@ case class Ev(ts: Timestamp, event_type: String, user_id: Long, event_id: Long)
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  // the per-run flush counters this suite delta-asserts are OFF by default
+  // (round-18: production flush paths no longer touch the shared maps) —
+  // opt in for the whole suite; harmless to leave on for the JVM's lifetime
+  graft.streaming.StreamDiag.enabled = true
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   test("tumbling window aggregation runs incrementally over a stream") {

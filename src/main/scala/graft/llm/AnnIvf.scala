@@ -232,8 +232,12 @@ object AnnIvf {
     else lo.intersect(hi).count().toDouble / total
   }
 
-  /** Once-per-JVM memo of computed advisories, keyed by everything the
-    * measurement depends on — (dir, derived np, sample size, k). Round-17
+  /** Once-per-JVM memo of measured sample agreements, keyed by everything the
+    * measurement depends on — (dir, resolved stride, derived np, sample
+    * size, k). The stride is in the key (round-17 ADVICE) because it
+    * determines the CODEBOOK: a session changing `spark.graft.ivf.stride`
+    * can land on the same derived np with a different cell structure, and
+    * a verdict measured under the old codebook must not be reused. Round-17
     * review: without it, EVERY ivfTopk invocation on an advisory-regime
     * corpus re-paid the two sampled probe jobs at DataFrame-CONSTRUCTION
     * time and re-logged the warning — a per-pass tax on exactly the probe
@@ -244,15 +248,16 @@ object AnnIvf {
     * acceptable for a log-only advisory. Compute runs OUTSIDE any map bin
     * lock (putIfAbsent keeps the first completed answer on a race). */
   private val advisedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Option[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int, Int), java.lang.Double]()
 
-  /** Run the sampled locality probe for this corpus and return the advisory
-    * (None = silent). Skips — returning None without spending the sample
-    * probes — when the user set [[NumProbeConf]] explicitly (their decision
-    * stands), when the derived np is below [[LocalityMinNp]] (nothing worth
-    * escaping — this keeps the sf fixtures and the bench at zero added
-    * cost), or when `spark.graft.ivf.localitySample` is 0. */
-  def adviseLocality(s: SparkSession, d: String, k: Int = 5): Option[String] = {
+  /** The gated, memoized sampled agreement behind both the advisory and
+    * apply-mode. None — without spending the sample probes — when the user
+    * set [[NumProbeConf]] explicitly (their decision stands; this is also
+    * what gives the explicit conf precedence over `autoProbe=apply`), when
+    * the derived np is below [[LocalityMinNp]] (nothing worth escaping —
+    * keeps the sf fixtures and the bench at zero added cost), or when
+    * `spark.graft.ivf.localitySample` is 0. */
+  private def sampledAgreement(s: SparkSession, d: String, k: Int): Option[Double] = {
     val stride = strideFor(s, d)
     val np = numProbeFor(s, d, stride)
     val sampleN = graft.Confs.intConf(s, LocalitySampleConf)
@@ -260,23 +265,62 @@ object AnnIvf {
     if (graft.Confs.intConf(s, NumProbeConf).isDefined ||
         np < LocalityMinNp || sampleN <= 0) None
     else {
-      val key = (d, np, sampleN, k)
-      advisedMemo.get(key) match {
-        case null =>
+      val key = (d, stride, np, sampleN, k)
+      val cached = advisedMemo.get(key)
+      Some(
+        if (cached != null) cached.doubleValue()
+        else {
           val cells = cellAssignmentsAt(s, d, stride)
             .transform(graft.Caching.cachedOnce)
-          val computed = localityAdvisory(
-            sampledProbeAgreement(s, d, stride, cells, np, k, sampleN),
-            np, sampleN)
+          val computed =
+            sampledProbeAgreement(s, d, stride, cells, np, k, sampleN)
           val prev = advisedMemo.putIfAbsent(key, computed)
           // warn once per fresh verdict — repeated ivfTopk calls (bench
           // passes) must not re-spam the log
-          if (prev == null) computed.foreach(
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
-          if (prev == null) computed else prev
-        case cached => cached
-      }
+          if (prev == null) {
+            localityAdvisory(computed, np, sampleN).foreach(
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
+            computed
+          } else prev.doubleValue()
+        })
     }
+  }
+
+  /** Run the sampled locality probe for this corpus and return the advisory
+    * (None = silent). Gating — explicit-conf precedence, np floor, sample
+    * off — is [[sampledAgreement]]'s. */
+  def adviseLocality(s: SparkSession, d: String, k: Int = 5): Option[String] = {
+    val np = numProbeFor(s, d, strideFor(s, d))
+    val sampleN = graft.Confs.intConf(s, LocalitySampleConf)
+      .getOrElse(LocalitySampleDefault)
+    sampledAgreement(s, d, k).flatMap(localityAdvisory(_, np, sampleN))
+  }
+
+  /** Apply-mode (round-18, the advisory's last mile — round-17 verdict item
+    * 7): with `spark.graft.ivf.autoProbe=apply`, a corpus whose sampled
+    * agreement is EXACTLY 1.0 — np=[[NumProbe]] reproduced the derived-np
+    * top-k on every sampled query, the strongest locality signal the probe
+    * can emit — probes at np=[[NumProbe]] instead of the derived np,
+    * pocketing the measured ~3× probe cost (BASELINE.md round-16). Anything
+    * below 1.0 keeps the derived np: a 0.96 agreement still means the extra
+    * probes found real neighbors for some queries, and `advise` names that
+    * trade rather than taking it on the user's behalf. Default stays
+    * `advise` — a silent cost/recall switch driven by a sampled statistic
+    * was judged worse than a documented knob (round-17); `apply` is the
+    * documented opt-in form of that knob. An explicit [[NumProbeConf]]
+    * always wins: [[sampledAgreement]] returns None under it, so apply
+    * never engages. */
+  val AutoProbeConf = "spark.graft.ivf.autoProbe"
+  val ApplyAgreement = 1.0
+
+  /** The probe count [[ivfTopk]] actually uses: the derived/explicit np,
+    * except under engaged apply-mode where it collapses to [[NumProbe]]. */
+  def effectiveNumProbe(s: SparkSession, d: String, stride: Long, k: Int): Int = {
+    val np = numProbeFor(s, d, stride)
+    if (np > NumProbe &&
+        s.conf.getOption(AutoProbeConf).contains("apply") &&
+        sampledAgreement(s, d, k).exists(_ >= ApplyAgreement)) NumProbe
+    else np
   }
 
   /** IVF approximate top-k for the label=0 query set (same output shape as
@@ -285,9 +329,9 @@ object AnnIvf {
     graft.plans.VectorFunctions.register(s)
     val stride = strideFor(s, d) // one sizing count serves build AND probe
     val cells = cellAssignmentsAt(s, d, stride).transform(graft.Caching.cachedOnce) // index feeds probe + candidates
-    adviseLocality(s, d, k) // advisory only (memoized; logs once) — never a plan change
+    adviseLocality(s, d, k) // advisory (memoized; logs once); plan change only under autoProbe=apply
     probeTopk(s, d, stride, cells, probeSet(s, d, cells),
-              numProbeFor(s, d, stride), k)
+              effectiveNumProbe(s, d, stride, k), k)
       .orderBy("q_id", "rk")
   }
 

@@ -340,6 +340,26 @@ class VectorSpec extends SparkSpec {
         s"cluster-local corpus must fire the advisory: $fired")
       assert(AnnIvf.adviseLocality(spark, rDir).isEmpty,
         "structureless corpus must stay silent — the derived np is earning its cost")
+      // round-18 apply-mode (r17 verdict #7): the advisory's opt-in last
+      // mile. Default mode never changes the plan...
+      val derivedNp = AnnIvf.numProbeFor(spark, sDir, stride)
+      assert(AnnIvf.effectiveNumProbe(spark, sDir, stride, 5) === derivedNp,
+        "advise (default) mode must keep the derived np")
+      spark.conf.set(AnnIvf.AutoProbeConf, "apply")
+      try {
+        // ...apply adopts np=NumProbe on the agreement-1.0 clustered corpus...
+        assert(AnnIvf.effectiveNumProbe(spark, sDir, stride, 5) === AnnIvf.NumProbe,
+          "apply-mode must adopt np=2 when the sampled agreement is 1.0")
+        // ...is a no-op on the structureless corpus (agreement ~0.5)...
+        assert(AnnIvf.effectiveNumProbe(spark, rDir, stride, 5) ===
+               AnnIvf.numProbeFor(spark, rDir, stride),
+          "apply-mode must not engage where the extra probes earn recall")
+        // ...and an explicit numProbe conf beats apply-mode
+        spark.conf.set(AnnIvf.NumProbeConf, "7")
+        try assert(AnnIvf.effectiveNumProbe(spark, sDir, stride, 5) === 7,
+          "explicit numProbe conf must take precedence over apply-mode")
+        finally spark.conf.unset(AnnIvf.NumProbeConf)
+      } finally spark.conf.unset(AnnIvf.AutoProbeConf)
       // an explicit numProbe conf is the user's decision — no advisory
       spark.conf.set(AnnIvf.NumProbeConf, "2")
       try assert(AnnIvf.adviseLocality(spark, sDir).isEmpty)

@@ -79,6 +79,30 @@ object AsofEpochMid {
   val Resolved = 0
   val Unresolved = 1
   val Summary = 2
+  /** Streaming-hybrid routing rows (round 18 — the batch twin's hybrid
+    * ported to the streaming pass 2, SURVEY open edge (a)): a pass-1 group
+    * whose per-batch unresolved count reaches the conf threshold re-tags
+    * its unresolved facts [[UnresolvedBig]] (they bypass the per-user
+    * pass-2a group via the pass-through buckets) and emits ONE [[Marker]]
+    * (user, epoch) row; pass 2a resolves the marker against the boundary
+    * prefix exactly like a fact, and the stateless pass 2b re-unites the
+    * big facts with their marker's prefix keyed by (user, epoch) —
+    * parallel across epochs, which is the whole point. */
+  val Marker = 3
+  val UnresolvedBig = 4
+
+  /** Pass-1 exit routing for the streaming hybrid: count this batch's
+    * unresolved facts; at/above the threshold re-tag them UnresolvedBig and
+    * append the epoch's marker. Below it (or threshold 0 = hybrid off) the
+    * rows pass unchanged — the measured-dominant small-group regime pays
+    * nothing. */
+  private[streaming] def routeBig(built: Vector[AsofEpochMid], user: Long,
+                                  epoch: Long, threshold: Long): Iterator[AsofEpochMid] =
+    if (threshold <= 0 ||
+        built.count(_.kind == Unresolved) < threshold) built.iterator
+    else built.iterator.map(r =>
+      if (r.kind == Unresolved) r.copy(kind = UnresolvedBig) else r) ++
+      Iterator.single(AsofEpochMid(Marker, user, epoch, 0L, "", 0L, None))
 }
 
 /** Pass-1 output / pass-2 input row. kind: 0 = fact resolved in-epoch (pid
@@ -103,7 +127,8 @@ case class AsofEpochMid(kind: Int, user_id: Long, epoch: Long, event_id: Long,
   * group is the twin's dominant cost at scale (6.4M groups at the 64×
   * events probe). Same finalize-directly precedent as
   * [[BufferedAsofProcessor]]'s batch path (measured 5.3× there). */
-class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
+class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None,
+                              streamBigGroup: Long = 0L)
     extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), AsofStreamRow, AsofEpochMid] {
   @transient private var last: ValueState[LastDimState] = _
 
@@ -152,7 +177,7 @@ class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
       (if (nUnres == 0) built
        else built.map(r =>
          if (r.kind == AsofEpochMid.Unresolved) r.copy(gn = nUnres) else r)).iterator
-    } else built.iterator
+    } else AsofEpochMid.routeBig(built, user, epoch, streamBigGroup)
   }
 }
 
@@ -210,7 +235,7 @@ class EpochLocalAsofProcessor(batchMode: Boolean, ttlMs: Option[Long] = None)
   * pre-upgrade drained keys keep their one small cell. A fresh checkpoint
   * (the normal operational posture for a processor change) has no such
   * residue. */
-class EpochBufferedAsofProcessor(widthSec: Long)
+class EpochBufferedAsofProcessor(widthSec: Long, streamBigGroup: Long = 0L)
     extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), AsofStreamRow, AsofEpochMid] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig}
   @transient private var last: ValueState[LastDimState] = _
@@ -258,7 +283,7 @@ class EpochBufferedAsofProcessor(widthSec: Long)
         cur.foreach(c => out += AsofEpochMid(AsofEpochMid.Summary, user, epoch,
           0L, "", c.ts_us, Some(c.pid)))
       }
-      out.result().iterator
+      AsofEpochMid.routeBig(out.result(), user, epoch, streamBigGroup)
     }
 
   /** Like [[BufferedAsofProcessor.flush]] plus the cleanup timer: the
@@ -402,6 +427,94 @@ class BoundaryResolveProcessor(ttlMs: Option[Long] = None)
     }
 }
 
+/** Hybrid pass 2a (round 18 — the batch twin's small-group-inline /
+  * big-group-parallel routing ported to STREAMING, round-17 verdict item 2):
+  * same split key and per-user boundary-prefix state as
+  * [[BoundaryResolveProcessor]], but emitting [[AsofEpochMid]] so a third
+  * stateless operator ([[EpochJoinResolveProcessor]]) can finish the big
+  * groups. Branches:
+  *   - pass-through (true, bucket): Resolved facts (already final) and
+  *     UnresolvedBig facts (awaiting their marker) flow untouched — the
+  *     sparse-dim hot key's bulk rides the hash-parallel buckets instead
+  *     of re-serializing through its (false, user) group;
+  *   - (false, user): small Unresolved facts resolve inline against the
+  *     prefix (emitted as kind=Resolved — possibly with an empty pid, the
+  *     legitimate no-dim-yet answer); each [[AsofEpochMid.Marker]] is
+  *     resolved EXACTLY like a fact of its epoch (prefix of epochs
+  *     strictly before it — markers rank with facts, before their own
+  *     epoch's summary) and re-emitted carrying the prefix; Summaries
+  *     advance the monotone state as before.
+  * The per-user group under a sparse-dim hot key thus holds only
+  * summaries + markers + whatever stayed small — O(#epochs per batch),
+  * not O(hot facts per batch). */
+class BoundaryResolveMidProcessor(ttlMs: Option[Long] = None)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Boolean, Long), AsofEpochMid, AsofEpochMid] {
+  @transient private var prefix: ValueState[LastDimState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    prefix = getHandle.getValueState[LastDimState]("boundaryPrefix",
+      org.apache.spark.sql.Encoders.product[LastDimState], StateTtl.config(ttlMs))
+
+  import LastDimState.advances
+
+  override def handleInputRows(key: (Boolean, Long), rows: Iterator[AsofEpochMid],
+                               tv: TimerValues): Iterator[AsofEpochMid] =
+    if (key._1) rows // pass-through: never reads or writes state
+    else {
+      // consumers (facts AND markers) of epoch e sort before e's summary:
+      // the prefix either sees is exactly the epochs strictly before its own
+      val sorted = rows.toSeq.sortBy(r =>
+        (r.epoch, if (r.kind == AsofEpochMid.Summary) 1 else 0, r.event_id))
+      val before = if (prefix.exists()) Some(prefix.get()) else None
+      var cur = before
+      val out = Vector.newBuilder[AsofEpochMid]
+      sorted.foreach { r =>
+        if (r.kind == AsofEpochMid.Unresolved)
+          out += r.copy(kind = AsofEpochMid.Resolved, pid = cur.map(_.pid))
+        else if (r.kind == AsofEpochMid.Marker)
+          out += r.copy(pid = cur.map(_.pid))
+        else {
+          val c = LastDimState(r.ts_us, r.pid.get)
+          if (advances(cur, c)) cur = Some(c)
+        }
+      }
+      if (cur != before) cur.foreach(prefix.update)
+      out.result().iterator
+    }
+}
+
+/** Hybrid pass 2b: the stateless re-unite. Split key: (true, bucket, 0)
+  * rows are final (kind=Resolved from pass 1 or 2a) and map straight to the
+  * output tuple; (false, user, epoch) groups hold one prefix-resolved
+  * [[AsofEpochMid.Marker]] plus the epoch's UnresolvedBig facts — always
+  * co-batched, because pass 1 emits a group's marker and its big facts from
+  * the same per-batch call and the chained operators run synchronously
+  * within a micro-batch — so no state is needed: facts buffer only until
+  * the marker is seen in the group iterator, then stream out with the
+  * marker's prefix. This is what makes the hot key PARALLEL again: its
+  * facts split across (user, epoch) groups instead of one (user) group.
+  * Defensive: a markerless group (impossible under the construction above)
+  * degrades to the no-prefix answer rather than throwing. */
+class EpochJoinResolveProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Boolean, Long, Long), AsofEpochMid, (Long, Long, String, Option[Long])] {
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+  override def handleInputRows(key: (Boolean, Long, Long), rows: Iterator[AsofEpochMid],
+                               tv: TimerValues): Iterator[(Long, Long, String, Option[Long])] =
+    if (key._1) rows.map(r => (r.event_id, r.user_id, r.event_type, r.pid))
+    else {
+      var marker: Option[Option[Long]] = None
+      val held = scala.collection.mutable.ArrayBuffer.empty[AsofEpochMid]
+      while (rows.hasNext && marker.isEmpty) {
+        val r = rows.next()
+        if (r.kind == AsofEpochMid.Marker) marker = Some(r.pid) else held += r
+      }
+      val pfx = marker.getOrElse(None)
+      (held.iterator ++ rows.filter(_.kind != AsofEpochMid.Marker))
+        .map(r => (r.event_id, r.user_id, r.event_type, pfx))
+    }
+}
+
 object EpochAsof {
   /** Session conf selecting the two-level spelling of the stateful as-of
     * family (`stream_asof_state` AND `stream_asof_buffered`): the epoch
@@ -417,6 +530,25 @@ object EpochAsof {
     * forces everything through the join path). */
   val JoinMinGroupConf = "spark.graft.asof.epochJoinMinGroup"
   val JoinMinGroupDefault = 32L
+
+  /** STREAMING hybrid routing threshold (round 18 — round-17 verdict item
+    * 2): a pass-1 group whose PER-BATCH unresolved count reaches this value
+    * routes through the marker+join pass-2b path ([[AsofEpochMid.routeBig]],
+    * [[BoundaryResolveMidProcessor]], [[EpochJoinResolveProcessor]]) instead
+    * of re-serializing through its user's pass-2 group. Unset or ≤0 (the
+    * default) keeps the two-operator chain — the hybrid adds a third
+    * shuffle + operator hop that EVERY row pays, which the dense-dim regime
+    * (where pass 1 resolves nearly everything) should not buy; reach for it
+    * when the dim stream is sparse relative to the epoch width AND a hot
+    * key exists (the measured regime: hotkey-s2 dims/4096, where the
+    * two-op chain's pass 2 re-serializes 1.6M facts through one task at a
+    * 167.8 MB peak). Cost-only: both routes compute identical rows
+    * (StreamingSpec pins them equal at threshold 1, which forces everything
+    * through the join path). */
+  val StreamJoinMinGroupConf = "spark.graft.asof.epochStreamJoinMinGroup"
+
+  private def streamJoinMinGroup(s: org.apache.spark.sql.SparkSession): Long =
+    graft.Confs.longConf(s, StreamJoinMinGroupConf).filter(_ > 0).getOrElse(0L)
 
   /** Pass-2 pass-through bucket count (see [[BoundaryResolveProcessor]]):
     * well above any core count for full parallelism, small enough that a
@@ -447,15 +579,41 @@ object EpochAsof {
     // key space is instead bounded by the per-key cleanup timer (see the
     // processor's state-lifecycle doc): each key self-destructs once the
     // watermark passes its epoch's end
-    rows.groupByKey(r =>
+    val big = streamJoinMinGroup(rows.sparkSession)
+    val mid = rows.groupByKey(r =>
         (r.user_id, Math.floorDiv(LastDimState.micros(r.ts), widthUs)))
-      .transformWithState(new EpochBufferedAsofProcessor(widthSec),
+      .transformWithState(new EpochBufferedAsofProcessor(widthSec, big),
         TimeMode.EventTime(), OutputMode.Append())
+    if (big > 0)
+      hybridPass2(mid, TimeMode.None(), None)
+    else mid
       .groupByKey(r =>
         if (r.kind == AsofEpochMid.Resolved)
           (true, java.lang.Long.remainderUnsigned(r.event_id, EpochAsof.PassThroughBuckets))
         else (false, r.user_id))
       .transformWithState(new BoundaryResolveProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF("event_id", "user_id", "event_type", "last_purchase_id")
+  }
+
+  /** The three-operator hybrid tail shared by both streaming spellings:
+    * pass 2a (per-user prefix; markers + small facts) chained into the
+    * stateless pass 2b re-unite. Final/pass-through rows ride the
+    * hash-parallel buckets through both hops. */
+  private def hybridPass2(mid: org.apache.spark.sql.Dataset[AsofEpochMid],
+                          mode: TimeMode, ttlMs: Option[Long]): DataFrame = {
+    import mid.sparkSession.implicits._
+    mid.groupByKey(r =>
+        if (r.kind == AsofEpochMid.Resolved || r.kind == AsofEpochMid.UnresolvedBig)
+          (true, java.lang.Long.remainderUnsigned(r.event_id, EpochAsof.PassThroughBuckets))
+        else (false, r.user_id))
+      .transformWithState(new BoundaryResolveMidProcessor(ttlMs), mode,
+        OutputMode.Append())
+      .groupByKey(r =>
+        if (r.kind == AsofEpochMid.Resolved)
+          (true, java.lang.Long.remainderUnsigned(r.event_id, EpochAsof.PassThroughBuckets), 0L)
+        else (false, r.user_id, r.epoch))
+      .transformWithState(new EpochJoinResolveProcessor(), mode,
         OutputMode.Append())
       .toDF("event_id", "user_id", "event_type", "last_purchase_id")
   }
@@ -493,12 +651,15 @@ object EpochAsof {
     // same TTL/time-mode contract as the single-level latestPurchaseAsof:
     // Spark only allows state TTL under ProcessingTime (see StateTtl)
     val mode = if (ttlMs.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val big = if (streaming) streamJoinMinGroup(rows.sparkSession) else 0L
     val mid = rows.groupByKey(r =>
         (r.user_id, Math.floorDiv(LastDimState.micros(r.ts), widthUs)))
       .transformWithState(
-        new EpochLocalAsofProcessor(batchMode = !streaming, ttlMs),
+        new EpochLocalAsofProcessor(batchMode = !streaming, ttlMs, big),
         mode, OutputMode.Append())
-    if (streaming)
+    if (streaming && big > 0)
+      hybridPass2(mid, mode, ttlMs)
+    else if (streaming)
       mid.groupByKey(r =>
           if (r.kind == AsofEpochMid.Resolved)
           (true, java.lang.Long.remainderUnsigned(r.event_id, EpochAsof.PassThroughBuckets))

@@ -1238,6 +1238,22 @@ class StreamingSpec extends SparkSpec {
           ds.withWatermark("ts", "60 seconds"), widthSec = 3600L))
       assert((buffered - mover.event_id) == expected,
         s"chained buffered spelling diverged on ${((buffered - mover.event_id).toSet diff expected.toSet).take(3)}")
+      // round-18 STREAMING hybrid (r17 verdict #2): threshold 1 forces every
+      // unresolved fact through the marker + pass-2b join path — the
+      // three-operator chain must still equal the batch twin for BOTH
+      // spellings (the conf is read at build time inside run's mkQuery)
+      spark.conf.set(EpochAsof.StreamJoinMinGroupConf, "1")
+      try {
+        val inOrderH = run("fix_epoch_state_h", chunks)(ds =>
+          EpochAsof.latestPurchaseAsofEpoch(ds, widthSec = 3600L, streaming = true))
+        assert(inOrderH == expected,
+          s"hybrid in-order spelling diverged on ${(inOrderH.toSet diff expected.toSet).take(3)}")
+        val bufferedH = run("fix_epoch_buf_h", chunks :+ Seq(mover))(ds =>
+          EpochAsof.latestPurchaseAsofBufferedEpoch(
+            ds.withWatermark("ts", "60 seconds"), widthSec = 3600L))
+        assert((bufferedH - mover.event_id) == expected,
+          s"hybrid buffered spelling diverged on ${((bufferedH - mover.event_id).toSet diff expected.toSet).take(3)}")
+      } finally spark.conf.unset(EpochAsof.StreamJoinMinGroupConf)
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)

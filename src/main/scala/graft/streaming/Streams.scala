@@ -781,6 +781,9 @@ object Streams {
     "stream_asof_state" -> streamAsofState,
     "stream_asof_buffered" -> streamAsofBuffered,
     "stream_sink" -> streamSink,
+    // round 18: streaming MinHash-LSH near-dup admission (batch twin
+    // registered; the streaming spelling is StreamingSpec-pinned equal)
+    "stream_neardup" -> ((s, d) => StreamNeardup.admitNeardupBatch(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -796,6 +799,7 @@ object Streams {
     "stream_asof_state" -> streamAsofStateSql,
     "stream_asof_buffered" -> streamAsofStateSql, // same contract, different engine
     "stream_sink" -> streamSinkSql,
+    "stream_neardup" -> StreamNeardup.streamNeardupSql,
   )
 
   /** Registered SORT-FREE (round 15): the trailing ORDER BY on these was
@@ -820,5 +824,6 @@ object Streams {
     "stream_join_static" -> Seq("c_mktsegment", "event_type"),
     "stream_join_stream" -> Seq("user_id", "v_id", "p_id"),
     "stream_sink" -> Seq("event_type"),
+    "stream_neardup" -> Seq("doc_id"),
   )
 }

@@ -12,6 +12,9 @@ import graft.streaming.Streams
   */
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, event_id: Long)
 
+/** Input row for the stream_neardup MemoryStream specs. */
+case class NdDoc(ts: Timestamp, doc_id: Long, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -1373,5 +1376,106 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  /** RocksDB-scoped runner for the stream_neardup MemoryStream specs:
+    * replays `chunks` through [[graft.streaming.StreamNeardup.streamNeardup]]
+    * and returns (verdict rows, peak state rows, final state rows). */
+  private def runNeardupStream(name: String, chunks: Seq[Seq[NdDoc]],
+                               horizonMs: Long, wmDelay: String)
+      : (Map[Long, (String, Long)], Long, Long) = {
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[NdDoc]
+    val q = graft.streaming.StreamNeardup.streamNeardup(
+        mem.toDF().withWatermark("ts", wmDelay), horizonMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var peak = 0L
+      var fin = 0L
+      chunks.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        fin = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        peak = math.max(peak, fin)
+      }
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      (rows, peak, fin)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("stream_neardup: fixture replay equals the registered batch twin") {
+    // the probe-protocol-in-miniature pin for the round-18 admission
+    // operator: sf0.001 documents with the synthetic ts = doc_id minutes
+    // event time, replayed as multi-doc micro-batches — the streaming
+    // MinHash-band spelling must reproduce the relational batch twin
+    // (itself DuckDB-oracled at sf0.01), INCLUDING matches whose two docs
+    // arrive in different micro-batches (cross-batch state carry: fixture
+    // near pairs sit 4..429 ids apart, chunks are 10 docs)
+    import graft.streaming.StreamNeardup
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      // timebase off epoch 0: a ts-0 row is indistinguishable from the
+      // initial watermark and the streaming machinery drops it silently
+      .map(r => NdDoc(new Timestamp(1600000000000L + r.getLong(0) * 60000L),
+        r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    assert(docs.length >= 40, "fixture must be non-trivial")
+    val horizonMs = StreamNeardup.HorizonDocsDefault * 60000L
+    val expected = StreamNeardup.admitNeardupBatch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val (got, _, _) = runNeardupStream("nd_fixture",
+      docs.grouped(10).map(_.toSeq).toSeq, horizonMs, "1 minute")
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size} verdicts")
+    val diff = got.toSet diff expected.toSet
+    assert(diff.isEmpty, s"streaming diverged from batch twin on ${diff.take(5)}")
+    assert(expected.values.exists(_._1 == "near_dup"),
+      "fixture must exercise the near_dup arm")
+  }
+
+  test("stream_neardup: exact dups across batches, horizon eviction, state cleanup") {
+    import graft.streaming.StreamNeardup
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ") // 16 shingles
+    val near = base + " tok21" // 17 shingles, inter 16 → J = 16/17 ≈ 0.94
+    val far = (1 to 20).map(i => s"other$i").mkString(" ")
+    val horizonMs = 60L * 60000L // 60 minutes
+    val chunks = Seq(
+      Seq(NdDoc(t(0), 0L, base)),
+      // cross-batch: exact (identical text) and near (one appended token)
+      Seq(NdDoc(t(10), 1L, base), NdDoc(t(20), 2L, near)),
+      // unrelated doc keeps the stream moving
+      Seq(NdDoc(t(30), 3L, far)),
+      // identical to doc 0/1 but EVERY earlier copy is beyond the horizon
+      // (100−10 = 90 > 60 min): the admission gate must say new
+      Seq(NdDoc(t(100), 4L, base)),
+      // far-future mover: watermark sails past everything + horizon, so
+      // the band sweep timers fire and evict the dead members
+      Seq(NdDoc(t(5000), 5L, "mover doc with six tokens")),
+      Seq(NdDoc(t(5001), 6L, "second mover keeps the final batch non-empty")))
+    val (got, peak, fin) = runNeardupStream("nd_evict", chunks, horizonMs, "1 minute")
+    assert(got(0L) == (("new", -1L)), s"first copy is new: $got")
+    assert(got(1L) == (("exact_dup", 0L)), s"identical cross-batch copy: $got")
+    assert(got(2L) == (("near_dup", 0L)), s"J=16/17 appended-token copy: $got")
+    assert(got(3L) == (("new", -1L)), s"unrelated doc: $got")
+    assert(got(4L) == (("new", -1L)),
+      s"copy arriving after the horizon passed must be admitted as new: $got")
+    // watermark eviction is real state removal, not just comparison
+    // filtering: after the movers push the watermark past every earlier
+    // doc's ts + horizon, the band members of docs 0-4 are swept
+    assert(peak > fin,
+      s"state must shrink once the watermark passes the horizon (peak=$peak final=$fin)")
   }
 }

@@ -286,11 +286,23 @@ class EpochBufferedAsofProcessor(widthSec: Long, streamBigGroup: Long = 0L)
       AsofEpochMid.routeBig(out.result(), user, epoch, streamBigGroup)
     }
 
-  /** Like [[BufferedAsofProcessor.flush]] plus the cleanup timer: the
-    * drain-timer bookkeeping never touches the cleanup expiry, and every
-    * flush keeps it armed (`armCleanup = false` only on its own fire —
-    * Spark auto-removes a fired timer, and re-arming it there would leak
-    * an eternal timer for a key whose state is gone). */
+  /** Like [[BufferedAsofProcessor.flush]] with the MERGED single-timer
+    * scheme (round 18, round-17 verdict item 3 — the A/B on buf_epoch's
+    * per-key mechanics): instead of keeping a cleanup timer armed per key
+    * ALONGSIDE the drain timer — two timer-CF entries and up to two
+    * register/delete round trips per transition on every one of the
+    * horizon's live (user, epoch) keys — each key holds exactly ONE armed
+    * timer: the drain want (buffer-min + 1) while the buffer is nonempty,
+    * the cleanup expiry (epoch-end + 1) once it drains. Sound because
+    * drain wants are ≤ epoch-end < cleanup (rows live inside their epoch
+    * by key construction), so the drain timer always fires first, and the
+    * flush that empties the buffer re-arms at cleanup. A flush that drains
+    * everything AFTER the watermark already passed the epoch's end
+    * (wm > cleanup — the big-jump and late-row paths) finishes the cleanup
+    * INLINE (clears `epochDim`, leaves no timers) instead of registering
+    * an already-expired timer. `armCleanup = false` only on the cleanup
+    * fire itself — Spark auto-removes a fired timer, and re-arming there
+    * would leak an eternal timer for a key whose state is gone. */
   private def flush(key: (Long, Long), wmMs: Long,
                     armCleanup: Boolean = true,
                     armedPre: Option[Set[Long]] = None): Iterator[AsofEpochMid] = {
@@ -298,18 +310,36 @@ class EpochBufferedAsofProcessor(widthSec: Long, streamBigGroup: Long = 0L)
     val (ready, rest) = buf.get().toVector.partition(_.ts.getTime < wmMs)
     val armed = armedPre.getOrElse(
       getHandle.listTimers().map(_.asInstanceOf[Long]).toSet)
+    // finalize FIRST: it may advance `epochDim`, and the inline-cleanup
+    // path below must clear the cell AFTER that advance, not before
+    val out = finalizeRows(key, ready)
     if (rest.isEmpty) {
       buf.clear()
-      armed.iterator.filter(_ != cleanup).foreach(getHandle.deleteTimer)
+      if (armCleanup && wmMs < cleanup) {
+        armed.iterator.filter(_ != cleanup).foreach(getHandle.deleteTimer)
+        if (!armed.contains(cleanup)) getHandle.registerTimer(cleanup)
+      } else {
+        // cleanup fire, or the watermark already at/past the epoch's end:
+        // the key's state ends here — no buffer, no dim cell, no timers.
+        // On the fire path the fired expiry is auto-removed by Spark, so
+        // it is excluded from the explicit deletes.
+        val autoRemoved = if (armCleanup) Set.empty[Long] else Set(cleanup)
+        armed.iterator.filterNot(autoRemoved).foreach(getHandle.deleteTimer)
+        if (armCleanup && last.exists()) {
+          last.clear()
+          EpochBufferedAsofProcessor.bumpCleanup(runId)
+        }
+      }
     } else {
       if (ready.nonEmpty) buf.put(rest.toArray)
       val want = rest.iterator.map(_.ts.getTime).min + 1L
-      armed.iterator.filter(t => t != want && t != cleanup)
-        .foreach(getHandle.deleteTimer)
+      // the filter also deletes a legacy armed cleanup (pre-merge
+      // checkpoints) — under the single-timer invariant there is nothing
+      // else to delete
+      armed.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
       if (!armed.contains(want)) getHandle.registerTimer(want)
     }
-    if (armCleanup && !armed.contains(cleanup)) getHandle.registerTimer(cleanup)
-    finalizeRows(key, ready)
+    out
   }
 
   override def handleInputRows(key: (Long, Long), rows: Iterator[AsofStreamRow],
@@ -319,7 +349,7 @@ class EpochBufferedAsofProcessor(widthSec: Long, streamBigGroup: Long = 0L)
     // READ-skip, same invariant as [[BufferedAsofProcessor]]: drain timers
     // sit at the buffer's min-ts + 1, so wm below them AND below every
     // incoming row means nothing can finalize — append without the
-    // O(horizon) buffer read. The CLEANUP timer is excluded from the
+    // O(horizon) buffer read. The CLEANUP expiry is excluded from the
     // drain-min (it marks the epoch's end, not the buffer front); a
     // wm past the epoch's end can never skip, because any incoming row
     // then lies behind the watermark (its ts is inside the epoch).
@@ -337,7 +367,10 @@ class EpochBufferedAsofProcessor(widthSec: Long, streamBigGroup: Long = 0L)
         drains.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(want)
       }
-      if (!armed.contains(cleanup)) getHandle.registerTimer(cleanup)
+      // single-timer scheme: a nonempty buffer holds the drain timer only —
+      // a legacy cleanup (pre-merge checkpoint) is dropped on first touch
+      if (armed.contains(cleanup) && drains.nonEmpty)
+        getHandle.deleteTimer(cleanup)
       Iterator.empty
     } else flush(key, wm, armedPre = Some(armed))
   }

@@ -46,6 +46,25 @@ object Dedup {
           transform(sequence(lit(1), size(col("toks")) - 4),
                     i => concat_ws(" ", slice(col("toks"), i, lit(5)))))).as("sh"))
 
+  /** 64-bit xxhash64 digests of the distinct word-5-gram shingles — the
+    * SHUFFLE representation of the near-dup candidate/verify machinery
+    * (round 18, the digest-only-payloads principle the substring family
+    * already follows): a 5-gram string averages ~45 bytes and rides every
+    * prefix/candidate/verify shuffle of the exact pair operators, so
+    * hashing it to 8 bytes cuts the family's dominant shuffle volume ~5×
+    * (measured: the 1024× CC disk wall was the pair generation's shingle
+    * shuffle). Distinct-shingle sets map to distinct-hash sets, so
+    * intersection counts and Jaccard are IDENTICAL modulo 64-bit
+    * collisions — P ≈ (distinct shingles)²/2⁶⁵, ~3e-10 at the sf0.01
+    * oracle gate and ~0.03 for any collision at a 10¹²-shingle corpus,
+    * where one collision perturbs one pair's count by at most 1 only if
+    * both colliding shingles co-occur in that pair. The ORACLE SQL stays
+    * string-exact; equality is re-proven every round by the hash gate.
+    * Consumers that must stay string/md5-based for DuckDB reproducibility
+    * (fingerprint, minhashEstimate) keep [[shingles]]. */
+  def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+
   val shinglesSqlCte: String =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
@@ -294,9 +313,9 @@ object Dedup {
   }
 
   val neardupPairs: Q = (s, d) => {
-    // shingling (regex split + 5-gram transform + distinct) is the expensive
-    // narrow stage and feeds five plan branches — materialize it once
-    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
+    // shingling (regex split + 5-gram transform + distinct + digest) is the
+    // expensive narrow stage and feeds five plan branches — materialize once
+    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     // the count reads the just-materialized cache — one cheap short job,
     // the price of choosing the right plan for the corpus actually present
     val prefixPath = sh.count() >= NeardupPrefixMinShingles
@@ -315,7 +334,7 @@ object Dedup {
   /** [[neardupPairs]] with the per-document candidate budget forced to `m`
     * — the spec entry point (the operator itself reads [[NeardupCapConf]]). */
   def neardupPairsCapped(s: SparkSession, d: String, m: Int): DataFrame = {
-    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
+    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     val prefixPath = sh.count() >= NeardupPrefixMinShingles
     verifyJaccard(capPairs(weightedCands(sh, prefixPath), m), sh, withSizes = true)
   }
@@ -334,7 +353,7 @@ object Dedup {
     * cheaper weights at 100 TB); DedupCapSpec pins the two equal below the
     * threshold and capped ⊆ uncapped always. */
   val neardupCapped: Q = (s, d) => {
-    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
+    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     verifyJaccard(capPairs(weightedCands(sh, prefixPath = false), NeardupCapDefaultM),
                   sh, withSizes = true)
   }
@@ -370,14 +389,14 @@ object Dedup {
     * [[neardupPairs]] above the shingle threshold). Kept callable so the
     * equivalence spec exercises it at every fixture scale. */
   def neardupPairsPrefix(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).transform(graft.Caching.cachedOnce)
+    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     verifyJaccard(prefixCands(sh), sh, withSizes = true)
   }
 
   /** Naive all-pairs exact formulation — the specification the prefix-filter
     * version must reproduce; kept for the equivalence test. */
   def neardupPairsAllPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = shingleHashes(s, d)
     verifyJaccard(naiveCands(sh), sh, withSizes = true)
   }
 
@@ -420,7 +439,7 @@ object Dedup {
     * Registered rows-only; a ScalaTest asserts it equals the exact operator.
     */
   val neardupMinhashLsh: Q = (s, d) => {
-    val sh = shingles(s, d).transform(graft.Caching.cachedOnce) // feeds signatures AND the verify step
+    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce) // feeds signatures AND the verify step
     val sig = minhashSignatures(sh)
     // one explode pass over an array of (band, band_hash) structs — the
     // first cut unioned 16 per-band scans of the signature table, i.e. 16

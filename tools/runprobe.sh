@@ -22,7 +22,11 @@
 #     tools/runprobe.sh graft.AbBench ...      # OLD binary of an A/B pair
 #
 # Env: SPARK_DRIVER_MEM (default 8g), GRAFT_CLASSES (default this repo's
-# target dir), everything the probe itself reads (SPARK_GRAFT_*).
+# target dir), GRAFT_JAVA_OPTS (extra JVM flags — the only way to set CORE
+# SparkConf entries like spark.io.compression.codec, which must exist at
+# SparkContext creation and cannot be injected via SPARK_GRAFT_EXTRA_CONF's
+# session-conf path; e.g. GRAFT_JAVA_OPTS="-Dspark.io.compression.codec=zstd"),
+# and everything the probe itself reads (SPARK_GRAFT_*).
 #
 # The add-opens list mirrors build.sbt's jdk17AddOpens (Spark 4.x on JDK 17
 # outside spark-submit); the 1g code cache mirrors the bench main's JIT
@@ -36,4 +40,5 @@ done
 CLASSES="${GRAFT_CLASSES:-$(dirname "$0")/../target/scala-2.13/classes}"
 exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" -XX:ReservedCodeCacheSize=1g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  $GRAFT_JAVA_OPTS \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"

@@ -30,6 +30,8 @@ object IvfAdvisoryCheck {
         Seq(ScaleProbe.buildCorpus(spark, base, k.toInt, scratch)._2)
       case None => args.toSeq
     }
+    // timing runs measure the ANN path alone, same rationale as graft.Bench
+    sys.props("graft.ann.recall") = "0"
     dirs.foreach { d =>
       val stride = graft.llm.AnnIvf.strideFor(spark, d)
       val np = graft.llm.AnnIvf.numProbeFor(spark, d, stride)
@@ -39,6 +41,32 @@ object IvfAdvisoryCheck {
       println(f"[ivfadvise] dir=$d n=$n stride=$stride derivedNp=$np " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs -> " +
         res.fold("SILENT (derived np earning its cost)")(m => s"FIRES: $m"))
+      // SPARK_GRAFT_IVF_TIME=1: round-18 apply-mode end-to-end measurement —
+      // the full registered probe (index + probe + rank) timed under
+      // advise (derived np) vs apply (np=2 when sampled agreement is 1.0)
+      if (sys.env.get("SPARK_GRAFT_IVF_TIME").contains("1")) {
+        def timed(mode: Option[String]): Double = {
+          mode match {
+            case Some(v) => spark.conf.set(graft.llm.AnnIvf.AutoProbeConf, v)
+            case None => spark.conf.unset(graft.llm.AnnIvf.AutoProbeConf)
+          }
+          val t = System.nanoTime()
+          graft.llm.AnnIvf.ivfTopk(spark, d)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        timed(None) // warmup (JIT + page cache + advisory memo)
+        val adv = math.min(timed(None), timed(None))
+        val app = math.min(timed(Some("apply")), timed(Some("apply")))
+        spark.conf.unset(graft.llm.AnnIvf.AutoProbeConf)
+        val effNp = {
+          spark.conf.set(graft.llm.AnnIvf.AutoProbeConf, "apply")
+          try graft.llm.AnnIvf.effectiveNumProbe(spark, d, stride, 5)
+          finally spark.conf.unset(graft.llm.AnnIvf.AutoProbeConf)
+        }
+        println(f"[ivfadvise] timed (best-of-2) advise=$adv%.2fs " +
+          f"apply=$app%.2fs applyNp=$effNp (derived $np)")
+      }
     }
     spark.stop()
   }

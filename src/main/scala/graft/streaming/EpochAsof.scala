@@ -378,18 +378,24 @@ class EpochBufferedAsofProcessor(widthSec: Long, streamBigGroup: Long = 0L)
   override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
                                   info: ExpiredTimerInfo): Iterator[AsofEpochMid] = {
     val wm = math.max(tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs())
+    // exclude the FIRING timer from the armed view: listTimers still
+    // reports it mid-fire but Spark auto-removes it after the callback,
+    // and deleting it again WARNs once per fired timer per key (measured
+    // 6.1M log lines / ~800 MB log I/O in one 64× buffered probe run)
+    val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet -
+      info.getExpiryTimeInMs()
     if (info.getExpiryTimeInMs() == cleanupAt(key._2)) {
       // the watermark passed the epoch's end: drain everything (wm ≥
       // epoch-end + 1 covers every row of this epoch) and drop the
       // epochDim cell — the key's state is now empty and it holds no
       // timers, so it is fully removed from the store
-      val out = flush(key, wm, armCleanup = false)
+      val out = flush(key, wm, armCleanup = false, armedPre = Some(armed))
       if (last.exists()) {
         last.clear()
         EpochBufferedAsofProcessor.bumpCleanup(runId)
       }
       out
-    } else flush(key, wm)
+    } else flush(key, wm, armedPre = Some(armed))
   }
 }
 

@@ -121,16 +121,19 @@ object StreamNeardup {
       * keep exactly one armed sweep timer while members remain. Returns the
       * retained members. */
     private def evictAndArm(kept: Vector[NeardupMember], wmMs: Long,
-                            rearm: Boolean): Vector[NeardupMember] = {
+                            rearm: Boolean, firedMs: Long = -1L): Vector[NeardupMember] = {
       val live = kept.filter(m => m.ts_us / 1000L + horizonMs >= wmMs)
       if (live.isEmpty) members.clear()
       else {
         members.put(live.toArray)
         if (rearm) {
           val want = live.iterator.map(_.ts_us / 1000L).min + horizonMs + 1L
-          val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+          // the firing timer is auto-removed by Spark but still listed
+          // mid-fire — deleting it again WARNs per fire (see the as-of
+          // processors' identical exclusion)
+          val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet - firedMs
           armed.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
-          if (!armed.contains(want)) getHandle.registerTimer(want)
+          if (!armed.contains(want) && want != firedMs) getHandle.registerTimer(want)
         }
       }
       live
@@ -171,7 +174,8 @@ object StreamNeardup {
                                     info: ExpiredTimerInfo): Iterator[BandVerdict] = {
       val wm = math.max(tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs())
       // the fired timer is auto-removed; evictAndArm re-arms iff members remain
-      evictAndArm(members.get().toVector, wm, rearm = true)
+      evictAndArm(members.get().toVector, wm, rearm = true,
+        firedMs = info.getExpiryTimeInMs())
       Iterator.empty
     }
   }

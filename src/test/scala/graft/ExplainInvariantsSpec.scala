@@ -427,4 +427,43 @@ class ExplainInvariantsSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"),
       "band-pair self-join lost its merge hint:\n" + p.take(2000))
   }
+
+  test("near-dup shuffles carry 8-byte shingle digests, never 5-gram strings") {
+    // round 18 (the kept digest A/B): the candidate/verify machinery's
+    // exchanges must ship LongType `sh`, not the ~45-byte shingle string —
+    // this guards the family's dominant shuffle payload (and the CC-1024×
+    // disk budget) against a regression to the string representation.
+    // Plan-structural: every shuffle exchange in the executed plan whose
+    // output carries an `sh` attribute carries it as LongType.
+    // At fixture scale AQE broadcasts every join and elides the agg
+    // exchanges entirely, so the guarded shuffles never materialize —
+    // disable broadcasting for this test so the verify joins take the
+    // shuffled path a production corpus would (the SCALE plan is what the
+    // guard protects).
+    spark.catalog.clearCache() // a pre-cached string shingle table would hide the exchange
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+                   "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = graft.llm.Dedup.neardupPairs(spark, sfDir)
+      df.collect()
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(flatten)
+      val shuffles = flatten(df.queryExecution.executedPlan).filter(isShuffle)
+      val shCarrying = shuffles.filter(_.output.exists(_.name == "sh"))
+      assert(shCarrying.nonEmpty,
+        "expected shingle-carrying exchanges in the no-broadcast pair plan:\n" +
+        df.queryExecution.executedPlan.toString.take(3000))
+      val offenders = shCarrying.flatMap(_.output).filter(a =>
+        a.name == "sh" && a.dataType != org.apache.spark.sql.types.LongType)
+      assert(offenders.isEmpty,
+        s"shingle column must shuffle as a 64-bit digest, found: $offenders")
+    } finally {
+      prev.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }}
+      spark.catalog.clearCache()
+    }
+  }
 }

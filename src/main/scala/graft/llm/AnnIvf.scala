@@ -242,13 +242,34 @@ object AnnIvf {
     * corpus re-paid the two sampled probe jobs at DataFrame-CONSTRUCTION
     * time and re-logged the warning — a per-pass tax on exactly the probe
     * runs (ScaleProbe drops the session cache between passes) the advisory
-    * exists to inform. Same deliberate staleness trade as
-    * [[TextAnalysis]]'s vocabFits memo: a corpus regenerated in place at
-    * the same path keeps the old verdict until the JVM bounces —
-    * acceptable for a log-only advisory. Compute runs OUTSIDE any map bin
-    * lock (putIfAbsent keeps the first completed answer on a race). */
+    * exists to inform. Unlike [[TextAnalysis]]'s vocabFits memo, the key
+    * ALSO carries [[corpusFingerprint]] (round-19): once apply-mode made
+    * this a recall decision rather than a log line, in-place corpus
+    * rewrites at the same path had to invalidate the entry. Compute runs
+    * OUTSIDE any map bin lock (putIfAbsent keeps the first completed
+    * answer on a race). */
   private val advisedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int, Int), java.lang.Double]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int, Int, Int), java.lang.Double]()
+
+  /** Cheap content fingerprint of the corpus the memo'd agreement was
+    * measured on: a hash of the embeddings parquet directory's file listing
+    * (name, size, mtime). Round-19 (r18 ADVICE): with `autoProbe=apply` the
+    * memo became a plan/recall DECISION, and the (dir, stride, np, sampleN,
+    * k) key does not see a corpus rewritten IN PLACE at the same path (e.g.
+    * scale-probe scratch reuse) — a stale agreement=1.0 could silently keep
+    * np=[[NumProbe]] on data it was never measured against. One local
+    * listing per memo lookup; any rewrite changes some part-file's
+    * (name, size, mtime) and so invalidates the entry. Non-local or missing
+    * paths hash to a constant (those corpora keep the documented
+    * immutable-within-a-JVM assumption). */
+  private def corpusFingerprint(d: String): Int = {
+    val dir = new java.io.File(d, "embeddings.parquet")
+    val files = dir.listFiles()
+    if (files == null) 0
+    else scala.util.hashing.MurmurHash3.orderedHash(
+      files.sortBy(_.getName).iterator
+        .map(f => (f.getName, f.length(), f.lastModified())).toSeq)
+  }
 
   /** The gated, memoized sampled agreement behind both the advisory and
     * apply-mode. None — without spending the sample probes — when the user
@@ -265,7 +286,7 @@ object AnnIvf {
     if (graft.Confs.intConf(s, NumProbeConf).isDefined ||
         np < LocalityMinNp || sampleN <= 0) None
     else {
-      val key = (d, stride, np, sampleN, k)
+      val key = (d, stride, np, sampleN, k, corpusFingerprint(d))
       val cached = advisedMemo.get(key)
       Some(
         if (cached != null) cached.doubleValue()

@@ -254,7 +254,11 @@ object Curation {
     */
   val decontaminate: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val sh = Dedup.shingles(s, d).transform(graft.Caching.cachedOnce)
+    // 8-byte shingle digests (round 19, consistency with the rest of the
+    // family — the broadcast side is benchmark-sized so the win is minor,
+    // but a 5× smaller broadcast is still a 5× smaller broadcast):
+    // see [[Dedup.shingleHashes]] for the collision bound; oracle unchanged.
+    val sh = Dedup.shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     val benchIds = docs.where(col("source") === BenchmarkSource)
       .select(col("doc_id").as("bench_id"))
     val trainIds = docs.where(col("source") =!= BenchmarkSource)
@@ -408,7 +412,8 @@ object Curation {
       .join(hashed.where(!isNew).as("c"), col("n.h") === col("c.h"))
       .groupBy(col("n.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("exact_match"))
-    val sh = Dedup.shingles(s, d).transform(graft.Caching.cachedOnce)
+    // digest shingles, same rationale as decontaminate above (round 19)
+    val sh = Dedup.shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val near = sh.where(!(col("doc_id") % 10 === 7))
       .select(col("doc_id").as("corpus_id"), col("sh"))

@@ -28,6 +28,21 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   * tokens have no shingles and can only exact-match — same rule as every
   * other §2.11 dedup row.
   *
+  * The STREAMING spelling realizes this contract with high probability, not
+  * exactly (round-19 doc fix — the divergence bound belongs here, on the
+  * contract, not only in the shape paragraph below): LSH banding means a
+  * true near-pair sharing none of the 16 bands is reported `new`
+  * (P(miss) = (1 − J⁴)^16 ≈ 2.2e-4 per pair at J = 0.8, worst just above
+  * the threshold), and `match_id` can exceed the contract's smallest-id
+  * match when the minimal candidate shares no band with the arriving doc.
+  * Exact duplicates are never missed (the exact band is keyed by the text
+  * hash and verified on full sha256). The spec/probe equalities pinning
+  * stream ≡ batch twin are corpus-specific observations, not a guarantee;
+  * downstream consumers of the admission gate should treat the streaming
+  * output as a 1-in-~4500-pairs-lossy realization of the registered
+  * contract. The registered/oracled row is the batch twin, which computes
+  * the contract exactly.
+  *
   * STREAMING SHAPE (the 100 TB path): no doc ever compares against the
   * whole horizon corpus. Each doc explodes to its 16 MinHash band keys
   * (bands of 4 of the 64 per-shingle xxhash64 minima — the same 16×4
@@ -79,10 +94,14 @@ object StreamNeardup {
   /** One stored horizon-corpus member inside a band key's state. */
   case class NeardupMember(doc_id: Long, ts_us: Long, h: String, shs: Array[Long])
 
-  /** Pass-1 input: one row per (doc, band). `shs` is the doc's SORTED
-    * distinct shingle-hash array (empty for the exact band — the member
-    * array is stored once, on the band-0 row... no: stored per band key it
-    * collides on, which is what makes each band self-contained). */
+  /** Pass-1 input: one row per (doc, band), carrying ONLY the payload that
+    * band family compares on (round 19 — r18 verdict item 1): the exact
+    * band's row carries `h` (sha256 equality is its whole comparison) and an
+    * EMPTY `shs`; each MinHash band's row carries the doc's SORTED distinct
+    * shingle-hash array and an empty `h` (Jaccard on the stored arrays is
+    * its whole comparison). Members are stored per band key the doc collides
+    * on — that per-band self-containment is what keeps pass 1 a single
+    * keyed operator — so slimming the row slims the state it becomes. */
   case class BandRow(band: Int, band_hash: Long, doc_id: Long, ts_us: Long,
                      h: String, shs: Array[Long], ts: java.sql.Timestamp)
 
@@ -243,7 +262,14 @@ object StreamNeardup {
         col("doc_id"), col("ts"), col("h"), col("shs"))
       .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
         col("doc_id"), unix_micros(col("ts")).as("ts_us"),
-        col("h"), col("shs"), col("ts"))
+        // per-band payload split (see BandRow): the exact band never reads
+        // shs, the MinHash bands never read h — shipping (and storing) the
+        // dead half inflated band state ~16 sha256 strings + one shingle
+        // array per doc (r18 probe: 322.5 MB at 320k docs)
+        when(col("bb.band") === ExactBand, col("h")).otherwise("").as("h"),
+        when(col("bb.band") === ExactBand, array().cast("array<bigint>"))
+          .otherwise(col("shs")).as("shs"),
+        col("ts"))
   }
 
   /** The streaming spelling: `docs` must be a streaming DataFrame with
@@ -280,7 +306,11 @@ object StreamNeardup {
         col("x.doc_id") - col("y.doc_id") <= horizonDocs)
       .groupBy(col("x.doc_id").as("doc_id"))
       .agg(min(col("y.doc_id")).as("exact_match"))
-    val sh = graft.llm.Dedup.shingles(s, d).transform(graft.Caching.cachedOnce)
+    // round 19 (r18 verdict item 2): join on 8-byte shingle DIGESTS, not the
+    // ~45-byte 5-gram strings — the same swap the rest of the near-dup family
+    // made in round 18 (see [[graft.llm.Dedup.shingleHashes]] for the
+    // collision bound); the string-exact oracle re-proves equality each round.
+    val sh = graft.llm.Dedup.shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val near = sh.as("x")
       .join(sh.as("y"), col("y.sh") === col("x.sh") &&

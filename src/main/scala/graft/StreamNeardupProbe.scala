@@ -120,6 +120,14 @@ object StreamNeardupProbe {
       .foldLeft(0L)(math.max)
     val stateMem = q.recentProgress.map(_.stateOperators.map(_.memoryUsedBytes).sum)
       .foldLeft(0L)(math.max)
+    // memoryUsedBytes for RocksDB is dominated by configured caches and
+    // compressed SSTs — it barely moved under a payload change that cut
+    // logical member bytes (round 19). The SST file size is the honest
+    // stored-payload denominator; report both.
+    val stateSst = q.recentProgress.map(_.stateOperators.map(so =>
+        Option(so.customMetrics.get("rocksdbSstFileSize")).map(_.longValue)
+          .getOrElse(0L)).sum)
+      .foldLeft(0L)(math.max)
     val batches = q.recentProgress.length
     q.stop()
     val peakMb = tally.peak.get / 1e6
@@ -127,8 +135,8 @@ object StreamNeardupProbe {
     val ok = got == ref
     println(f"[streamnd] k=$k docs=$n slices=$slices wall=$wall%7.1fs " +
       f"batches=$batches%3d stateRows=$stateRows%9d " +
-      f"stateMem=${stateMem / 1e6}%8.1fMB peakTask=$peakMb%6.1fMB " +
-      f"rows=${got._1} equal=$ok")
+      f"stateMem=${stateMem / 1e6}%8.1fMB sst=${stateSst / 1e6}%8.1fMB " +
+      f"peakTask=$peakMb%6.1fMB rows=${got._1} equal=$ok")
     if (!ok) System.err.println(s"[streamnd] OUTPUT MISMATCH: got=$got ref=$ref")
     spark.stop()
   }

@@ -48,21 +48,51 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   * (bands of 4 of the 64 per-shingle xxhash64 minima — the same 16×4
   * banding as `llm_neardup_minhash`, P(miss | J=0.8) ≈ 2.2e-4 per true
   * pair) plus one EXACT band keyed by the text hash, and meets only docs
-  * sharing a band: keyed state (per band key) holds the horizon's member
-  * docs as (doc_id, ts, sha256, sorted shingle-hash array), candidates are
-  * verified by EXACT Jaccard on the stored arrays (LSH bounds who is
-  * compared; the threshold decision is never probabilistic), and a
-  * stateless second operator folds a doc's ≤17 band verdicts into one row
-  * — possible without state because pass 1 emits every band row of a doc
-  * in the same micro-batch. State is evicted by the watermark: once the
-  * watermark passes `ts_j + horizon` no future doc can match `j` (future
-  * rows are at/after the watermark), so each band key drops dead members
-  * on access and an event-time timer at (oldest member + horizon + 1 ms)
-  * sweeps keys the stream went quiet on. The exact-band key space is one
-  * entry per distinct in-horizon text — the usual LSH-bucket skew caveat
-  * applies to pathological mega-duplicate streams (one band key holding c
+  * sharing a band. THREE chained keyed operators (round 19 restructure —
+  * the round-18 design stored each doc's full shingle-hash array in EVERY
+  * band it collided on, ~17 copies, and a sha256 string besides; the
+  * probe read 322 MB of band state at 320k docs and the per-family
+  * payload split recovered almost none of it, so the array moved to a
+  * doc-keyed store kept ONCE):
+  *
+  *   1. BAND stage, keyed (band, band_hash), holds only the horizon's
+  *      member IDS — (doc_id, ts) for MinHash bands, (doc_id, ts, sha256)
+  *      for the exact band. The exact band emits one SELF row per doc
+  *      (its exact verdict + the doc's shingle-hash array riding through,
+  *      never stored here); each MinHash band emits one CANDIDATE row per
+  *      (arriving doc, earlier in-horizon member) collision, carrying the
+  *      ARRIVING doc's array. Emitted rows re-declare the arriving doc's
+  *      event time (`transformWithState(_, "act_ts", Append)`) so the
+  *      watermark flows to stage 2.
+  *   2. VERIFY stage, keyed by doc id: the self row REGISTERS the doc's
+  *      sorted shingle-hash array (the single stored copy) and forwards
+  *      the exact verdict; candidate rows (keyed by the EARLIER doc)
+  *      verify EXACT Jaccard between the stored array and the arriving
+  *      doc's carried array (LSH bounds who is compared; the threshold
+  *      decision is never probabilistic) and emit a near-match row on
+  *      success. In-order delivery makes registration-before-candidate a
+  *      sort on (event time, doc id) within each batch.
+  *   3. A stateless per-doc fold (co-batched — stages 1-2 emit all of a
+  *      doc's rows in its arrival batch) produces the admission row.
+  *
+  * State is evicted by the watermark: once it passes `ts_j + horizon` no
+  * future doc can match `j` (future rows are at/after the watermark), so
+  * band keys drop dead members on access with an event-time sweep timer
+  * at (oldest member + horizon + 1 ms) for keys the stream went quiet on,
+  * and each doc key's stored array is cleared by its own timer at
+  * (ts + horizon + 1 ms). The exact-band key space is one entry per
+  * distinct in-horizon text — the usual LSH-bucket skew caveat applies to
+  * pathological mega-duplicate streams (one band key holding c
   * near-identical docs costs O(c) comparisons per arrival, the streaming
   * mirror of the batch family's capped/guarded mega-cluster regime).
+  * Candidate rows duplicate the arriving doc's array once per SHARED band
+  * (a true near-pair shares many bands); the per-batch dedup in stage 2
+  * collapses the comparisons, and the duplication is shuffle-transient —
+  * the steady-state cost, state, is what scales with the horizon. A
+  * behind-watermark straggler's emitted event time is re-based to the
+  * current watermark at the stage-1 boundary (Spark's chained-operator
+  * validation requires emitted times at/after the watermark), which can
+  * only delay its array's eviction, never lose a verdict.
   *
   * IN-ORDER CONTRACT (same as `stream_asof_state`): a doc arrives after
   * every doc with an earlier (ts, doc_id). Within a micro-batch, rows are
@@ -91,25 +121,48 @@ object StreamNeardup {
     * the 64-bit text hash; membership comparison is full-sha256 equality. */
   val ExactBand: Int = NumBands
 
-  /** One stored horizon-corpus member inside a band key's state. */
-  case class NeardupMember(doc_id: Long, ts_us: Long, h: String, shs: Array[Long])
+  /** One stored exact-band member: id, event time, and the full sha256
+    * (the band key is a 64-bit text hash; equality is decided on the
+    * stored digest, never the key). */
+  case class ExactMember(doc_id: Long, ts_us: Long, h: String)
 
-  /** Pass-1 input: one row per (doc, band), carrying ONLY the payload that
-    * band family compares on (round 19 — r18 verdict item 1): the exact
-    * band's row carries `h` (sha256 equality is its whole comparison) and an
-    * EMPTY `shs`; each MinHash band's row carries the doc's SORTED distinct
-    * shingle-hash array and an empty `h` (Jaccard on the stored arrays is
-    * its whole comparison). Members are stored per band key the doc collides
-    * on — that per-band self-containment is what keeps pass 1 a single
-    * keyed operator — so slimming the row slims the state it becomes. */
+  /** One stored MinHash-band member — IDS ONLY (round 19, Tier-2 state
+    * split): the shingle-hash array lives once in the verify stage's
+    * doc-keyed store, not in each of the ~16 band lists the doc collides
+    * on. */
+  case class BandMember(doc_id: Long, ts_us: Long)
+
+  /** Stage-1 input: one row per (doc, band). The exact band's row carries
+    * `h` (sha256 equality is its whole comparison); every row carries the
+    * doc's SORTED distinct shingle-hash array `shs` — the exact-band row
+    * forwards it to the verify stage for registration, MinHash rows attach
+    * it to candidate emissions. Neither band family STORES it (round 19):
+    * the array's single stored copy is the verify stage's. */
   case class BandRow(band: Int, band_hash: Long, doc_id: Long, ts_us: Long,
                      h: String, shs: Array[Long], ts: java.sql.Timestamp)
 
-  /** Pass-1 output: this band's best earlier matches for one doc (−1 =
-    * none). Every (doc, band) input emits exactly one — the stateless
-    * verdict fold needs a row even from silent bands so a no-match doc
-    * still reaches the output as `new`. */
+  /** Stage-1 output / stage-2 input, keyed by `key_id`. Two kinds:
+    * `cand = false` — the arriving doc's SELF row (key = its own id):
+    * registers its array in the verify store and forwards the exact-band
+    * verdict `exact_id`. `cand = true` — a band-collision CANDIDATE row
+    * (key = the EARLIER member's id): `act_id` is the arriving doc and
+    * `shs` its array; the verify stage decides Jaccard against the key
+    * doc's stored array. `act_ts` re-declares the arriving doc's event
+    * time (clamped to the current watermark — Spark's chained-operator
+    * validation rejects emitted times behind it) so the watermark flows
+    * into stage 2's timers. */
+  case class VerifyRow(key_id: Long, cand: Boolean, act_id: Long,
+                       act_ts_us: Long, exact_id: Long, shs: Array[Long],
+                       act_ts: java.sql.Timestamp)
+
+  /** Stage-2 output: one doc's exact verdict (self rows, near_id = −1) or
+    * a verified near match (candidate rows, exact_id = −1). The stateless
+    * verdict fold still sees at least one row per doc — every doc emits a
+    * self row. */
   case class BandVerdict(doc_id: Long, exact_id: Long, near_id: Long)
+
+  /** The verify store's value: one doc's registration. */
+  case class StoredShingles(ts_us: Long, shs: Array[Long])
 
   /** Exact Jaccard of two sorted Long arrays (linear merge). */
   private[streaming] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
@@ -123,78 +176,163 @@ object StreamNeardup {
     inter.toDouble / (a.length + b.length - inter)
   }
 
-  /** Pass 1: per-band horizon state + candidate verification. Keyed by
-    * (band, band_hash); EventTime mode (the watermark drives eviction
-    * only — emission is immediate). */
+  /** Stage 1: per-band horizon membership. Keyed by (band, band_hash);
+    * EventTime mode (the watermark drives eviction only — emission is
+    * immediate). The exact band decides its verdict in-band (sha256
+    * equality against stored digests) and emits each doc's SELF row; the
+    * MinHash bands emit CANDIDATE rows only — verification happens in the
+    * doc-keyed stage 2 where the shingle array is stored once. */
   class BandNeardupProcessor(horizonMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandRow, BandVerdict] {
-    @transient private var members: ListState[NeardupMember] = _
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandRow, VerifyRow] {
+    @transient private var exactMembers: ListState[ExactMember] = _
+    @transient private var bandMembers: ListState[BandMember] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      members = getHandle.getListState[NeardupMember]("members",
-        org.apache.spark.sql.Encoders.product[NeardupMember], TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      exactMembers = getHandle.getListState[ExactMember]("exactMembers",
+        org.apache.spark.sql.Encoders.product[ExactMember], TTLConfig.NONE)
+      bandMembers = getHandle.getListState[BandMember]("bandMembers",
+        org.apache.spark.sql.Encoders.product[BandMember], TTLConfig.NONE)
+    }
 
     private def horizonUs = horizonMs * 1000L
 
-    /** Drop members no future row can match (watermark ≥ ts + horizon) and
-      * keep exactly one armed sweep timer while members remain. Returns the
-      * retained members. */
-    private def evictAndArm(kept: Vector[NeardupMember], wmMs: Long,
-                            rearm: Boolean, firedMs: Long = -1L): Vector[NeardupMember] = {
-      val live = kept.filter(m => m.ts_us / 1000L + horizonMs >= wmMs)
-      if (live.isEmpty) members.clear()
+    /** Drop (ts_us-carrying) members no future row can match (watermark ≥
+      * ts + horizon) and keep exactly one armed sweep timer while members
+      * remain. One implementation serves both member families via the
+      * extracted timestamps + a writeback. */
+    private def evictAndArm[M](kept: Vector[M], tsUs: M => Long,
+                               put: Array[M] => Unit, clear: () => Unit,
+                               wmMs: Long, firedMs: Long = -1L)
+                              (implicit ct: scala.reflect.ClassTag[M]): Unit = {
+      val live = kept.filter(m => tsUs(m) / 1000L + horizonMs >= wmMs)
+      if (live.isEmpty) clear()
       else {
-        members.put(live.toArray)
-        if (rearm) {
-          val want = live.iterator.map(_.ts_us / 1000L).min + horizonMs + 1L
-          // the firing timer is auto-removed by Spark but still listed
-          // mid-fire — deleting it again WARNs per fire (see the as-of
-          // processors' identical exclusion)
-          val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet - firedMs
-          armed.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
-          if (!armed.contains(want) && want != firedMs) getHandle.registerTimer(want)
-        }
+        put(live.toArray)
+        val want = live.iterator.map(tsUs(_) / 1000L).min + horizonMs + 1L
+        // the firing timer is auto-removed by Spark but still listed
+        // mid-fire — deleting it again WARNs per fire (see the as-of
+        // processors' identical exclusion)
+        val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet - firedMs
+        armed.iterator.filter(_ != want).foreach(getHandle.deleteTimer)
+        if (!armed.contains(want) && want != firedMs) getHandle.registerTimer(want)
       }
-      live
     }
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
-                                 tv: TimerValues): Iterator[BandVerdict] = {
+                                 tv: TimerValues): Iterator[VerifyRow] = {
       val wm = tv.getCurrentWatermarkInMs()
-      val stored = members.get().toVector
       val incoming = rows.toVector.sortBy(r => (r.ts_us, r.doc_id))
-      val live = scala.collection.mutable.ArrayBuffer.empty[NeardupMember]
-      live ++= stored.filter(m => m.ts_us / 1000L + horizonMs >= wm)
-      val exact = key._1 == ExactBand
-      val out = incoming.map { r =>
-        var exactId = -1L
-        var nearId = -1L
-        live.foreach { m =>
-          val earlier = m.ts_us < r.ts_us ||
-            (m.ts_us == r.ts_us && m.doc_id < r.doc_id)
-          if (earlier && r.ts_us - m.ts_us <= horizonUs) {
-            if (exact) {
-              if (m.h == r.h && (exactId < 0 || m.doc_id < exactId))
-                exactId = m.doc_id
-            } else if (graft.llm.Dedup.JaccardThreshold <=
-                       jaccardSorted(m.shs, r.shs) &&
-                       (nearId < 0 || m.doc_id < nearId))
-              nearId = m.doc_id
+      // emitted event times must be at/after the watermark (chained-operator
+      // validation); clamping a straggler forward only delays eviction
+      def actTs(r: BandRow): (Long, java.sql.Timestamp) =
+        if (wm > 0 && r.ts_us < wm * 1000L)
+          (wm * 1000L, new java.sql.Timestamp(wm))
+        else (r.ts_us, r.ts)
+      val out = Vector.newBuilder[VerifyRow]
+      if (key._1 == ExactBand) {
+        val live = scala.collection.mutable.ArrayBuffer.empty[ExactMember]
+        live ++= exactMembers.get().toVector
+          .filter(m => m.ts_us / 1000L + horizonMs >= wm)
+        incoming.foreach { r =>
+          var exactId = -1L
+          live.foreach { m =>
+            val earlier = m.ts_us < r.ts_us ||
+              (m.ts_us == r.ts_us && m.doc_id < r.doc_id)
+            if (earlier && r.ts_us - m.ts_us <= horizonUs &&
+                m.h == r.h && (exactId < 0 || m.doc_id < exactId))
+              exactId = m.doc_id
           }
+          live += ExactMember(r.doc_id, r.ts_us, r.h)
+          val (tsUs, ts) = actTs(r)
+          out += VerifyRow(r.doc_id, cand = false, r.doc_id, tsUs, exactId,
+            r.shs, ts)
         }
-        live += NeardupMember(r.doc_id, r.ts_us, r.h, r.shs)
-        BandVerdict(r.doc_id, exactId, nearId)
+        evictAndArm[ExactMember](live.toVector, _.ts_us,
+          exactMembers.put, () => exactMembers.clear(), wm)
+      } else {
+        val live = scala.collection.mutable.ArrayBuffer.empty[BandMember]
+        live ++= bandMembers.get().toVector
+          .filter(m => m.ts_us / 1000L + horizonMs >= wm)
+        incoming.foreach { r =>
+          val (tsUs, ts) = actTs(r)
+          live.foreach { m =>
+            val earlier = m.ts_us < r.ts_us ||
+              (m.ts_us == r.ts_us && m.doc_id < r.doc_id)
+            if (earlier && r.ts_us - m.ts_us <= horizonUs)
+              out += VerifyRow(m.doc_id, cand = true, r.doc_id, tsUs, -1L,
+                r.shs, ts)
+          }
+          live += BandMember(r.doc_id, r.ts_us)
+        }
+        evictAndArm[BandMember](live.toVector, _.ts_us,
+          bandMembers.put, () => bandMembers.clear(), wm)
       }
-      evictAndArm(live.toVector, wm, rearm = true)
-      out.iterator
+      out.result().iterator
     }
 
     override def handleExpiredTimer(key: (Int, Long), tv: TimerValues,
-                                    info: ExpiredTimerInfo): Iterator[BandVerdict] = {
+                                    info: ExpiredTimerInfo): Iterator[VerifyRow] = {
       val wm = math.max(tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs())
       // the fired timer is auto-removed; evictAndArm re-arms iff members remain
-      evictAndArm(members.get().toVector, wm, rearm = true,
-        firedMs = info.getExpiryTimeInMs())
+      if (key._1 == ExactBand)
+        evictAndArm[ExactMember](exactMembers.get().toVector, _.ts_us,
+          exactMembers.put, () => exactMembers.clear(), wm,
+          firedMs = info.getExpiryTimeInMs())
+      else
+        evictAndArm[BandMember](bandMembers.get().toVector, _.ts_us,
+          bandMembers.put, () => bandMembers.clear(), wm,
+          firedMs = info.getExpiryTimeInMs())
+      Iterator.empty
+    }
+  }
+
+  /** Stage 2: the doc-keyed shingle store + exact-Jaccard verification.
+    * Keyed by [[VerifyRow.key_id]]; EventTime mode. Each doc's sorted
+    * shingle-hash array is stored ONCE here (registered by its self row,
+    * cleared by a timer at ts + horizon + 1 ms); candidate rows compare
+    * the arriving doc's carried array against the key doc's stored one.
+    * Same-batch registration-before-candidate is the (event time, doc id)
+    * sort — the pair contract guarantees the earlier doc sorts first. A
+    * candidate whose key doc has no stored array (horizon-evicted, or a
+    * straggler raced the sweep) is skipped: a missed comparison, the
+    * documented straggler degradation, never a wrong one. */
+  class ShingleVerifyProcessor(horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, VerifyRow, BandVerdict] {
+    @transient private var stored: org.apache.spark.sql.streaming.ValueState[StoredShingles] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stored = getHandle.getValueState[StoredShingles]("shingles",
+        org.apache.spark.sql.Encoders.product[StoredShingles], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[VerifyRow],
+                                 tv: TimerValues): Iterator[BandVerdict] = {
+      val incoming = rows.toVector.sortBy(r => (r.act_ts_us, r.act_id))
+      val out = Vector.newBuilder[BandVerdict]
+      val seenCands = scala.collection.mutable.HashSet.empty[Long]
+      incoming.foreach { r =>
+        if (!r.cand) {
+          out += BandVerdict(r.act_id, r.exact_id, -1L)
+          if (r.shs.nonEmpty) {
+            stored.update(StoredShingles(r.act_ts_us, r.shs))
+            getHandle.registerTimer(r.act_ts_us / 1000L + horizonMs + 1L)
+          }
+        } else if (seenCands.add(r.act_id)) {
+          // several shared bands emit the same (doc, key) candidate — one
+          // comparison per batch suffices
+          val s = stored.get()
+          if (s != null &&
+              graft.llm.Dedup.JaccardThreshold <= jaccardSorted(s.shs, r.shs))
+            out += BandVerdict(r.act_id, -1L, key)
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[BandVerdict] = {
+      // armed at exactly ts + horizon + 1: firing means no future row can
+      // match this doc
+      stored.clear()
       Iterator.empty
     }
   }
@@ -262,14 +400,12 @@ object StreamNeardup {
         col("doc_id"), col("ts"), col("h"), col("shs"))
       .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
         col("doc_id"), unix_micros(col("ts")).as("ts_us"),
-        // per-band payload split (see BandRow): the exact band never reads
-        // shs, the MinHash bands never read h — shipping (and storing) the
-        // dead half inflated band state ~16 sha256 strings + one shingle
-        // array per doc (r18 probe: 322.5 MB at 320k docs)
+        // only the exact band compares sha256 — MinHash rows carry the
+        // empty string. shs rides EVERY row (registration on the exact
+        // row, candidate attachment on MinHash rows) but is never stored
+        // in band state — see the Tier-2 shape in the class doc.
         when(col("bb.band") === ExactBand, col("h")).otherwise("").as("h"),
-        when(col("bb.band") === ExactBand, array().cast("array<bigint>"))
-          .otherwise(col("shs")).as("shs"),
-        col("ts"))
+        col("shs"), col("ts"))
   }
 
   /** The streaming spelling: `docs` must be a streaming DataFrame with
@@ -279,7 +415,12 @@ object StreamNeardup {
     import s.implicits._
     bandRows(docs).as[BandRow]
       .groupByKey(r => (r.band, r.band_hash))
+      // the String overload re-declares `act_ts` as the output's event-time
+      // column (EventTime mode implied) so stage 2's watermark timers work
       .transformWithState(new BandNeardupProcessor(horizonMs),
+        "act_ts", OutputMode.Append())
+      .groupByKey(_.key_id)
+      .transformWithState(new ShingleVerifyProcessor(horizonMs),
         TimeMode.EventTime(), OutputMode.Append())
       .groupByKey(_.doc_id)
       .transformWithState(new NeardupVerdictProcessor(), TimeMode.None(),

@@ -791,6 +791,10 @@ object Streams {
     // round 18: streaming MinHash-LSH near-dup admission (batch twin
     // registered; the streaming spelling is StreamingSpec-pinned equal)
     "stream_neardup" -> ((s, d) => StreamNeardup.admitNeardupBatch(s, d)),
+    // round 19: streaming embedding-cosine (SemDeDup) admission (batch twin
+    // registered; the streaming IVF-cell spelling is StreamingSpec-pinned
+    // equal under exact-mode numProbe)
+    "stream_semdedup" -> ((s, d) => StreamSemdedup.semdedupBatch(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -807,6 +811,7 @@ object Streams {
     "stream_asof_buffered" -> streamAsofStateSql, // same contract, different engine
     "stream_sink" -> streamSinkSql,
     "stream_neardup" -> StreamNeardup.streamNeardupSql,
+    "stream_semdedup" -> StreamSemdedup.semdedupSql,
   )
 
   /** Registered SORT-FREE (round 15): the trailing ORDER BY on these was
@@ -832,5 +837,6 @@ object Streams {
     "stream_join_stream" -> Seq("user_id", "v_id", "p_id"),
     "stream_sink" -> Seq("event_type"),
     "stream_neardup" -> Seq("doc_id"),
+    "stream_semdedup" -> Seq("vec_id"),
   )
 }

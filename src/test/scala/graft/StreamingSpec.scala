@@ -15,6 +15,9 @@ case class Ev(ts: Timestamp, event_type: String, user_id: Long, event_id: Long)
 /** Input row for the stream_neardup MemoryStream specs. */
 case class NdDoc(ts: Timestamp, doc_id: Long, text: String)
 
+/** Input row for the stream_semdedup MemoryStream specs. */
+case class SdVec(ts: Timestamp, vec_id: Long, embedding: Array[Float])
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -1414,6 +1417,116 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  /** RocksDB-scoped runner for the stream_semdedup MemoryStream specs —
+    * [[runNeardupStream]]'s shape over
+    * [[graft.streaming.StreamSemdedup.streamSemdedup]]. */
+  private def runSemdedupStream(name: String, chunks: Seq[Seq[SdVec]],
+                                horizonMs: Long, wmDelay: String,
+                                cb: Array[graft.streaming.StreamSemdedup.Centroid],
+                                numProbe: Int)
+      : (Map[Long, (String, Long)], Long, Long) = {
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[SdVec]
+    val q = graft.streaming.StreamSemdedup.streamSemdedup(
+        mem.toDF().withWatermark("ts", wmDelay), horizonMs, cb, numProbe)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var peak = 0L
+      var fin = 0L
+      chunks.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        fin = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        peak = math.max(peak, fin)
+      }
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      (rows, peak, fin)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("stream_semdedup: exact-mode fixture replay equals the registered batch twin") {
+    // the round-19 admission operator's probe-protocol-in-miniature: the
+    // embeddings fixture with ts = vec_id minutes, replayed as multi-vector
+    // micro-batches under numProbe = |codebook| (exhaustive candidate
+    // generation — the mode where IVF blocking provably loses nothing), must
+    // reproduce the relational batch twin (itself DuckDB-oracled at sf0.01),
+    // including dup matches whose two vectors arrive in different batches
+    import graft.streaming.StreamSemdedup
+    val cb = StreamSemdedup.codebook(spark, sfDir)
+    assert(cb.length >= 2, "fixture codebook must be non-trivial")
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<float>")).collect()
+      .map(r => SdVec(new Timestamp(1600000000000L + r.getLong(0) * 60000L),
+        r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    assert(vecs.length >= 40, "fixture must be non-trivial")
+    val horizonMs = StreamSemdedup.HorizonVecsDefault * 60000L
+    val expected = StreamSemdedup.semdedupBatch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val (got, _, _) = runSemdedupStream("sd_fixture",
+      vecs.grouped(25).map(_.toSeq).toSeq, horizonMs, "1 minute",
+      cb, cb.length)
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size} verdicts")
+    val diff = got.toSet diff expected.toSet
+    assert(diff.isEmpty, s"streaming diverged from batch twin on ${diff.take(5)}")
+    assert(expected.values.exists(_._1 == "dup"),
+      "fixture must exercise the dup arm")
+  }
+
+  test("stream_semdedup: dup carry across batches, horizon eviction, state cleanup") {
+    import graft.streaming.StreamSemdedup
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val e1 = Array(1f, 0f, 0f)   // unit x
+    val e1b = Array(2f, 0f, 0f)  // same direction, cos = 1
+    val e2 = Array(0f, 1f, 0f)   // orthogonal, cos = 0
+    val m4 = Array(0f, 0.1f, 1f) // home = z cell
+    val m5 = Array(0f, 0.2f, 1f) // home = z cell; cos(m4, m5) ≈ 0.995
+    val horizonMs = 60L * 60000L // 60 minutes
+    // axis-aligned 3-cell codebook: vectors 0-3 land in the x/y cells, the
+    // movers in the z cell — numRowsTotal counts state KEYS, so the
+    // watermark sweep is visible as whole cells clearing, not as members
+    // shrinking inside one key
+    val cb = Array(
+      StreamSemdedup.Centroid(0L, Array(1f, 0f, 0f), 1.0),
+      StreamSemdedup.Centroid(1L, Array(0f, 1f, 0f), 1.0),
+      StreamSemdedup.Centroid(2L, Array(0f, 0f, 1f), 1.0))
+    val chunks = Seq(
+      Seq(SdVec(t(0), 0L, e1)),
+      // cross-batch: colinear copy (cos 1 ≥ τ) and an orthogonal vector
+      Seq(SdVec(t(10), 1L, e1b), SdVec(t(20), 2L, e2)),
+      // colinear with 0/1 but every earlier copy is beyond the horizon
+      // (100−10 = 90 > 60 min): the admission gate must say new
+      Seq(SdVec(t(100), 3L, e1)),
+      // far-future movers: watermark sails past everything + horizon, the
+      // x/y cell sweep timers fire and clear those keys outright
+      Seq(SdVec(t(5000), 4L, m4)),
+      Seq(SdVec(t(5001), 5L, m5)))
+    val (got, peak, fin) = runSemdedupStream("sd_evict", chunks, horizonMs,
+      "1 minute", cb, 1)
+    assert(got(0L) == (("new", -1L)), s"first vector is new: $got")
+    assert(got(1L) == (("dup", 0L)), s"colinear cross-batch copy: $got")
+    assert(got(2L) == (("new", -1L)), s"orthogonal vector: $got")
+    assert(got(3L) == (("new", -1L)),
+      s"copy arriving after the horizon passed must be admitted as new: $got")
+    assert(got(4L) == (("new", -1L)) && got(5L) == (("dup", 4L)),
+      s"movers share the z cell within horizon at cos ≈ 0.995: $got")
+    assert(peak > fin,
+      s"swept cells must clear once the watermark passes the horizon (peak=$peak final=$fin)")
   }
 
   test("stream_neardup: fixture replay equals the registered batch twin") {

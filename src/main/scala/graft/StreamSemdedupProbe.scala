@@ -68,32 +68,11 @@ object StreamSemdedupProbe {
 
     val streamDir = s"$corpusDir/stream_s$slices"
     val TsBase = 1600000000000L
-    if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(f"$streamDir/slice_$slices%04d.parquet"))) {
-      Util.deleteRecursively(new java.io.File(streamDir))
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(streamDir))
-      val per = (n + slices - 1) / slices
-      val src = spark.read.parquet(vecsPath)
+    StreamSlices.write(
+      spark.read.parquet(vecsPath)
         .select(timestamp_millis(lit(TsBase) + col("vec_id") * 60000L).as("ts"),
-                col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
-      for (i <- 1 to slices) {
-        val lo = (i - 1) * per; val hi = math.min(n, i.toLong * per)
-        val tmp = s"$streamDir/tmp_$i"
-        src.where(col("vec_id") >= lo && col("vec_id") < hi)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        val part =
-          try listing.filter(_.getFileName.toString.startsWith("part-"))
-            .findFirst().get()
-          finally listing.close()
-        val dest = java.nio.file.Paths.get(f"$streamDir/slice_$i%04d.parquet")
-        java.nio.file.Files.move(part, dest,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
-        Util.deleteRecursively(new java.io.File(tmp))
-      }
-    } else System.err.println(s"[streamsd] reusing $streamDir")
+                col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", n, streamDir, slices)
 
     def checksum(df: DataFrame): (Long, Long) =
       df.agg(count(lit(1)),

@@ -116,6 +116,24 @@ object StreamNeardup {
     * match and the evicted regime are exercised by the oracle. */
   val HorizonDocsDefault = 200L
 
+  /** Streaming mega-cluster guard (round 19 — round-18 verdict item 3, the
+    * streaming mirror of [[graft.llm.Dedup.NeardupCapConf]]): cap > 0
+    * bounds each band key's stored members to the cap EARLIEST in-horizon
+    * arrivals — an arrival at a full key is compared (so its own verdict
+    * still sees the stored corpus) but not stored, so on a stream where c
+    * near-identical docs share a band key, per-arrival comparisons and
+    * candidate emissions drop from O(c) to O(cap) and the key's state is
+    * bounded. RECALL TRADE (the capped-subset contract, pinned in
+    * StreamingSpec): verdicts are computed against the kept subset — a
+    * doc's match is missed only when every shared-band partner was capped
+    * out, and keep-earliest biases the kept set toward exactly the
+    * smallest-id docs the min-id contract would pick, so on non-hot
+    * streams (band occupancy ≤ cap) output is IDENTICAL to the uncapped
+    * operator. A doc that arrived while its key was full is never stored,
+    * even after the watermark frees capacity. Default off (0) = exact
+    * declared semantics. */
+  val StreamBandCapConf = "spark.graft.neardup.streamBandCap"
+
   val NumBands: Int = graft.llm.Dedup.NumHashes / graft.llm.Dedup.BandSize
   /** The exact-match band: every doc (shingled or not) carries it, keyed by
     * the 64-bit text hash; membership comparison is full-sha256 equality. */
@@ -182,8 +200,10 @@ object StreamNeardup {
     * equality against stored digests) and emits each doc's SELF row; the
     * MinHash bands emit CANDIDATE rows only — verification happens in the
     * doc-keyed stage 2 where the shingle array is stored once. */
-  class BandNeardupProcessor(horizonMs: Long)
+  class BandNeardupProcessor(horizonMs: Long, bandCap: Int = 0)
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandRow, VerifyRow] {
+    private def underCap(size: Int): Boolean = bandCap <= 0 || size < bandCap
+
     @transient private var exactMembers: ListState[ExactMember] = _
     @transient private var bandMembers: ListState[BandMember] = _
 
@@ -242,7 +262,7 @@ object StreamNeardup {
                 m.h == r.h && (exactId < 0 || m.doc_id < exactId))
               exactId = m.doc_id
           }
-          live += ExactMember(r.doc_id, r.ts_us, r.h)
+          if (underCap(live.size)) live += ExactMember(r.doc_id, r.ts_us, r.h)
           val (tsUs, ts) = actTs(r)
           out += VerifyRow(r.doc_id, cand = false, r.doc_id, tsUs, exactId,
             r.shs, ts)
@@ -262,7 +282,7 @@ object StreamNeardup {
               out += VerifyRow(m.doc_id, cand = true, r.doc_id, tsUs, -1L,
                 r.shs, ts)
           }
-          live += BandMember(r.doc_id, r.ts_us)
+          if (underCap(live.size)) live += BandMember(r.doc_id, r.ts_us)
         }
         evictAndArm[BandMember](live.toVector, _.ts_us,
           bandMembers.put, () => bandMembers.clear(), wm)
@@ -413,11 +433,12 @@ object StreamNeardup {
   def streamNeardup(docs: DataFrame, horizonMs: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val bandCap = graft.Confs.intConf(s, StreamBandCapConf).getOrElse(0)
     bandRows(docs).as[BandRow]
       .groupByKey(r => (r.band, r.band_hash))
       // the String overload re-declares `act_ts` as the output's event-time
       // column (EventTime mode implied) so stage 2's watermark timers work
-      .transformWithState(new BandNeardupProcessor(horizonMs),
+      .transformWithState(new BandNeardupProcessor(horizonMs, bandCap),
         "act_ts", OutputMode.Append())
       .groupByKey(_.key_id)
       .transformWithState(new ShingleVerifyProcessor(horizonMs),

@@ -1558,6 +1558,64 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise the near_dup arm")
   }
 
+  test("stream_neardup: band cap above occupancy reproduces the uncapped verdicts") {
+    // the mega-cluster guard must be invisible on a non-hot stream: with
+    // the cap comfortably above every band key's horizon occupancy, the
+    // capped replay equals the registered batch twin exactly
+    import graft.streaming.StreamNeardup
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => NdDoc(new Timestamp(1600000000000L + r.getLong(0) * 60000L),
+        r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val horizonMs = StreamNeardup.HorizonDocsDefault * 60000L
+    val expected = StreamNeardup.admitNeardupBatch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    spark.conf.set(StreamNeardup.StreamBandCapConf, "1000")
+    try {
+      val (got, _, _) = runNeardupStream("nd_cap_wide",
+        docs.grouped(50).map(_.toSeq).toSeq, horizonMs, "1 minute")
+      assert((got.toSet diff expected.toSet).isEmpty,
+        s"high-cap replay diverged from the batch twin")
+    } finally spark.conf.unset(StreamNeardup.StreamBandCapConf)
+  }
+
+  test("stream_neardup: band cap pins the capped-subset trade (lost match after the kept copy expires)") {
+    // cap=1 keeps only the EARLIEST copy per band key: the second identical
+    // doc still matches (the kept copy is the min-id match anyway), but a
+    // third copy arriving after the kept one expired — while the CAPPED-OUT
+    // second copy is still in horizon — reads `new` where the uncapped
+    // operator answers exact_dup(second copy). This is the documented
+    // recall trade of the guard, not a bug.
+    import graft.streaming.StreamNeardup
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val base = (1 to 20).map(i => s"cap$i").mkString(" ")
+    val horizonMs = 60L * 60000L
+    val chunks = Seq(
+      Seq(NdDoc(t(0), 0L, base)),
+      Seq(NdDoc(t(10), 1L, base)),
+      // doc 0 expired (100 > 60), doc 1 in horizon (90... no: 100-10=90>60):
+      // push doc 2 to t(65): 65-0=65>60 expired, 65-10=55<=60 in horizon
+      Seq(NdDoc(t(65), 2L, base)),
+      Seq(NdDoc(t(5000), 3L, "far mover keeps the final batch non-empty")))
+    val uncapped = runNeardupStream("nd_cap_off", chunks, horizonMs, "1 minute")._1
+    assert(uncapped(2L) == (("exact_dup", 1L)),
+      s"uncapped: doc 2 matches the surviving copy: $uncapped")
+    spark.conf.set(StreamNeardup.StreamBandCapConf, "1")
+    try {
+      val capped = runNeardupStream("nd_cap_on", chunks, horizonMs, "1 minute")._1
+      assert(capped(0L) == (("new", -1L)) && capped(1L) == (("exact_dup", 0L)),
+        s"capped: kept earliest copy still answers the min-id match: $capped")
+      assert(capped(2L) == (("new", -1L)),
+        s"capped: doc 1 was capped out, so after doc 0 expires the match is lost: $capped")
+      // subset property: capping never invents a match
+      capped.foreach { case (id, (v, m)) =>
+        assert(v == uncapped(id)._1 || v == "new",
+          s"capped verdict must be the uncapped one or a downgrade to new: $id")
+      }
+    } finally spark.conf.unset(StreamNeardup.StreamBandCapConf)
+  }
+
   test("stream_neardup: exact dups across batches, horizon eviction, state cleanup") {
     import graft.streaming.StreamNeardup
     def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)

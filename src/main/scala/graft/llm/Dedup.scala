@@ -822,11 +822,15 @@ object Dedup {
     // min) triples, same downstream join and oracle
     val sigCols = (0 until MinhashEstK).map(k =>
       min((col("a") + lit(k) * col("b")) % MinhashEstPrime).as(s"mh$k"))
+    // both estimator join sides (d1, d2) consume this frame — materialize
+    // the K·docs signature rows once (round 19, full-suite audit: the
+    // shingle → md5 → K-min-agg pipeline ran twice, one per join side)
     val sigs = hashed.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         posexplode(array((0 until MinhashEstK).map(k => col(s"mh$k")): _*))
           .as(Seq("k", "mh")))
+      .transform(graft.Caching.cachedOnce)
     val pairs = neardupPairs(s, d).select("d1", "d2", "jac6")
     pairs
       .join(sigs.select(col("doc_id").as("d1"), col("k"), col("mh").as("h1")), Seq("d1"))

@@ -815,31 +815,38 @@ object TextAnalysis {
     * md5 is the cross-engine-identical hash (xxhash64 has no DuckDB twin).
     * Determinism: per-token log-ratio is integerized to micro-nats FIRST
     * (round(·1e6) as bigint), so the per-doc aggregation is an exact
-    * integer sum under any partitioning; the mean is one IEEE division.
-    * Scale: both bucket tables are 256 rows → broadcast; one shuffle for
-    * the doc_id re-aggregation — the whole scorer is wordcount-shaped. */
+    * integer sum under any partitioning (the per-bucket spelling multiplies
+    * that same integer by an exact bigint count — identical totals); the
+    * mean is one IEEE division.
+    * Scale: ONE tokenize pass (round 19 — the 4-consumer spelling re-ran
+    * the corpus explode for tcnt/rcnt/tot/scored since Catalyst does not
+    * dedupe shared subplans; the full-suite audit read 2.5× the oracle on
+    * a plan whose only defect was that): tokens partial-aggregate map-side
+    * to (doc, source, bucket) counts — ≤256 rows per doc regardless of
+    * length — and everything downstream (the 256-row bucket table, its
+    * totals, the per-doc score) derives from that cached frame. The micro
+    * score depends only on the bucket, so Σ_tokens micro ≡ Σ_buckets
+    * cnt·micro exactly. One corpus shuffle; bucket tables broadcast. */
   val dsirWeights: Q = (s, d) => {
-    val tok = toks(s, d)
+    val db = toks(s, d)
       .select(col("doc_id"), col("source"),
               substring(md5(col("w")), 1, 2).as("b"))
-    val tcnt = tok.where(col("source") === "src0")
-      .groupBy("b").agg(count(lit(1)).as("tc"))
-    val rcnt = tok.where(col("source") =!= "src0")
-      .groupBy("b").agg(count(lit(1)).as("rc"))
-    val tot = tok.agg(
-      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
-      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("nr"))
-    val scored = tok
-      .join(broadcast(tcnt), Seq("b"), "left")
-      .join(broadcast(rcnt), Seq("b"), "left")
-      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("cnt"))
+      .transform(graft.Caching.cachedOnce)
+    val buckets = db.groupBy("b").agg(
+      sum(when(col("source") === "src0", col("cnt")).otherwise(0L)).as("tc"),
+      sum(when(col("source") =!= "src0", col("cnt")).otherwise(0L)).as("rc"))
+    val tot = buckets.agg(sum("tc").as("nt"), sum("rc").as("nr"))
+    val scored = db
+      .join(broadcast(buckets.crossJoin(tot)), Seq("b"), "left")
       .withColumn("micro",
         round((log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
                    (col("nt") + 256)) -
                log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
                    (col("nr") + 256))) * 1e6, 0).cast("bigint"))
     scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("dsir_micro"))
+      .agg(sum(col("cnt")).as("n_toks"),
+           sum(col("cnt") * col("micro")).as("dsir_micro"))
       .withColumn("avg_logratio", round6(col("dsir_micro").cast("double") / col("n_toks")))
       .select("doc_id", "n_toks", "dsir_micro", "avg_logratio")
   }
@@ -872,12 +879,26 @@ object TextAnalysis {
     * deterministic (mean_nll, doc_id) order). Output is the per-bucket
     * summary a curation pipeline keys its sampling rates on. The bucket
     * mean is token-weighted and computed from exact integer sums — no float
-    * aggregation. Scale: the window partitions by language over doc-level
-    * (not token-level) rows; everything upstream is wordcount-shaped. */
+    * aggregation. Scale: TWO tokenize passes, down from three (round 19
+    * full-suite audit): the vocabulary table is materialized once (the
+    * tfidf discipline — a small AGGREGATED cache), so the corpus total
+    * derives from it instead of its own corpus pass and the scoring join
+    * reads the same cache. Three other spellings were tried in
+    * interleaved cross-binary A/B and REJECTED: a (doc, word)
+    * pre-aggregation trades the saved tokenize passes for a
+    * ~token-count-row shuffle; caching the raw TOKEN frame (to reach one
+    * pass) costs more in cache materialization than the narrow
+    * re-tokenize it saves (+12% at sf0.1); and deriving the total from
+    * an UNcached vocabulary table re-runs the whole tokenize+agg per
+    * consumer (Catalyst does not dedupe shared subplans). Both
+    * aggregations partial-aggregate map-side (vocab-level and doc-level
+    * shuffles only); the window partitions by language over doc-level
+    * rows. */
   val perplexityBucket: Q = (s, d) => {
     val tok = toks(s, d).select("doc_id", "lang", "w")
     val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val n = tok.agg(count(lit(1)).as("n_total"))
+      .transform(graft.Caching.cachedOnce)
+    val n = cnt.agg(sum("c").as("n_total"))
     val per = vocabJoin(tok, cnt, "w").crossJoin(broadcast(n))
       .withColumn("micro",
         round(log(col("n_total").cast("double") / col("c")) * 1e6, 0).cast("bigint"))
@@ -1080,7 +1101,11 @@ object TextAnalysis {
     * engines, reruns, and cluster sizes (a production pipeline needs
     * exactly this property so retries don't produce different corpora).
     * Scale: one posexplode → span explode (×[[SpanLen]]) → distinct →
-    * self-join on (doc, pos) — all hash-partitioned on doc_id. */
+    * self-join on (doc, pos) — all hash-partitioned on doc_id. The
+    * positioned-token frame feeds THREE consumers (per-doc counts, span
+    * starts, the masked-token join-back), so it is materialized once
+    * (round 19 — Catalyst does not dedupe shared subplans; the full-suite
+    * audit read 3 corpus explodes on this plan). */
   val SpanRate = 20 // 1-in-20 positions start a span
   val SpanLen = 3
 
@@ -1089,6 +1114,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         posexplode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      .transform(graft.Caching.cachedOnce)
     val n = tk.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     val isStart =
       conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),

@@ -344,17 +344,36 @@ object Curation {
     * never self-paired, same asymmetry as [[decontaminate]]/[[ingestDedup]].
     */
   val decontaminateNgram: Q = (s, d) => {
-    val g = wordGrams(Tables.documents(s, d))
-    val bench = g.where(col("source") === BenchmarkSource)
-      .select(col("doc_id").as("bench_id"), col("g")).distinct()
-    val train = g.where(col("source") =!= BenchmarkSource)
-      .select(col("doc_id").as("train_id"), col("g"))
+    // Round 19: the old spelling evaluated the 13-gram explode THREE times
+    // (bench branch + train→sizes + train→hits — Catalyst does not dedupe
+    // shared subtrees, the same defect class the round-19 full-suite audit
+    // fixed in four text-family plans) and aggregated/joined on the gram
+    // TEXT (~13 words ≈ 80-100 bytes per row). Now: ONE gram pass reduced
+    // to per-doc DISTINCT xxhash64 digests — an aggregated digest frame,
+    // the one kind worth materializing — shared by all three consumers.
+    // countDistinct collapses to count(*) (rows are distinct by
+    // construction), the bench side pre-aggregates to one row per gram
+    // (min bench_id), so the broadcast join emits exactly one row per
+    // colliding train gram, and every shuffle moves 8-byte digests instead
+    // of gram strings. The digest never reaches the output (counts and ids
+    // only), so results are identical modulo the family's accepted
+    // ~n²·2⁻⁶⁴ collision term; the string-exact DuckDB oracle re-proves
+    // equality every round. A/B at sf0.1 (best-of-6, two windows each
+    // side): 0.891/1.005 → 0.564/0.691 s (~-35%).
+    val dg = wordGrams(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+      .dropDuplicates("doc_id", "source", "gh")
+      .transform(graft.Caching.cachedOnce)
+    val bench = dg.where(col("source") === BenchmarkSource)
+      .groupBy("gh").agg(min(col("doc_id")).as("bench_min"))
+    val train = dg.where(col("source") =!= BenchmarkSource)
+      .select(col("doc_id").as("train_id"), col("gh"))
     val sizes = train.groupBy("train_id")
-      .agg(countDistinct(col("g")).as("n_grams"))
-    train.join(broadcast(bench), Seq("g"))
+      .agg(count(lit(1)).as("n_grams"))
+    train.join(broadcast(bench), Seq("gh"))
       .groupBy("train_id")
-      .agg(countDistinct(col("g")).as("n_hit"),
-           min(col("bench_id")).as("first_bench_id"))
+      .agg(count(lit(1)).as("n_hit"),
+           min(col("bench_min")).as("first_bench_id"))
       .join(sizes, "train_id")
       .withColumn("frac6",
         round(col("n_hit").cast("double") / col("n_grams"), 6))

@@ -658,20 +658,27 @@ object Dedup {
     * paragraph both survive exact AND near-dup, yet the paragraph is
     * training-set duplication.
     *
-    * Scale: spans are shuffled as md5 digests, never as text — the group-by
-    * key is 32 fixed bytes regardless of span length (and the same digest is
-    * computable in DuckDB, so the scale design IS the gated semantics). Two
-    * shuffles total: span-digest → distinct-doc count, then the doc_id
-    * re-aggregation; both hash-partitioned, no driver materialization.
+    * Scale: spans are shuffled as digests, never as text. Round 19 tightened
+    * the digest from the md5 HEX STRING (32 chars ≈ 48+ bytes per UTF8String
+    * row) to xxhash64 of the span text — 8 fixed bytes — applying the
+    * round-18 shingle-digest principle to the span family: the digest never
+    * appears in the output (only per-doc counts do), so equality of
+    * xxhash64(span) and equality of md5(span) produce identical results
+    * modulo a ~n²·2⁻⁶⁴ collision term, the same accepted bound as
+    * [[shingleHashes]], and the md5-exact DuckDB oracle re-proves value
+    * equality every round. xxhash64 is also markedly cheaper per span than
+    * md5 in the hot explode stage. Two shuffles total: span-digest →
+    * distinct-doc count, then the doc_id re-aggregation; both
+    * hash-partitioned, no driver materialization.
     */
   def substringDedupAt(w: Int): Q = (s, d) => {
     val t = tokens(s, d).where(size(col("toks")) >= w)
-    // the tokenization + per-position md5 explode is the expensive narrow
+    // the tokenization + per-position digest explode is the expensive narrow
     // stage and feeds BOTH the shared-gram aggregation and the join back —
     // materialize it once
     val spans = t.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("toks")) - (w - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(w)))))).as("g"))
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(w)))))).as("g"))
       .transform(graft.Caching.cachedOnce)
     val shared = spans.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))

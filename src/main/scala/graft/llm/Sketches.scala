@@ -59,19 +59,26 @@ object Sketches {
     * sketch's overestimate — the validation view a pipeline uses before
     * trusting the sketch for the long tail. */
   val heavyHittersCms: Q = (s, d) => {
-    val t = toks(s, d)
-    // the sketch: project the digest once, explode into (j, bucket) per
-    // hash row, then the constant-size counter aggregation — this is ALL
-    // that shuffles
+    // Round 19: the old spelling evaluated the corpus tokenize TWICE (the
+    // sketch branch and the exact-top branch — Catalyst does not dedupe
+    // shared subtrees) and computed md5 PER TOKEN. One word-count
+    // aggregation now feeds both branches, and every downstream expression
+    // runs per DISTINCT word weighted by its count: counter values are
+    // identical by algebra (count of token rows per (j,bucket) ≡ sum of
+    // per-word counts, since the bucket depends only on w), and at 100 TB
+    // the md5+fold cost drops from O(tokens) to O(vocabulary). The oracle
+    // SQL is unchanged and re-proves equality.
+    val wc = toks(s, d).groupBy("w").agg(count(lit(1)).as("cnt"))
+      .transform(graft.Caching.cachedOnce)
     def jbRows(h: Column) = (0 until CmsDepth).map { j =>
       struct(lit(j).as("j"), bucketCol(j, h).as("bucket"))
     }
-    val sketch = t.withColumn("h", md5(col("w")))
-      .select(explode(array(jbRows(col("h")): _*)).as("jb"))
+    val sketch = wc.withColumn("h", md5(col("w")))
+      .select(col("cnt"), explode(array(jbRows(col("h")): _*)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum("cnt").as("c"))
     // candidates: exact top-20 (the oracle-checkable ground truth)
-    val top = t.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    val top = wc.select(col("w"), col("cnt").as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("w")).limit(20)
     // estimate = min over the candidate's d buckets
     val cand = top.withColumn("h", md5(col("w")))

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Dsl.{round6, round6Sql}
@@ -66,17 +66,27 @@ object TextAnalysis {
   private val vocabFits =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean]()
 
-  private def vocabJoin(facts: DataFrame, vocab: DataFrame, key: String): DataFrame = {
+  /** `fitsProbe` (round 19): the frame whose ROW COUNT decides broadcast
+    * fitness — by default the vocab itself. A caller whose vocab lineage
+    * contains checkpointed RDDs (the BPE merge chain) passes an equivalent
+    * checkpoint-free frame with the same row count instead: LogicalRDD's
+    * semanticHash embeds the RDD id, which changes on every rebuild, so
+    * memoizing on the vocab plan itself would MISS every invocation and
+    * re-execute the whole chain once per pass just to count it (measured:
+    * llm_bpe_encode carried a ~0.35 s/pass phantom count job). */
+  private def vocabJoin(facts: DataFrame, vocab: DataFrame, key: String,
+                        fitsProbe: DataFrame = null): DataFrame = {
+    val probe = Option(fitsProbe).getOrElse(vocab)
     val conf = facts.sparkSession.conf
     val maxRows = conf
       .get("spark.graft.vocab.broadcastMaxRows", VocabBroadcastMaxRowsDefault.toString)
       .toLong
     val memoize = conf.get("spark.graft.vocab.memoizeFits", "true").toBoolean
-    def count(): Boolean = vocab.count() <= maxRows
+    def count(): Boolean = probe.count() <= maxRows
     val fits: Boolean =
       if (!memoize) count()
       else {
-        val k = (vocab.queryExecution.analyzed.semanticHash(), maxRows)
+        val k = (probe.queryExecution.analyzed.semanticHash(), maxRows)
         vocabFits.get(k) match {
           case null =>
             val computed: java.lang.Boolean = count() // job outside any lock
@@ -1423,15 +1433,30 @@ object TextAnalysis {
     * of (top pair, merged table). Returns the per-round (top, after) frames
     * and the final merged vocabulary (w kept throughout, so the encoder can
     * join it back to the corpus). */
-  private def bpeChain(s: SparkSession, d: String): (Seq[(DataFrame, DataFrame)], DataFrame) = {
-    val wc0 = toks(s, d).groupBy("w").agg(count(lit(1)).as("wcnt"))
-      .select(col("w"),
-              concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
-                .as("repr"),
-              col("wcnt"))
-      // barrier: the vocab table is tiny relative to the corpus; without it
-      // every round's three consumers re-run the corpus tokenization
-      .localCheckpoint(false)
+  private def bpeChain(s: SparkSession, d: String): (Seq[(DataFrame, DataFrame)], DataFrame) =
+    bpeChainFrom(
+      toks(s, d).groupBy("w").agg(count(lit(1)).as("wcnt"))
+        .select(col("w"), bpeRepr, col("wcnt"))
+        // barrier: the vocab table is tiny relative to the corpus; without
+        // it every round's three consumers re-run the corpus tokenization
+        .localCheckpoint(false),
+      checkpointTops = true)
+
+  /** ` a b c ` space-separated character representation of word `w` — the
+    * BPE working form (leading/trailing spaces make every symbol boundary a
+    * ` x y ` pattern for the literal-replace merge). */
+  private def bpeRepr: Column =
+    concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+      .as("repr")
+
+  /** The merge loop proper, parameterized over the initial word-frequency
+    * frame (round 19): [[bpeTrain]] keeps per-round `top` checkpoints (each
+    * top has TWO consumers — the summary row and the merge), while
+    * [[bpeEncode]] passes `checkpointTops = false` because each top there
+    * has exactly ONE consumer (the broadcast inside the next merge), so the
+    * broadcast-collect job computes the 1-row frame directly and the
+    * checkpoint bought nothing but an extra persisted RDD per round. */
+  private def bpeChainFrom(wc0: DataFrame, checkpointTops: Boolean): (Seq[(DataFrame, DataFrame)], DataFrame) = {
     def topPair(df: DataFrame): DataFrame = {
       // guard single-symbol words: Spark's sequence(1, 0) REVERSES ([1,0])
       // rather than returning empty, and ANSI element_at(tk, 2) then throws
@@ -1458,7 +1483,8 @@ object TextAnalysis {
         .select("w", "repr", "wcnt")
     val (lastRev, stepsRev) = (1 to BpeRounds).foldLeft(
         (wc0, List.empty[(DataFrame, DataFrame)])) { case ((cur, acc), _) =>
-      val top = topPair(cur).localCheckpoint(false)
+      val topRaw = topPair(cur)
+      val top = if (checkpointTops) topRaw.localCheckpoint(false) else topRaw
       val next = applyMerge(cur, top).localCheckpoint(false)
       (next, (top, next) :: acc)
     }
@@ -1490,12 +1516,35 @@ object TextAnalysis {
     * through the size-adaptive [[vocabJoin]] — a map-side join whenever the
     * vocab genuinely fits, a shuffled equi-join when it does not. */
   val bpeEncode: Q = (s, d) => {
-    val (_, vocab) = bpeChain(s, d)
+    // Round 19: the old spelling ran TWO full corpus tokenize passes — one
+    // inside the chain's word-frequency table and a second for the per-doc
+    // encode join. Now ONE tokenize pass pre-aggregates to (doc_id, w, c)
+    // — the dsir/perplexity discipline: cache aggregated frames, never raw
+    // exploded ones — and BOTH the word-frequency table (groupBy w, sum c)
+    // and the per-doc encode (sum c / sum c·n_syms) derive from it. At
+    // 100 TB the saved pass is a full corpus read + split. Values are
+    // identical by aggregation algebra (count over tokens ≡ sum of per-doc
+    // counts); the oracle SQL is unchanged and re-proves it.
+    // cachedOnce, NOT localCheckpoint: the cache key (analyzed plan) is
+    // stable across re-invocations, whereas a checkpoint would re-persist
+    // the corpus-sized frame on every pass AND poison the vocabFits memo
+    // below (LogicalRDD semanticHash churns per rebuild).
+    val docWord = toks(s, d).groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.Caching.cachedOnce)
+    // checkpoint-free twin of the chain's entry frame: same rows, stable
+    // plan — serves as the vocabFits probe (vocab row count is invariant
+    // across merge rounds: merges rewrite repr, never add/remove words)
+    val wcStable = docWord.groupBy("w").agg(sum("c").as("wcnt"))
+      .select(col("w"), bpeRepr, col("wcnt"))
+    val wc0 = wcStable.localCheckpoint(false)
+    val (_, vocab) = bpeChainFrom(wc0, checkpointTops = false)
     val syms = vocab.select(col("w"),
       size(split(trim(col("repr")), " ")).cast("bigint").as("n_syms"))
-    vocabJoin(toks(s, d), syms, "w")
+    vocabJoin(docWord, syms, "w", fitsProbe = wcStable)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_toks"))
+      .agg(sum("c").as("n_words"),
+           sum(col("c") * col("n_syms")).as("n_bpe_toks"))
       .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
       .select(col("doc_id"), col("n_words"), col("n_bpe_toks"),
               round6(col("n_chars").cast("double") / col("n_bpe_toks")).as("chars_per_tok"))

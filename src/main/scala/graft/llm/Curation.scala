@@ -426,11 +426,23 @@ object Curation {
   val ingestDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val isNew = col("doc_id") % 10 === 7
+    // Round 19: the exact check is ONE aggregation over the hash group, not
+    // a batch-vs-corpus self-join — the old spelling consumed the hashed
+    // frame on both join sides, which re-ran the full-text sha256 scan
+    // TWICE (Catalyst does not dedupe shared subtrees). Per content hash:
+    // the minimum CORPUS doc id (the match target) and the batch ids that
+    // collide with it; groups with no corpus member drop out exactly as the
+    // old inner join dropped them. One corpus pass, one digest-keyed
+    // shuffle, no broadcast build. (cachedOnce on `hashed` was tried first
+    // and measured SLOWER at sf0.1 — 0.22 → 0.45 s — the in-memory scan
+    // restructured three joins' inputs and added exchanges; rejected.)
     val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-    val exact = hashed.where(isNew).as("n")
-      .join(hashed.where(!isNew).as("c"), col("n.h") === col("c.h"))
-      .groupBy(col("n.doc_id").as("doc_id"))
-      .agg(min(col("c.doc_id")).as("exact_match"))
+    val exact = hashed
+      .groupBy("h")
+      .agg(min(when(!isNew, col("doc_id"))).as("exact_match"),
+           collect_list(when(isNew, col("doc_id"))).as("new_ids"))
+      .where(col("exact_match").isNotNull)
+      .select(explode(col("new_ids")).as("doc_id"), col("exact_match"))
     // digest shingles, same rationale as decontaminate above (round 19)
     val sh = Dedup.shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -686,8 +686,11 @@ object Dedup {
       .select("g")
     val dup = spans.join(shared, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
-    t.select(col("doc_id"),
-        (size(col("toks")) - (w - 1)).cast("bigint").as("n_spans"))
+    // round 19: n_spans is the per-doc row count of the cached spans frame
+    // (every qualifying doc emits exactly size-w+1 span rows), so the base
+    // table derives from the SAME materialization instead of a second
+    // full-text tokenize scan — the query's corpus passes drop to one.
+    spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
       .join(dup, Seq("doc_id"), "left")
       .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
       .withColumn("dup_frac", graft.Dsl.round6(col("dup_spans").cast("double") / col("n_spans")))

@@ -109,6 +109,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
               explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
 
+  /** Per-(doc, word) token counts — ONE corpus tokenize pre-aggregated to
+    * the (doc_id, w, c) frame several operators derive their own word and
+    * per-doc aggregates from (round 19). cachedOnce, so every consumer in a
+    * session — [[bpeEncode]], [[unigramLogprob]] — shares one
+    * materialization, and the aggregation collapses into the tokenize
+    * stage (scatterIfNarrow range-partitions on doc_id, which satisfies
+    * the (doc_id, w) clustering, so no extra exchange is planned). The
+    * frame is aggregated, not raw-exploded — the caching discipline the
+    * dsir/perplexity A/Bs established. */
+  private def docWordCounts(s: SparkSession, d: String): DataFrame =
+    toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .transform(graft.Caching.cachedOnce)
+
   private val toksSqlCte: String =
     """toks AS (
       |  SELECT doc_id, lang, source, n_chars,
@@ -577,14 +590,25 @@ object TextAnalysis {
     * materialization between stages. At 100 TB each stage keeps its scale
     * path (hash-partitioned dedup, map-side filter, partial+final agg). */
   val pipelineE2e: Q = (s, d) => {
+    // Round 19: the old spelling scanned the corpus TWICE (hash pass +
+    // stats pass) and re-joined the keeper ids back on doc_id — an
+    // exchange that carried the full TEXT column through the join shuffle.
+    // Now ONE scan projects (hash, stats) per doc and the exact-dup keeper
+    // IS min_by(stats, doc_id) inside the hash group: text bytes never
+    // enter any exchange (only the 32-byte hash + 4 small columns do), and
+    // the second corpus read is gone. Equivalence: joining keep(min
+    // doc_id per hash) back to documents selects exactly the min-id row's
+    // columns, which is min_by by definition; doc_id is unique so min_by
+    // is deterministic. Oracle unchanged.
     val docs = Tables.documents(s, d)
-    val keep = docs
-      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    docs.join(keep, "doc_id")
-      .withColumn("n_toks",
-        size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
+    docs
+      .select(sha2(col("text"), 256).as("h"),
+        struct(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+            .as("n_toks")).as("st"))
+      .groupBy("h").agg(min_by(col("st"), col("st.doc_id")).as("k"))
+      .select(col("k.lang").as("lang"), col("k.source").as("source"),
+              col("k.n_chars").as("n_chars"), col("k.n_toks").as("n_toks"))
       .where(col("n_chars").between(100, 2000) && col("n_toks") >= 10)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("kept_docs"),
@@ -625,11 +649,19 @@ object TextAnalysis {
       .where(size(col("t")) >= 2)
     val bigr = transform(sequence(lit(1), size(col("t")) - 1),
       i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
+    // Round 19: the top-token branch reads the SHARED (doc_id, w, c)
+    // pre-aggregation instead of running its own second corpus tokenize —
+    // the per-doc max stays clustered on doc_id, so the branch adds no
+    // text scan and no new exchange. (A zero-join spelling — longest
+    // equal-run fold over the sorted token array — was tried and measured
+    // SLOWER at sf0.1, 0.63 → 0.92 s: higher-order-function lambdas
+    // evaluate interpreted per element, which loses to the codegen'd hash
+    // aggregation; rejected.) Oracle unchanged.
     val perDoc = t.select(col("doc_id"), col("lang"),
         size(col("t")).cast("bigint").as("n_toks"),
         size(bigr).cast("bigint").as("n_bigrams"),
         size(array_distinct(bigr)).cast("bigint").as("n_distinct_bigrams"))
-    val topTok = toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val topTok = docWordCounts(s, d)
       .groupBy("doc_id").agg(max("c").as("top_tok_n"))
     perDoc.join(topTok, "doc_id")
       .withColumn("dup_bigram_frac",
@@ -684,14 +716,27 @@ object TextAnalysis {
     * size-adaptive [[vocabJoin]]; one shuffle for the doc_id
     * re-aggregation. */
   val unigramLogprob: Q = (s, d) => {
-    val tok = toks(s, d).select("doc_id", "w")
-    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val n = tok.agg(count(lit(1)).as("n_total"))
-    val scored = vocabJoin(tok, cnt, "w").crossJoin(broadcast(n))
+    // Round 19: the old spelling evaluated the corpus tokenize THREE times
+    // (vocabulary counts, corpus total, scored fact side). All three now
+    // derive from the shared (doc_id, w, c) pre-aggregation: the unigram LM
+    // counts are sum(c) per word, the corpus total sum(c), and the per-doc
+    // NLL sums c·micro per DISTINCT word — identical bigint arithmetic (the
+    // micro score is per-word; multiplying by the exact count is the same
+    // sum the per-token rows produced). The fact side of the vocab join
+    // shrinks from token rows to distinct (doc, word) rows, and the final
+    // per-doc aggregation stays clustered on doc_id (broadcast join
+    // preserves partitioning) — no new exchange. Oracle unchanged.
+    val dw = docWordCounts(s, d)
+    val cnt = dw.groupBy("w").agg(sum("c").as("c"))
+    val n = dw.agg(sum("c").as("n_total"))
+    val scored = vocabJoin(dw.select(col("doc_id"), col("w"), col("c").as("dc")),
+                           cnt, "w")
+      .crossJoin(broadcast(n))
       .withColumn("micro",
         round(log(col("n_total").cast("double") / col("c")) * 1e6, 0).cast("bigint"))
     scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("nll_micro"))
+      .agg(sum(col("dc")).as("n_toks"),
+           sum(col("dc") * col("micro")).as("nll_micro"))
       .withColumn("mean_nll", round6(col("nll_micro").cast("double") / col("n_toks")))
       .withColumn("nll_bucket", floor(col("mean_nll") / 1e6).cast("int"))
       .select("doc_id", "n_toks", "nll_micro", "mean_nll", "nll_bucket")
@@ -1295,13 +1340,18 @@ object TextAnalysis {
     * join on doc_id, which Spark plans map-side when the excluded-doc set
     * broadcasts. */
   val keywordSearch: Q = (s, d) => {
-    val hits = toks(s, d).where(col("w").isin(QueryTerms: _*))
+    // Round 19: one corpus pass instead of two — the positive terms and the
+    // exclusion term filter the same tokenize, so a single aggregation
+    // computes both the distinct-hit count and the exclusion flag
+    // (left_anti against a distinct list ≡ max(is-excluded) IS NULL).
+    // "slow" is not in QueryTerms, so the two counters never interact.
+    val terms = toks(s, d)
+      .where(col("w").isin((QueryTerms :+ "slow"): _*))
       .groupBy("doc_id")
-      .agg(countDistinct(col("w")).as("hits"))
-      .where(col("hits") === QueryTerms.size)
-    val excluded = toks(s, d).where(col("w") === "slow")
-      .select("doc_id").distinct()
-    hits.join(excluded, Seq("doc_id"), "left_anti")
+      .agg(countDistinct(when(col("w").isin(QueryTerms: _*), col("w"))).as("hits"),
+           max(when(col("w") === "slow", 1)).as("excl"))
+      .where(col("hits") === QueryTerms.size && col("excl").isNull)
+    terms
       .join(Tables.documents(s, d).select("doc_id", "source", "n_chars"), "doc_id")
       .select("doc_id", "source", "n_chars")
   }
@@ -1332,13 +1382,23 @@ object TextAnalysis {
     * per-source join — nothing shuffles more than once. */
   val datasetCard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val base = docs.groupBy("source")
+    // Round 19: the dup-rate hash pass and the token-count pass fused into
+    // ONE corpus scan — total_toks is sum of per-row token counts (a size()
+    // over the split array, no explode), identical by algebra to counting
+    // exploded token rows. One full-text read instead of two; the
+    // remaining subframes (rank windows, top_lang) touch only metadata
+    // columns. Oracle unchanged.
+    val base = docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        sha2(col("text"), 256).as("h"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("bigint").as("n_toks"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(col("lang")).as("n_langs"),
            sum(col("n_chars")).as("sum_chars"),
-           countDistinct(sha2(col("text"), 256)).as("n_uniq"))
-    val tokCnt = toks(s, d).groupBy("source")
-      .agg(count(lit(1)).as("total_toks"))
+           countDistinct(col("h")).as("n_uniq"),
+           sum(col("n_toks")).as("total_toks"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
     val ranked = docs.select(col("source"), col("n_chars"), col("doc_id"))
@@ -1356,7 +1416,7 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(langW))
       .where(col("rk") === 1)
       .select(col("source"), col("lang").as("top_lang"))
-    base.join(tokCnt, "source").join(med, "source")
+    base.join(med, "source")
       .join(p90, "source").join(topLang, "source")
       .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
               col("total_toks"), col("sum_chars"),
@@ -1529,9 +1589,7 @@ object TextAnalysis {
     // stable across re-invocations, whereas a checkpoint would re-persist
     // the corpus-sized frame on every pass AND poison the vocabFits memo
     // below (LogicalRDD semanticHash churns per rebuild).
-    val docWord = toks(s, d).groupBy("doc_id", "w")
-      .agg(count(lit(1)).as("c"))
-      .transform(graft.Caching.cachedOnce)
+    val docWord = docWordCounts(s, d)
     // checkpoint-free twin of the chain's entry frame: same rows, stable
     // plan — serves as the vocabFits probe (vocab row count is invariant
     // across merge rounds: merges rewrite repr, never add/remove words)

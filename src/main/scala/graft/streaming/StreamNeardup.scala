@@ -461,7 +461,12 @@ object StreamNeardup {
   def admitNeardupBatch(s: SparkSession, d: String,
                         horizonDocs: Long = HorizonDocsDefault): DataFrame = {
     val docs = graft.Tables.documents(s, d)
+    // cachedOnce (round 19): both sides of the exact self-join read this
+    // digest frame — uncached it re-ran the full-text sha256 scan twice
+    // (and the verdict row-set below a third scan); same fix as
+    // [[graft.llm.Curation.ingestDedup]].
     val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .transform(graft.Caching.cachedOnce)
     val exact = hashed.as("x")
       .join(hashed.as("y"), col("y.h") === col("x.h") &&
         col("y.doc_id") < col("x.doc_id") &&
@@ -486,7 +491,7 @@ object StreamNeardup {
              (col("n1") + col("n2") - col("inter")) >= graft.llm.Dedup.JaccardThreshold)
       .groupBy("doc_id")
       .agg(min(col("cand_id")).as("near_match"))
-    docs.select("doc_id")
+    hashed.select("doc_id")
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),

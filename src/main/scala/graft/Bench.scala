@@ -219,8 +219,8 @@ object Bench {
     // baseline's per-pass `con.sql(...)` re-plan is ~ms — this removes a
     // 10-150 ms asymmetry that said nothing about either engine's
     // execution.
-    // EXCEPTION to the reuse: an operator whose built plan embeds an
-    // RDD-backed node holds MATERIALIZED state — an iterative driver loop's
+    // EXCEPTIONS to the reuse (both rebuild per pass): an operator whose
+    // built plan embeds an RDD-backed node holds MATERIALIZED state — an iterative driver loop's
     // lazy localCheckpoint (connected components, BPE training) or an RDD
     // format hop. Re-executing such a frame times a checkpoint re-read, not
     // the operator (measured: llm_dedup_clusters 0.76 s → 0.12 s, i.e. the
@@ -231,15 +231,41 @@ object Bench {
         case _: org.apache.spark.sql.execution.ExternalRDD[_] => true
         case _ => false
       }
+    // SECOND exception (round-19 verdict #1): a plan that resolves against the
+    // session cache (an operator-declared `cachedOnce` shared frame) would
+    // otherwise materialize the cache in pass 1 and report warm-cache reads
+    // for passes 2..N — the per-query min would systematically exclude the
+    // shared-frame build cost. `.cache()` does not embed RDD state in the
+    // analyzed plan, so these slipped past embedsRddState. Such queries are
+    // rebuilt per pass AND the session cache is cleared between passes, so
+    // every pass re-registers and re-materializes its caches inside the
+    // timing: the min is a cold-session execution including the cache build,
+    // while consumers WITHIN one plan (the reason the caches exist) still
+    // share a single materialization.
+    def usesSessionCache(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.withCachedData.exists {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+        case _ => false
+      }
     val prepared = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    var lastPass = 0
     def runSchedule(): Unit = for ((pass, name) <- schedule) {
+      if (pass != lastPass) {
+        // Between round-robin passes, NOT inside any query's timing. Without
+        // this the CacheManager (keyed on the analyzed plan) hands pass-2+
+        // executions the pass-1 materialization.
+        spark.catalog.clearCache()
+        lastPass = pass
+      }
       val t0 = System.nanoTime()
       try {
         val df = prepared.get(name) match {
           case Some(p) => p
           case None =>
             val built = SparkEntry.queries(name)(spark, sfDir)
-            if (!embedsRddState(built)) prepared(name) = built
+            if (!embedsRddState(built) && !usesSessionCache(built)) prepared(name) = built
+            else if (usesSessionCache(built) && pass == 1)
+              System.err.println(s"[bench] $name resolves against the session cache - rebuilt per pass")
             built
         }
         df.write.format("noop").mode("overwrite").save()

@@ -103,11 +103,9 @@ object StreamNeardupHotProbe {
       val outDir = s"$corpusDir/out_${slices}_$tag"
       val ckpt = s"$corpusDir/ckpt_${slices}_$tag"
       Seq(outDir, ckpt).foreach(d => Util.deleteRecursively(new java.io.File(d)))
-      if (capRun == 0)
-        spark.conf.unset(graft.streaming.StreamNeardup.StreamBandCapConf)
-      else
-        spark.conf.set(graft.streaming.StreamNeardup.StreamBandCapConf,
-          capRun.toString)
+      // cap defaults ON since round 20 — "off" must be an explicit 0 now
+      spark.conf.set(graft.streaming.StreamNeardup.StreamBandCapConf,
+        capRun.toString)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "ts timestamp, doc_id bigint, text string")
       val src = spark.readStream.schema(schema)

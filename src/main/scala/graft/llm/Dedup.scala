@@ -65,6 +65,21 @@ object Dedup {
   def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
 
+  /** Per-row distinct shingle-hash ARRAY over a whitespace-token array
+    * column (empty when the doc has fewer than 5 tokens) — the fused-scan
+    * building block for operators that need sha256(text) AND the shingle
+    * set from ONE text pass (round 20, verdict item 6: ingest admission and
+    * its streaming batch twin each read `documents.text` twice, once per
+    * representation). Distinctness is applied to the 8-byte hashes rather
+    * than the gram strings — identical sets modulo the same ~n²·2⁻⁶⁴
+    * collision bound as [[shingleHashes]], re-proved by the string-exact
+    * oracle every round. */
+  def shingleHashArray(toks: Column): Column =
+    when(size(toks) >= 5,
+      array_distinct(transform(sequence(lit(1), size(toks) - 4),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(5)))))))
+    .otherwise(array().cast("array<bigint>"))
+
   val shinglesSqlCte: String =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
@@ -88,6 +103,31 @@ object Dedup {
       |ORDER BY keep_id""".stripMargin
 
   val JaccardThreshold = 0.8
+
+  /** Finish a pair set whose `inter` column is ALREADY the exact
+    * intersection count (round 20): join the per-doc sizes and apply the
+    * Jaccard threshold. The naive shared-shingle join enumerates one row
+    * per shared shingle, so its groupBy(d1, d2) count IS |intersection| —
+    * re-deriving it through [[verifyJaccard]]'s two join-backs re-read the
+    * shingle table twice and re-counted what the candidate aggregation had
+    * just counted (the DuckDB oracle's own spelling computes `inter`
+    * directly). Only correct when the pair weights come from the NAIVE
+    * join over the full shingle sets; prefix-filtered candidates carry
+    * prefix-overlap lower bounds and must still re-verify. */
+  private def finishExactInter(ov: DataFrame, sh: DataFrame,
+                               withSizes: Boolean): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val base = ov
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jac", col("inter").cast("double") /
+                         (col("n1") + col("n2") - col("inter")))
+      .where(col("jac") >= JaccardThreshold)
+    if (withSizes)
+      base.select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+                  round(col("jac"), 6).as("jac6"))
+    else base.select(col("d1"), col("d2"), round(col("jac"), 6).as("jac6"))
+  }
 
   /** Exact-verify a candidate pair set: full intersection counts → Jaccard
     * filter. Shared by the prefix-filtered exact operator and MinHash-LSH. */
@@ -229,16 +269,20 @@ object Dedup {
     * partner asc), keep a pair if EITHER endpoint ranks it ≤ m (kNN-graph
     * semantics) ⇒ output ≤ 2·m·|docs| (DedupCapSpec pins subset/equality/
     * bound; BASELINE.md round-13 records the A/B). */
-  private def capPairs(weighted: DataFrame, m: Int): DataFrame = {
+  private def capPairs(weighted: DataFrame, m: Int,
+                       keepW: Boolean = false): DataFrame = {
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1")).orderBy(col("w").desc, col("d2"))
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d2")).orderBy(col("w").desc, col("d1"))
-    weighted
+    val ranked = weighted
       .withColumn("r1", row_number().over(w1))
       .withColumn("r2", row_number().over(w2))
       .where(col("r1") <= m || col("r2") <= m)
-      .select("d1", "d2")
+    // keepW: on the naive path `w` is the exact intersection count — the
+    // caller finishes with [[finishExactInter]] instead of re-verifying
+    if (keepW) ranked.select(col("d1"), col("d2"), col("w").as("inter"))
+    else ranked.select("d1", "d2")
   }
 
   /** Size-adaptive switch: below this many (doc, shingle) rows the naive
@@ -324,11 +368,19 @@ object Dedup {
     // BEFORE the verify join can exhaust executor disk (capped runs are
     // volume-bounded by construction and skip the diagnostic)
     if (cap == 0 && prefixPath) guardCandidateVolume(s, d, sh)
-    val cands =
-      if (cap > 0) capPairs(weightedCands(sh, prefixPath), cap)
-      else if (prefixPath) prefixCands(sh)
-      else naiveCands(sh)
-    verifyJaccard(cands, sh, withSizes = true)
+    // Naive-path pairs carry their exact intersection count out of the
+    // candidate aggregation — finish directly (round 20); prefix-path
+    // candidates are prefix-overlap-bounded and re-verify exactly.
+    if (cap > 0) {
+      if (prefixPath)
+        verifyJaccard(capPairs(weightedCands(sh, prefixPath), cap), sh, withSizes = true)
+      else
+        finishExactInter(capPairs(weightedCands(sh, prefixPath), cap, keepW = true),
+                         sh, withSizes = true)
+    } else if (prefixPath) verifyJaccard(prefixCands(sh), sh, withSizes = true)
+    else finishExactInter(weightedCands(sh, prefixPath = false)
+                            .withColumnRenamed("w", "inter"),
+                          sh, withSizes = true)
   }
 
   /** [[neardupPairs]] with the per-document candidate budget forced to `m`
@@ -336,7 +388,11 @@ object Dedup {
   def neardupPairsCapped(s: SparkSession, d: String, m: Int): DataFrame = {
     val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
     val prefixPath = sh.count() >= NeardupPrefixMinShingles
-    verifyJaccard(capPairs(weightedCands(sh, prefixPath), m), sh, withSizes = true)
+    if (prefixPath)
+      verifyJaccard(capPairs(weightedCands(sh, prefixPath), m), sh, withSizes = true)
+    else
+      finishExactInter(capPairs(weightedCands(sh, prefixPath), m, keepW = true),
+                       sh, withSizes = true)
   }
 
   /** Registered budget default: each doc keeps its top-2 candidate partners
@@ -354,8 +410,9 @@ object Dedup {
     * threshold and capped ⊆ uncapped always. */
   val neardupCapped: Q = (s, d) => {
     val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
-    verifyJaccard(capPairs(weightedCands(sh, prefixPath = false), NeardupCapDefaultM),
-                  sh, withSizes = true)
+    finishExactInter(
+      capPairs(weightedCands(sh, prefixPath = false), NeardupCapDefaultM, keepW = true),
+      sh, withSizes = true)
   }
 
   val neardupCappedSql: String =

@@ -73,7 +73,18 @@ object TextAnalysis {
     * semanticHash embeds the RDD id, which changes on every rebuild, so
     * memoizing on the vocab plan itself would MISS every invocation and
     * re-execute the whole chain once per pass just to count it (measured:
-    * llm_bpe_encode carried a ~0.35 s/pass phantom count job). */
+    * llm_bpe_encode carried a ~0.35 s/pass phantom count job).
+    *
+    * CALLER CONTRACT (round-19 advisor): a non-null `fitsProbe` MUST have
+    * exactly the vocab's row count — the verdict memoized under the probe's
+    * plan is applied to the VOCAB, so a mismatched probe silently
+    * broadcasts an oversized vocab (executor OOM risk) or shuffles a
+    * broadcastable one (perf only). The current caller's invariant: BPE
+    * merges rewrite `repr`, never add or remove words, so the pre-chain
+    * word table and the post-chain vocab are row-count-equal by
+    * construction. There is deliberately NO runtime equality check — the
+    * check IS a second count job of the checkpoint-embedding frame, i.e.
+    * exactly the phantom job this parameter exists to remove. */
   private def vocabJoin(facts: DataFrame, vocab: DataFrame, key: String,
                         fitsProbe: DataFrame = null): DataFrame = {
     val probe = Option(fitsProbe).getOrElse(vocab)
@@ -251,15 +262,20 @@ object TextAnalysis {
   val tfidf: Q = (s, d) => {
     // tf feeds BOTH the document-frequency aggregation and the weighted
     // join; without materialization the tokenize+explode+count pipeline
-    // runs twice (Catalyst does not dedupe shared subplans). The cached
-    // frame is re-partitioned on doc_id AFTER the partial-agg-friendly
-    // (doc_id, w) aggregation: the shuffled volume is identical (tf rows
-    // either way), but the ranking window below then reads the cache
-    // already clustered on its partition key — no exchange on the scoring
-    // path, warm or at scale.
-    val tf = toks(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .repartition(col("doc_id"))
-      .transform(graft.Caching.cachedOnce)
+    // runs twice (Catalyst does not dedupe shared subplans). Round 20: the
+    // materialized frame IS [[docWordCounts]] (same analyzed plan → same
+    // CacheManager entry as bpeEncode/unigramLogprob/repetitionFilter — a
+    // session builds it once for all four), and the old explicit
+    // `.repartition(doc_id)` after the aggregation is GONE: the plan-audited
+    // build already leaves the frame clustered on doc_id (scatterIfNarrow's
+    // range partitioning satisfies the (doc_id, w) grouping, so the agg
+    // plans no exchange and the ranking window below accepts the range
+    // clustering as-is) — the repartition was a pure extra exchange of
+    // every tf row, measured at +1 Exchange in the committed before-plan.
+    // At production scan widths the agg exchanges on (doc_id, w) and the
+    // window re-clusters on doc_id per execution — the same two exchanges
+    // the repartition spelling paid, just placed differently.
+    val tf = docWordCounts(s, d).withColumnRenamed("c", "tf")
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     // n_docs rides ON the vocab side (1-row cross join before the adaptive
@@ -1388,6 +1404,16 @@ object TextAnalysis {
     // exploded token rows. One full-text read instead of two; the
     // remaining subframes (rank windows, top_lang) touch only metadata
     // columns. Oracle unchanged.
+    //
+    // EDGE INVARIANTS the algebra rests on (round-19 advisor): equality to
+    // the oracle's explode-based tok_cnt INNER JOIN requires (a) every
+    // source to have at least one token — the oracle drops an all-empty
+    // source, this spelling keeps it with total_toks = 0 — and (b) text
+    // non-null per row, since size(split(null)) is -1 where the explode
+    // contributed nothing. Both hold for the documents table by generator
+    // contract (non-null text, every source populated); a corpus without
+    // those guarantees needs coalesce(text, '') here and a LEFT-join oracle
+    // before this operator is pointed at it.
     val base = docs
       .select(col("source"), col("lang"), col("n_chars"),
         sha2(col("text"), 256).as("h"),
@@ -1493,14 +1519,13 @@ object TextAnalysis {
     * of (top pair, merged table). Returns the per-round (top, after) frames
     * and the final merged vocabulary (w kept throughout, so the encoder can
     * join it back to the corpus). */
-  private def bpeChain(s: SparkSession, d: String): (Seq[(DataFrame, DataFrame)], DataFrame) =
+  private def bpeChain(s: SparkSession, d: String): (Seq[((String, String, Long), DataFrame)], DataFrame) =
     bpeChainFrom(
       toks(s, d).groupBy("w").agg(count(lit(1)).as("wcnt"))
         .select(col("w"), bpeRepr, col("wcnt"))
         // barrier: the vocab table is tiny relative to the corpus; without
         // it every round's three consumers re-run the corpus tokenization
-        .localCheckpoint(false),
-      checkpointTops = true)
+        .localCheckpoint(false))
 
   /** ` a b c ` space-separated character representation of word `w` — the
     * BPE working form (leading/trailing spaces make every symbol boundary a
@@ -1510,14 +1535,38 @@ object TextAnalysis {
       .as("repr")
 
   /** The merge loop proper, parameterized over the initial word-frequency
-    * frame (round 19): [[bpeTrain]] keeps per-round `top` checkpoints (each
-    * top has TWO consumers — the summary row and the merge), while
-    * [[bpeEncode]] passes `checkpointTops = false` because each top there
-    * has exactly ONE consumer (the broadcast inside the next merge), so the
-    * broadcast-collect job computes the 1-row frame directly and the
-    * checkpoint bought nothing but an extra persisted RDD per round. */
-  private def bpeChainFrom(wc0: DataFrame, checkpointTops: Boolean): (Seq[(DataFrame, DataFrame)], DataFrame) = {
-    def topPair(df: DataFrame): DataFrame = {
+    * frame. Round 20: each round's top pair — a 1-row result by
+    * construction — is COLLECTED to the driver and the merge is inlined as
+    * string LITERALS. The round-19 spelling built a broadcast relation per
+    * round and LEFT-joined it into the vocabulary (one broadcast exchange +
+    * join per round, plus a `top` localCheckpoint in the train variant so
+    * its two consumers shared the 1-row job); with the pair on the driver
+    * the merge is a pure projection, the per-round checkpoints vanish, and
+    * each merged table is a narrow projection chain over the single
+    * checkpointed word-frequency table. Per round: exactly ONE scheduled
+    * job (the top-pair aggregation the sequential algorithm fundamentally
+    * requires). Selection, tiebreak, and the literal-replace semantics are
+    * unchanged — same rows, re-proved by the unchanged oracle.
+    *
+    * A round with no adjacent pair left (pair-free vocabulary) returns no
+    * top; the vocabulary passes through untouched and later rounds see the
+    * same — mirroring the old empty-top LEFT-join behavior, where such a
+    * round contributed no summary row. */
+  /** Collected width of the speculative top-pair table (round 20 — round-19
+    * verdict item 5): one aggregation job collects the top-N pairs of the
+    * INITIAL table; the driver then accepts rank-(k+1) as round-(k+1)'s
+    * merge for as long as the non-interaction guard proves it equal to the
+    * sequential result, so a fully-accepted chain schedules ONE pair-count
+    * job instead of [[BpeRounds]] sequential ones. */
+  private val BpeSpeculateN = 64
+
+  /** Diagnostic: merges accepted by the speculation guard in the most
+    * recent chain build (rest ran sequential jobs) — same pattern as
+    * [[graft.llm.Curation.lastPropagationRounds]]. */
+  @volatile var lastSpeculatedMerges: Int = -1
+
+  private def bpeChainFrom(wc0: DataFrame): (Seq[((String, String, Long), DataFrame)], DataFrame) = {
+    def topPairs(df: DataFrame, n: Int): Seq[(String, String, Long)] = {
       // guard single-symbol words: Spark's sequence(1, 0) REVERSES ([1,0])
       // rather than returning empty, and ANSI element_at(tk, 2) then throws
       df.where(size(split(trim(col("repr")), " ")) >= 2)
@@ -1527,40 +1576,102 @@ object TextAnalysis {
             "element_at(split(trim(repr), ' '), i + 1) as s2))")).as("pr"))
         .select(col("wcnt"), col("pr.s1").as("s1"), col("pr.s2").as("s2"))
         .groupBy("s1", "s2").agg(sum("wcnt").as("pair_cnt"))
-        .orderBy(col("pair_cnt").desc, col("s1"), col("s2")).limit(1)
+        .orderBy(col("pair_cnt").desc, col("s1"), col("s2")).limit(n)
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     }
-    // LEFT join against the (0-or-1)-row top table, not a crossJoin: if a
-    // round finds no adjacent pair left (pair-free corpus), the empty top
-    // frame must leave the vocabulary untouched rather than wipe it — the
-    // cross product with an empty frame would silently empty every
-    // downstream round and the encoder.
-    def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
-      df.join(broadcast(top), lit(true), "left")
-        .withColumn("repr",
-          when(col("s1").isNotNull,
-            expr("replace(repr, ' ' || s1 || ' ' || s2 || ' ', ' ' || s1 || s2 || ' ')"))
-          .otherwise(col("repr")))
-        .select("w", "repr", "wcnt")
-    val (lastRev, stepsRev) = (1 to BpeRounds).foldLeft(
-        (wc0, List.empty[(DataFrame, DataFrame)])) { case ((cur, acc), _) =>
-      val topRaw = topPair(cur)
-      val top = if (checkpointTops) topRaw.localCheckpoint(false) else topRaw
-      val next = applyMerge(cur, top).localCheckpoint(false)
-      (next, (top, next) :: acc)
+    // lit() for the pair symbols, never an interpolated expr string — corpus
+    // tokens can contain any character; literals need no escaping
+    def applyMerge(df: DataFrame, s1: String, s2: String): DataFrame =
+      df.withColumn("repr",
+        org.apache.spark.sql.functions.replace(col("repr"),
+          lit(s" $s1 $s2 "), lit(s" $s1$s2 ")))
+
+    /** Speculative multi-merge guard. Accepts the longest prefix of
+      * `ranked` (the initial table's top-N) provably equal to the
+      * sequential per-round argmax. Rank-(k+1) is round-(k+1)'s top iff
+      * every pair's post-merge count keeps it below rank-(k+1)'s:
+      *
+      *  - a pair symbol-DISJOINT from every accepted merge has an
+      *    invariant count (the merge rewrites ` a b ` → ` ab `; no
+      *    adjacency of other symbols is created, destroyed, or made
+      *    adjacent), so ranks among the survivors are preserved;
+      *  - a pair OVERLAPPING an accepted merge only loses occurrences —
+      *    it can never overtake;
+      *  - merge (a, b) CREATES pairs (x, ab) / (ab, y) and leaves a
+      *    RESIDUAL count of (a, b) itself (the literal-replace resume
+      *    quirk keeps the second of two overlapping occurrences). Each is
+      *    bounded by an INITIAL count: count(x, ab) ≤ C0(x, a) (every
+      *    created occurrence came from a literal `x a b`), count(ab, y) ≤
+      *    C0(b, y), and residual(a, b) ≤ C0(b, a) (an unmerged occurrence
+      *    immediately follows a merged one). Any pair outside the
+      *    collected top-N has C0 ≤ the N-th count. Acceptance therefore
+      *    requires the candidate's count to STRICTLY exceed every such
+      *    bound across all previously accepted merges (strict, so no
+      *    created pair can steal the round on the symbol tiebreak).
+      *
+      * Any failure stops speculation; the remaining rounds run the exact
+      * sequential jobs. Equality to the sequential result is also pinned
+      * by BpeSpeculationSpec on an adversarial interacting corpus. */
+    def acceptedPrefix(ranked: Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
+      if (ranked.isEmpty) return Nil
+      // fewer than N pairs collected ⇒ the collection is exhaustive and
+      // uncollected pairs simply don't exist (bound 0)
+      val uncollected = if (ranked.size < BpeSpeculateN) 0L else ranked.last._3
+      val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)](ranked.head)
+      var idx = 1
+      var stop = false
+      while (!stop && acc.size < BpeRounds && idx < ranked.size) {
+        val cand = ranked(idx)
+        val candSyms = Set(cand._1, cand._2)
+        val disjoint = acc.forall(m => !candSyms(m._1) && !candSyms(m._2))
+        val ub = acc.iterator.map { case (a, b, _) =>
+          val collectedMatches = ranked.iterator.collect {
+            case (_, `a`, c) => c // source of created (x, ab)
+            case (`b`, _, c) => c // source of created (ab, y) AND the residual (b, a)
+          }
+          (collectedMatches ++ Iterator.single(uncollected)).max
+        }.max
+        if (disjoint && cand._3 > ub) { acc += cand; idx += 1 }
+        else stop = true
+      }
+      acc.toSeq
     }
-    (stepsRev.reverse, lastRev)
+
+    val ranked = topPairs(wc0, BpeSpeculateN)
+    val speculated = acceptedPrefix(ranked)
+    lastSpeculatedMerges = speculated.size
+    val (afterSpec, specStepsRev) = speculated.foldLeft(
+        (wc0, List.empty[((String, String, Long), DataFrame)])) {
+      case ((cur, acc), (s1, s2, cnt)) =>
+        val next = applyMerge(cur, s1, s2)
+        (next, ((s1, s2, cnt), next) :: acc)
+    }
+    // exact sequential fallback for every round the guard could not prove
+    val (_, stepsRev) = (speculated.size until BpeRounds).foldLeft(
+        (afterSpec, specStepsRev)) { case ((cur, acc), _) =>
+      topPairs(cur, 1).headOption match {
+        case Some((s1, s2, cnt)) =>
+          val next = applyMerge(cur, s1, s2)
+          (next, ((s1, s2, cnt), next) :: acc)
+        case None => (cur, acc) // pair-free: no merge, no summary row
+      }
+    }
+    val last = stepsRev.headOption.map(_._2).getOrElse(wc0)
+    (stepsRev.reverse, last)
   }
 
   val bpeTrain: Q = (s, d) => {
-    def summary(r: Int, top: DataFrame, after: DataFrame): DataFrame = {
+    def summary(r: Int, top: (String, String, Long), after: DataFrame): DataFrame = {
       val tot = after
         .agg(sum(col("wcnt") * size(split(trim(col("repr")), " ")))
                .cast("bigint").as("total_syms"))
       val voc = after
         .select(explode(split(trim(col("repr")), " ")).as("sym"))
         .agg(countDistinct("sym").as("vocab"))
-      top.select(lit(r).as("round"), col("s1"), col("s2"), col("pair_cnt"))
-        .crossJoin(tot).crossJoin(voc)
+      tot.crossJoin(voc)
+        .select(lit(r).as("round"), lit(top._1).as("s1"), lit(top._2).as("s2"),
+                lit(top._3).as("pair_cnt"), col("total_syms"), col("vocab"))
     }
     val (steps, _) = bpeChain(s, d)
     steps.zipWithIndex
@@ -1596,7 +1707,7 @@ object TextAnalysis {
     val wcStable = docWord.groupBy("w").agg(sum("c").as("wcnt"))
       .select(col("w"), bpeRepr, col("wcnt"))
     val wc0 = wcStable.localCheckpoint(false)
-    val (_, vocab) = bpeChainFrom(wc0, checkpointTops = false)
+    val (_, vocab) = bpeChainFrom(wc0)
     val syms = vocab.select(col("w"),
       size(split(trim(col("repr")), " ")).cast("bigint").as("n_syms"))
     vocabJoin(docWord, syms, "w", fitsProbe = wcStable)

@@ -130,9 +130,22 @@ object StreamNeardup {
     * smallest-id docs the min-id contract would pick, so on non-hot
     * streams (band occupancy ≤ cap) output is IDENTICAL to the uncapped
     * operator. A doc that arrived while its key was full is never stored,
-    * even after the watermark frees capacity. Default off (0) = exact
-    * declared semantics. */
+    * even after the watermark frees capacity.
+    *
+    * DEFAULT ON at [[StreamBandCapDefault]] (round 20 — round-19 verdict
+    * item 3): with the cap unset, a single viral document used to melt a
+    * deployment — the uncapped hot regime emits 16·c²/2 candidate rows
+    * (measured ~8e8 at c = 10⁴, "not affordable", BASELINE.md round-19) —
+    * and the exact semantics it bought are only OBSERVABLE on streams
+    * where some band's in-horizon occupancy exceeds the cap, i.e. ≥ 64
+    * near-identical in-horizon docs sharing a band. Below that occupancy
+    * (every fixture, every non-pathological stream) capped output is
+    * bit-identical to uncapped, so the default trades nothing except in
+    * the regime that previously melted. Opt out with an explicit 0 (or
+    * any non-positive value) to accept O(c²) for exact mega-cluster
+    * verdicts. */
   val StreamBandCapConf = "spark.graft.neardup.streamBandCap"
+  val StreamBandCapDefault = 64
 
   val NumBands: Int = graft.llm.Dedup.NumHashes / graft.llm.Dedup.BandSize
   /** The exact-match band: every doc (shingled or not) carries it, keyed by
@@ -433,7 +446,8 @@ object StreamNeardup {
   def streamNeardup(docs: DataFrame, horizonMs: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val bandCap = graft.Confs.intConf(s, StreamBandCapConf).getOrElse(0)
+    val bandCap = graft.Confs.intConf(s, StreamBandCapConf)
+      .getOrElse(StreamBandCapDefault)
     bandRows(docs).as[BandRow]
       .groupByKey(r => (r.band, r.band_hash))
       // the String overload re-declares `act_ts` as the output's event-time
@@ -461,12 +475,19 @@ object StreamNeardup {
   def admitNeardupBatch(s: SparkSession, d: String,
                         horizonDocs: Long = HorizonDocsDefault): DataFrame = {
     val docs = graft.Tables.documents(s, d)
-    // cachedOnce (round 19): both sides of the exact self-join read this
-    // digest frame — uncached it re-ran the full-text sha256 scan twice
-    // (and the verdict row-set below a third scan); same fix as
-    // [[graft.llm.Curation.ingestDedup]].
-    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    // Round 20 (verdict item 6, same fusion as
+    // [[graft.llm.Curation.ingestDedup]]): ONE text pass projects
+    // (doc_id, sha256, distinct shingle-hash array) as the operator's only
+    // cached frame — the round-19 spelling still scanned `documents.text`
+    // twice (sha256 frame + shingle-cache recipe). The exact self-join
+    // reads (doc_id, h) from it, the near arm explodes the arrays, sizes
+    // are size(shs). Text ReadSchema in the committed plan: 2 → 1.
+    val base = graft.Caching.scatterIfNarrow(docs, col("doc_id"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        graft.llm.Dedup.shingleHashArray(
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("shs"))
       .transform(graft.Caching.cachedOnce)
+    val hashed = base.select(col("doc_id"), col("h"))
     val exact = hashed.as("x")
       .join(hashed.as("y"), col("y.h") === col("x.h") &&
         col("y.doc_id") < col("x.doc_id") &&
@@ -477,8 +498,9 @@ object StreamNeardup {
     // ~45-byte 5-gram strings — the same swap the rest of the near-dup family
     // made in round 18 (see [[graft.llm.Dedup.shingleHashes]] for the
     // collision bound); the string-exact oracle re-proves equality each round.
-    val sh = graft.llm.Dedup.shingleHashes(s, d).transform(graft.Caching.cachedOnce)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sizes = base.where(size(col("shs")) > 0)
+      .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_sh"))
     val near = sh.as("x")
       .join(sh.as("y"), col("y.sh") === col("x.sh") &&
         col("y.doc_id") < col("x.doc_id") &&

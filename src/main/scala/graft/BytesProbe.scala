@@ -35,14 +35,15 @@ object BytesProbe {
     def reset(): Unit = { bytes.set(0); recs.set(0) }
   }
 
-  /** Order-independent output digest: sum over rows of xxhash64 of the
-    * stringified row (columns in sorted-name order), plus the row count.
-    * Two relations with equal multisets of rows get equal digests. */
+  /** Order-independent output digest: (row count, bit_xor of row hashes) —
+    * the StreamNeardupHotProbe checksum pattern (a SUM of full-range
+    * xxhash64 longs overflows under ANSI). Columns in sorted-name order. */
   private def checksum(df: DataFrame): (Long, Long) = {
     val cols = df.columns.sorted.map(c => col(c).cast("string"))
     val r = df.select(xxhash64(cols: _*).as("h"))
-      .agg(sum(col("h")).as("s"), count(lit(1)).as("n")).head()
-    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+      .agg(count(lit(1)).as("n"),
+           coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   // ---- LEGACY spellings, verbatim from the pre-round-19 tree (df408bc^) ----
@@ -138,7 +139,7 @@ object BytesProbe {
         fn(spark, kDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         val (b, r) = (tally.bytes.get, tally.recs.get)
-        val (cs, n) = checksum(fn(spark, kDir))
+        val (n, cs) = checksum(fn(spark, kDir))
         println(f"[bytesprobe] k=$k%-4d $label%-24s wall=$wall%8.2fs " +
           f"shufMB=${b / 1e6}%10.1f shufRows=$r%12d rows=$n%9d checksum=$cs%20d")
       }

@@ -19,7 +19,8 @@ object PlanSnap {
     val outDir = args.lift(1).getOrElse("plans/r19")
     val suffix = args.lift(2).getOrElse("before")
     val names =
-      if (args.length > 3) args.drop(3).toSeq
+      if (args.length > 3 && args(3) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 3) args.drop(3).toSeq
       else Bench.headline
     sys.props("graft.ann.recall") = "0"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

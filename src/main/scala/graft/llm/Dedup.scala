@@ -291,8 +291,10 @@ object Dedup {
     * sf0.1 fixture — ~0.5M shingle rows — the naive join beats the PPJoin
     * path ~2×, while the prefix filter's candidate-volume savings only
     * amortize once the shingle self-join volume Σf² dominates those fixed
-    * passes). Both paths share [[verifyJaccard]] and produce identical
-    * output (LlmSpec pins prefix == naive explicitly, at every scale). */
+    * passes). The prefix path re-verifies via [[verifyJaccard]]; the naive
+    * path finishes directly from its exact candidate counts
+    * ([[finishExactInter]], round 20) — identical output either way
+    * (LlmSpec pins prefix == naive explicitly, at every scale). */
   val NeardupPrefixMinShingles = 2000000L
 
   /** Mega-clique regime guardrail (round-12 verdict #3). The k=128/k=256

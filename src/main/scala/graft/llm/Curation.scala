@@ -258,12 +258,16 @@ object Curation {
     // family — the broadcast side is benchmark-sized so the win is minor,
     // but a 5× smaller broadcast is still a 5× smaller broadcast):
     // see [[Dedup.shingleHashes]] for the collision bound; oracle unchanged.
-    val sh = Dedup.shingleHashes(s, d).transform(graft.Caching.cachedOnce)
+    val sh = Dedup.cachedShingleHashes(s, d)
     val benchIds = docs.where(col("source") === BenchmarkSource)
       .select(col("doc_id").as("bench_id"))
     val trainIds = docs.where(col("source") =!= BenchmarkSource)
       .select(col("doc_id").as("train_id"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // size(shs) off the cached array frame — a projection, not an
+    // aggregation over the exploded rows (round 20)
+    val sizes = Dedup.shingleHashArrays(s, d)
+      .where(size(col("shs")) > 0) // evaluated on the CACHED column
+      .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_sh"))
     val inter = sh.select(col("doc_id").as("train_id"), col("sh"))
       .join(trainIds, "train_id")
       .join(broadcast(sh.select(col("doc_id").as("bench_id"), col("sh"))

@@ -80,6 +80,40 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i, lit(5)))))))
     .otherwise(array().cast("array<bigint>"))
 
+  /** The near-dup family's CACHED shingle representation (round 20): one
+    * per-doc row carrying the distinct shingle-hash ARRAY, instead of the
+    * ~100×-more exploded (doc_id, sh) rows the round-19 cache stored. Same
+    * bytes of hash payload, a fraction of the row overhead in the cache
+    * write and in every per-pass rebuild the honest-cold bench protocol
+    * now charges; consumers explode on read (a narrow Generate over the
+    * in-memory scan). Distinctness moves to the hashes — the family's
+    * accepted collision bound, re-proved by the string-exact oracle. */
+  def shingleHashArrays(s: SparkSession, d: String): DataFrame =
+    // NO shingled-docs filter here: a `where(size(shs) > 0)` on the computed
+    // column gets substituted below the scatter exchange by filter pushdown
+    // and re-evaluates the whole (interpreted-lambda) shingle pipeline on
+    // the narrow pre-scatter scan — measured 0.9 → 8.4 s solo. Shingle-less
+    // docs cache as empty arrays (a handful of bytes); explode drops them
+    // and [[shingleSizes]] filters on the CACHED column, which is cheap.
+    tokens(s, d)
+      .select(col("doc_id"), shingleHashArray(col("toks")).as("shs"))
+      .transform(graft.Caching.cachedOnce)
+
+  /** [[shingleHashes]] served from the cached per-doc array frame — the
+    * shape every cached consumer in the family joins on. */
+  def cachedShingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashArrays(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Per-doc shingle-set sizes straight off the cached array frame — a
+    * projection (`size(shs)`), not an aggregation: the old
+    * `sh.groupBy(doc_id).count` subtree was duplicated by Catalyst into
+    * BOTH size joins of every verify/finish, i.e. two explode+aggregate
+    * passes per query for a number the array already knows. */
+  private def shingleSizes(s: SparkSession, d: String): DataFrame =
+    shingleHashArrays(s, d)
+      .where(size(col("shs")) > 0) // evaluated on the CACHED column
+      .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_sh"))
+
   val shinglesSqlCte: String =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
@@ -114,9 +148,8 @@ object Dedup {
     * directly). Only correct when the pair weights come from the NAIVE
     * join over the full shingle sets; prefix-filtered candidates carry
     * prefix-overlap lower bounds and must still re-verify. */
-  private def finishExactInter(ov: DataFrame, sh: DataFrame,
+  private def finishExactInter(ov: DataFrame, sizes: DataFrame,
                                withSizes: Boolean): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val base = ov
       .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
@@ -131,9 +164,8 @@ object Dedup {
 
   /** Exact-verify a candidate pair set: full intersection counts → Jaccard
     * filter. Shared by the prefix-filtered exact operator and MinHash-LSH. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, sizes: DataFrame,
                             withSizes: Boolean): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // the shingle equality is part of the JOIN KEY (d2, sh), never a
     // post-join filter — otherwise the intermediate is |pairs|*|A|*|B| and
     // plan-dependent, not |matches| (observed 20x swings under AQE).
@@ -361,7 +393,7 @@ object Dedup {
   val neardupPairs: Q = (s, d) => {
     // shingling (regex split + 5-gram transform + distinct + digest) is the
     // expensive narrow stage and feeds five plan branches — materialize once
-    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
+    val sh = cachedShingleHashes(s, d)
     // the count reads the just-materialized cache — one cheap short job,
     // the price of choosing the right plan for the corpus actually present
     val prefixPath = sh.count() >= NeardupPrefixMinShingles
@@ -373,28 +405,30 @@ object Dedup {
     // Naive-path pairs carry their exact intersection count out of the
     // candidate aggregation — finish directly (round 20); prefix-path
     // candidates are prefix-overlap-bounded and re-verify exactly.
+    val sizes = shingleSizes(s, d)
     if (cap > 0) {
       if (prefixPath)
-        verifyJaccard(capPairs(weightedCands(sh, prefixPath), cap), sh, withSizes = true)
+        verifyJaccard(capPairs(weightedCands(sh, prefixPath), cap), sh, sizes, withSizes = true)
       else
         finishExactInter(capPairs(weightedCands(sh, prefixPath), cap, keepW = true),
-                         sh, withSizes = true)
-    } else if (prefixPath) verifyJaccard(prefixCands(sh), sh, withSizes = true)
+                         sizes, withSizes = true)
+    } else if (prefixPath) verifyJaccard(prefixCands(sh), sh, sizes, withSizes = true)
     else finishExactInter(weightedCands(sh, prefixPath = false)
                             .withColumnRenamed("w", "inter"),
-                          sh, withSizes = true)
+                          sizes, withSizes = true)
   }
 
   /** [[neardupPairs]] with the per-document candidate budget forced to `m`
     * — the spec entry point (the operator itself reads [[NeardupCapConf]]). */
   def neardupPairsCapped(s: SparkSession, d: String, m: Int): DataFrame = {
-    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
+    val sh = cachedShingleHashes(s, d)
     val prefixPath = sh.count() >= NeardupPrefixMinShingles
     if (prefixPath)
-      verifyJaccard(capPairs(weightedCands(sh, prefixPath), m), sh, withSizes = true)
+      verifyJaccard(capPairs(weightedCands(sh, prefixPath), m), sh,
+                    shingleSizes(s, d), withSizes = true)
     else
       finishExactInter(capPairs(weightedCands(sh, prefixPath), m, keepW = true),
-                       sh, withSizes = true)
+                       shingleSizes(s, d), withSizes = true)
   }
 
   /** Registered budget default: each doc keeps its top-2 candidate partners
@@ -411,10 +445,10 @@ object Dedup {
     * cheaper weights at 100 TB); DedupCapSpec pins the two equal below the
     * threshold and capped ⊆ uncapped always. */
   val neardupCapped: Q = (s, d) => {
-    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
+    val sh = cachedShingleHashes(s, d)
     finishExactInter(
       capPairs(weightedCands(sh, prefixPath = false), NeardupCapDefaultM, keepW = true),
-      sh, withSizes = true)
+      shingleSizes(s, d), withSizes = true)
   }
 
   val neardupCappedSql: String =
@@ -448,15 +482,16 @@ object Dedup {
     * [[neardupPairs]] above the shingle threshold). Kept callable so the
     * equivalence spec exercises it at every fixture scale. */
   def neardupPairsPrefix(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce)
-    verifyJaccard(prefixCands(sh), sh, withSizes = true)
+    val sh = cachedShingleHashes(s, d)
+    verifyJaccard(prefixCands(sh), sh, shingleSizes(s, d), withSizes = true)
   }
 
   /** Naive all-pairs exact formulation — the specification the prefix-filter
     * version must reproduce; kept for the equivalence test. */
   def neardupPairsAllPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleHashes(s, d)
-    verifyJaccard(naiveCands(sh), sh, withSizes = true)
+    verifyJaccard(naiveCands(sh), sh,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")), withSizes = true)
   }
 
   val neardupPairsSql: String =
@@ -498,7 +533,7 @@ object Dedup {
     * Registered rows-only; a ScalaTest asserts it equals the exact operator.
     */
   val neardupMinhashLsh: Q = (s, d) => {
-    val sh = shingleHashes(s, d).transform(graft.Caching.cachedOnce) // feeds signatures AND the verify step
+    val sh = cachedShingleHashes(s, d) // feeds signatures AND the verify step
     val sig = minhashSignatures(sh)
     // one explode pass over an array of (band, band_hash) structs — the
     // first cut unioned 16 per-band scans of the signature table, i.e. 16
@@ -531,7 +566,7 @@ object Dedup {
     val candidates =
       if (cap > 0) capPairs(pairBands.groupBy("d1", "d2").agg(count(lit(1)).as("w")), cap)
       else pairBands.distinct()
-    verifyJaccard(candidates, sh, withSizes = false)
+    verifyJaccard(candidates, sh, shingleSizes(s, d), withSizes = false)
   }
 
   val SimhashMaxHamming = 8

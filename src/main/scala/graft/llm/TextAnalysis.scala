@@ -1280,11 +1280,18 @@ object TextAnalysis {
     * integer micro-score.
     */
   val bm25: Q = (s, d) => {
+    // Round 20: docstats derives from the SHARED docWordCounts cache (the
+    // same materialization tfidf/bpeEncode/unigramLogprob/repetitionFilter
+    // use) instead of maintaining its own per-doc cached aggregate — one
+    // session-wide tokenize serves five operators, and the derivation is a
+    // no-exchange aggregation over the in-memory frame (docWordCounts is
+    // clustered on doc_id), cheap enough per consumer that the second
+    // cache level is gone. dl = Σc and per-term tf = Σc·[w = t] are the
+    // same integers the direct tokenize counted; oracle unchanged.
     val perTerm = QueryTerms.map(t =>
-      sum(when(col("w") === t, 1).otherwise(0)).as(s"tf_$t"))
-    val docstats = toks(s, d).groupBy("doc_id")
-      .agg(count(lit(1)).as("dl"), perTerm: _*)
-      .transform(graft.Caching.cachedOnce)
+      sum(when(col("w") === t, col("c")).otherwise(0L)).as(s"tf_$t"))
+    val docstats = docWordCounts(s, d).groupBy("doc_id")
+      .agg(sum(col("c")).as("dl"), perTerm: _*)
     val stats = docstats.agg(count(lit(1)).as("n_docs"),
                              (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // unpivot to (doc_id, dl, w, tf) keeping only hits — row-identical to the
